@@ -1,0 +1,162 @@
+"""Audio decode stage: binary `bytes` -> PCM features, Arrow-batched.
+
+The Spark recast of the reference's response-decode stage
+(/root/reference/http.go:124-173: content-type whitelist ->
+charset-detect -> transcode). For audio: codec whitelist -> container
+parse -> PCM decode -> per-clip features. Runs as ONE pandas UDF so the
+blob is decoded exactly once per row (the reference's single-pass
+computeInfo idiom) and the PCM never leaves the stage — only scalar
+features cross the (potential) shuffle boundary downstream
+(SURVEY.md §4.3 spill-safety: PCM is ~100x input, never materialized as
+a column).
+
+Codecs: 'wav' (RIFF PCM16, numpy parse), 'pcm_s16le' (raw). 'flac' needs
+an encoder library that is NOT in this container — the decode is STUBBED
+(soundfile import-gated; otherwise decode_err='codec_unsupported_stub');
+the Spark-side plumbing (schema, batching, error paths) is real and
+tested.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CODEC_WHITELIST = ("wav", "pcm_s16le", "flac")  # the textContentTypes analog
+MAX_CONTENT_LENGTH = 10 * 1024 * 1024  # http.go MaxContentLength 10 MiB
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("ok", BooleanType()),
+        StructField("err", StringType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sr_decoded", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("clip_ratio", DoubleType()),  # samples at full-scale
+        StructField("dc_offset", DoubleType()),
+        StructField("zero_cross_rate", DoubleType()),
+    ]
+)
+
+try:  # pragma: no cover - not present in this sandbox
+    import soundfile as _soundfile  # type: ignore
+except Exception:  # noqa: BLE001
+    _soundfile = None
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """Minimal RIFF/WAVE PCM16 mono parser (numpy, no per-sample Python).
+    Raises ValueError on malformed containers."""
+    if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("bad_riff_header")
+    pos, sr, n_ch, bps, data = 12, None, None, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt, n_ch, sr, _, _, bps = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt != 1 or bps != 16:
+                raise ValueError("unsupported_wav_format")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if sr is None or data is None or n_ch is None:
+        raise ValueError("missing_wav_chunk")
+    pcm = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+    if n_ch > 1:
+        pcm = pcm[: (len(pcm) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return pcm.astype(np.float64) / 32767.0, int(sr)
+
+
+def decode_pcm_s16le(blob: bytes, sr_hz: int) -> tuple[np.ndarray, int]:
+    pcm = np.frombuffer(blob[: len(blob) - (len(blob) % 2)], dtype="<i2")
+    if pcm.size == 0:
+        raise ValueError("empty_pcm")
+    return pcm.astype(np.float64) / 32767.0, int(sr_hz)
+
+
+def decode_blob(blob: bytes | None, codec: str | None, sr_hz: int | None) -> tuple[np.ndarray | None, int, str | None]:
+    """Returns (pcm, sr, err)."""
+    if blob is None or len(blob) == 0:
+        return None, 0, "empty_bytes"
+    if len(blob) > MAX_CONTENT_LENGTH:
+        return None, 0, "max_content_length"
+    if codec not in CODEC_WHITELIST:
+        return None, 0, "codec_not_whitelisted"
+    try:
+        if codec == "wav":
+            pcm, sr = decode_wav(blob)
+        elif codec == "pcm_s16le":
+            pcm, sr = decode_pcm_s16le(blob, sr_hz or 16000)
+        else:  # flac
+            if _soundfile is not None:  # pragma: no cover
+                data, sr = _soundfile.read(io.BytesIO(blob), dtype="float64")
+                pcm = data.mean(axis=1) if data.ndim > 1 else data
+            else:
+                # STUB: flac decode requires soundfile/ffmpeg, absent in
+                # this container (FIXTURES.md decode-error path).
+                return None, 0, "codec_unsupported_stub"
+        return pcm, sr, None
+    except ValueError as e:
+        return None, 0, str(e)
+    except Exception:  # noqa: BLE001 — malformed container
+        return None, 0, "decode_error"
+
+
+def _features(pcm: np.ndarray, sr: int) -> tuple:
+    n = int(pcm.size)
+    rms = float(np.sqrt(np.mean(pcm**2))) if n else 0.0
+    peak = float(np.max(np.abs(pcm))) if n else 0.0
+    clip_ratio = float(np.mean(np.abs(pcm) >= 0.999)) if n else 0.0
+    dc = float(np.mean(pcm)) if n else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(pcm))))) if n > 1 else 0.0
+    return n, sr, rms, peak, clip_ratio, dc, zcr
+
+
+@F.pandas_udf(DECODE_SCHEMA)
+def decode_features_udf(blob: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.DataFrame:
+    rows = []
+    for b, c, s in zip(blob, codec, sr_hz):
+        # nullable int columns arrive as float64 with NaN holes
+        pcm, sr, err = decode_blob(b, c, int(s) if not pd.isna(s) else None)
+        if pcm is None:
+            rows.append((False, err, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0))
+        else:
+            rows.append((True, None, *_features(pcm, sr)))
+    return pd.DataFrame(
+        rows,
+        columns=[f.name for f in DECODE_SCHEMA.fields],
+    )
+
+
+def with_decode_features(df: DataFrame, out_col: str = "audio") -> DataFrame:
+    """Attach the decode-feature struct. One projection; the 10 MiB /
+    whitelist guards are checked inside the batch (cheap) AND exposed as
+    pushdown-friendly predicates via `decode_prefilter` for jobs that
+    want to skip decode entirely for rejected rows."""
+    return df.withColumn(
+        out_col, decode_features_udf(F.col("bytes"), F.col("codec"), F.col("sr_hz"))
+    )
+
+
+def decode_prefilter() -> Column:
+    """Pure-column pre-guards (no UDF): size cap + codec whitelist —
+    these push down to the parquet/Iceberg scan so rejected rows never
+    reach the Arrow decode batch."""
+    return (F.length("bytes") <= MAX_CONTENT_LENGTH) & F.col("codec").isin(
+        *CODEC_WHITELIST
+    )

@@ -1,0 +1,65 @@
+"""SparkSession factory tuned for the quality-filter pipeline.
+
+Scale notes (100 TB / 1000-executor design, tested on local[N]):
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting is
+  the backstop for long-transcript / long-clip skew (SURVEY.md §4.1).
+- Arrow on, with a bounded records-per-batch so Arrow batches of binary
+  audio `bytes` stay memory-safe inside pandas UDFs (SURVEY.md §7 risk:
+  PCM is ~100x input; never let a batch of decoded audio exceed RAM).
+- shuffle.partitions default sized for local testing; production submit
+  overrides via spark-submit conf (the code never hard-codes a plan that
+  depends on the partition count).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size: clips average ~100KB-1MB of audio bytes; 256 rows/batch
+# keeps a decode batch under ~256MB even for heavy rows, while still
+# amortizing Python/Arrow transfer overhead.
+ARROW_MAX_RECORDS_PER_BATCH = 256
+
+
+def get_spark(
+    app_name: str = "go-pkg-spider-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and master == "local[*]":
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # match parallelism: one shuffle partition per core locally;
+        # production overrides to ~2-3x total cores via submit conf.
+        import re
+
+        m = re.match(r"local\[(\d+|\*)\]", master)
+        if m and m.group(1) != "*":
+            shuffle_partitions = max(int(m.group(1)), 4)
+        else:
+            shuffle_partitions = os.cpu_count() or 8
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

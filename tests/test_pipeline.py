@@ -1,0 +1,74 @@
+"""End-to-end pipeline tests: schema, decisions vs the frozen oracle
+(FIXTURES.md §4), determinism, and plan shape (no shuffles in the
+per-clip path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pkg_spider_spark import pipeline
+from go_pkg_spider_spark.oracle import oracle_decide
+
+
+def test_output_schema(spark, clips_path):
+    out = pipeline.run_pipeline(spark.read.parquet(clips_path))
+    assert [f.name for f in out.schema.fields] == pipeline.OUTPUT_COLUMNS
+    assert out.count() == 300
+
+
+def test_matches_frozen_oracle_f1(spark, clips_path):
+    """Keep/drop decisions + scrub text must match the frozen pure-Python
+    oracle implementing the same cascade at F1>=0.99 / exact scrub
+    (BASELINE.md decision quality)."""
+    out = (
+        pipeline.run_pipeline(spark.read.parquet(clips_path))
+        .select("clip_id", "keep", "drop_reason", "lang", "scrubbed_transcript")
+        .collect()
+    )
+    src = {
+        r.clip_id: r
+        for r in spark.read.parquet(clips_path)
+        .select("clip_id", "bytes", "codec", "sr_hz", "transcript")
+        .collect()
+    }
+    tp = fp = fn = tn = 0
+    scrub_mismatch = 0
+    for r in out:
+        s = src[r.clip_id]
+        want = oracle_decide(s.bytes, s.codec, s.sr_hz, s.transcript)
+        if r.keep and want.keep:
+            tp += 1
+            if r.scrubbed_transcript != want.scrubbed_transcript:
+                scrub_mismatch += 1
+        elif r.keep and not want.keep:
+            fp += 1
+        elif not r.keep and want.keep:
+            fn += 1
+        else:
+            tn += 1
+    f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
+    assert f1 >= 0.99, (tp, fp, fn, tn)
+    assert scrub_mismatch == 0
+
+
+def test_deterministic(spark, clips_path):
+    df = spark.read.parquet(clips_path)
+    a = pipeline.run_pipeline(df).orderBy("clip_id").collect()
+    b = pipeline.run_pipeline(df).orderBy("clip_id").collect()
+    assert a == b
+
+
+def test_no_shuffle_in_per_clip_path(spark, clips_path):
+    """The per-clip pipeline must be narrow-only: a single stage with no
+    Exchange in the physical plan (SURVEY.md §3.1 'one stage, zero
+    shuffles')."""
+    out = pipeline.run_pipeline(spark.read.parquet(clips_path))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_salted_repartition_deterministic(spark, clips_path):
+    df = spark.read.parquet(clips_path)
+    out = pipeline.repartition_salted(df, 8)
+    assert out.rdd.getNumPartitions() == 8
+    assert out.count() == 300

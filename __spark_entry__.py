@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship quality-filter query over the sf0.001
+documents corpus (the transcript stand-in table); `queries()` /
+`oracle_sql()` expose every implemented operator family from
+SURVEY.md §2 with DuckDB twins where SQL-expressible (rows-only
+otherwise: minhash/simhash/LSH use xxhash64 which has no DuckDB twin).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full text-leg quality-filter pipeline (lang rules ->
+    model residual -> keep/drop -> scrub -> quality + ppl) over
+    sf0.001/documents.parquet."""
+    from go_pkg_spider_spark.functions import langid, perplexity, rules, scrub, tokens
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = d.withColumn("lang_res", langid.body_lang_rules(F.col("text")))
+    df = langid.resolve_model_langs(df, "lang_res", "text")
+    kd = rules.keep_drop(F.col("text"), F.col("lang_res")["lang"], min_chars=64)
+    df = (
+        df.withColumn("keep", kd["keep"])
+        .withColumn("drop_reason", kd["drop_reason"])
+        .withColumn(
+            "scrubbed_text", F.when(F.col("keep"), scrub.scrub(F.col("text")))
+        )
+        .withColumn("quality_score", tokens.quality_score(F.col("text")))
+        .withColumn("ppl", perplexity.ppl_udf(F.when(F.col("keep"), F.col("text"))))
+    )
+    return df.select(
+        "doc_id",
+        "keep",
+        "drop_reason",
+        F.col("lang_res")["lang"].alias("lang"),
+        F.col("lang_res")["lang_pos"].alias("lang_pos"),
+        "scrubbed_text",
+        "quality_score",
+        "ppl",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from go_pkg_spider_spark.entry_queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from go_pkg_spider_spark.entry_queries import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,112 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the end-to-end clips pipeline (decode -> langid
+-> quality -> keep/drop -> scrub) wall-clock over a deterministic
+generated clips table sized to the SF tier, because that is the
+north_rule workload; per-query timings cover the operator families.
+
+Every timing materializes via the noop sink (full evaluation; count()
+would let Catalyst prune projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# clips rows per SF tier (deterministic; generation cached in /tmp)
+CLIPS_BY_SF = {"sf0.001": 500, "sf0.01": 5_000, "sf0.1": 50_000}
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "broadcast_join_nation",
+    "anti_join_resume",
+    "events_hourly_rollup",
+    "events_two_pass_stats",
+    "events_topk_window",
+    "lang_rules_docs",
+    "keep_drop_docs",
+    "scrub_docs",
+    "token_stats_docs",
+    "dedup_exact_docs",
+    "minhash_lsh_docs",
+    "simhash_docs",
+    "ann_topk_embeddings",
+    "centroid_per_label",
+]
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def clips_path(sf_name: str, spark) -> str:
+    n = CLIPS_BY_SF.get(sf_name, 5_000)
+    path = f"/tmp/bench_clips_{sf_name}_{n}.parquet"
+    if not os.path.exists(path):
+        from go_pkg_spider_spark import datagen
+
+        datagen.generate_clips_df(spark, n).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    from go_pkg_spider_spark.session import get_spark
+    from go_pkg_spider_spark import pipeline
+    import __spark_entry__ as entry
+
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    sf = float(sf_name.replace("sf", "") or 0.1)
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # headline: end-to-end clips pipeline
+    cpath = clips_path(sf_name, spark)
+    clips = spark.read.parquet(cpath)
+    n_clips = clips.count()
+    # warm-up (JIT/codegen/Arrow init) on a slice, then timed full run
+    _noop_write(pipeline.run_pipeline(clips.limit(200)))
+    t0 = time.monotonic()
+    _noop_write(pipeline.run_pipeline(clips))
+    clips_sec = time.monotonic() - t0
+    timings["clips_pipeline"] = round(clips_sec, 3)
+
+    qs = entry.queries()
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.monotonic()
+        _noop_write(fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "clips": n_clips,
+        "clips_per_sec": round(n_clips / clips_sec, 1),
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -155,6 +155,50 @@ def expected_lang(i: int) -> str | None:
     return POOL[i % len(POOL)][1]
 
 
+def generate_clips_df(spark, n_rows: int, num_partitions: int | None = None):
+    """Distributed deterministic generation: spark.range -> mapInArrow
+    building the same rows as make_row(i) (pure function of index, so
+    the table is identical regardless of partitioning)."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("clip_id", StringType()),
+            StructField("bytes", BinaryType()),
+            StructField("sr_hz", IntegerType()),
+            StructField("dur_ms", IntegerType()),
+            StructField("codec", StringType()),
+            StructField("transcript", StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            rows = [make_row(int(i)) for i in ids]
+            cols = list(zip(*rows)) if rows else [[], [], [], [], [], []]
+            yield pa.record_batch(
+                {
+                    "clip_id": pa.array(cols[0], pa.string()),
+                    "bytes": pa.array(cols[1], pa.binary()),
+                    "sr_hz": pa.array(cols[2], pa.int32()),
+                    "dur_ms": pa.array(cols[3], pa.int32()),
+                    "codec": pa.array(cols[4], pa.string()),
+                    "transcript": pa.array(cols[5], pa.string()),
+                }
+            )
+
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    return spark.range(0, n_rows, numPartitions=parts).mapInArrow(gen, schema)
+
+
 def write_clips_parquet(path: str, n_rows: int) -> None:
     """Write the clips table as parquet (the Iceberg-fallback physical
     layout, io/catalog.py) with a fixed schema."""

@@ -1,0 +1,504 @@
+"""Driver-contract queries: one entry per implemented operator family
+(SURVEY.md §2), each with a DuckDB oracle twin where SQL-expressible.
+
+Determinism rules for oracle parity:
+- money aggregates go through decimal casts (exact, order-independent)
+  then back to double;
+- every float output is round(x, 6);
+- every result set has a deterministic total order available via its
+  key columns (the driver sorts before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions import langid, rules, scrub, tokens
+from .functions.textnorm import JAVA_PUNCT_SYM
+from .operators import dedup, similarity, stats
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+DEC = "decimal(18,2)"
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped relational coverage (generic agg/join/anti-join/top-k)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS decimal(18,2)) * (1 - CAST(l_discount AS decimal(18,2)))) AS double) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark, sf_dir):
+    """Map-side partial aggregation; shuffle carries 6ish groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+        F.sum(
+            F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+        )
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS decimal(18,2)) * CAST(l_discount AS decimal(18,2))) AS double) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6(spark, sf_dir):
+    """Filter pushdown demo: predicates reach the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_discount").between(0.05, 0.07)) & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "broadcast_join_nation",
+    """
+    SELECT n.n_name AS nation, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS decimal(18,2))) AS double) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def broadcast_join_nation(spark, sf_dir):
+    """J1-J5 shape: small-dim broadcast equi-join (no shuffle on the
+    fact side; explain shows BroadcastHashJoin)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "anti_join_resume",
+    """
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o
+    WHERE o.o_custkey NOT IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    ) AND o.o_orderkey % 100 < 5
+    """,
+)
+def anti_join_resume(spark, sf_dir):
+    """J6: the seen-set/left-anti resume join
+    (/root/reference/spider_news.go:15,162-167 made durable)."""
+    o = _t(spark, sf_dir, "orders")
+    seen = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        o.filter(F.col("o_orderkey") % 100 < 5)
+        .join(F.broadcast(seen), o.o_custkey == seen.c_custkey, "left_anti")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+@query(
+    "maxby_longest_doc",
+    """
+    SELECT d.source, m.max_chars, MAX(d.doc_id) AS kept_doc_id
+    FROM documents d
+    JOIN (SELECT source, MAX(n_chars) AS max_chars FROM documents GROUP BY source) m
+      ON d.source = m.source AND d.n_chars = m.max_chars
+    GROUP BY d.source, m.max_chars
+    """,
+)
+def maxby_longest_doc(spark, sf_dir):
+    """J7 longest-wins merge (/root/reference/extract/web.go:213-219):
+    max_by with deterministic (length, id) tie-break via struct max."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(F.max(F.struct(F.col("n_chars"), F.col("doc_id"))).alias("m"))
+        .select(
+            "source",
+            F.col("m.n_chars").alias("max_chars"),
+            F.col("m.doc_id").alias("kept_doc_id"),
+        )
+    )
+
+
+@query(
+    "events_topk_window",
+    """
+    SELECT user_id, event_id, rk FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+        FROM events
+    ) WHERE rk <= 2 AND user_id % 50 = 0
+    """,
+)
+def events_topk_window(spark, sf_dir):
+    """T3 top-k per group (rank window with deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 2) & (F.col("user_id") % 50 == 0))
+        .select("user_id", "event_id", "rk")
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS decimal(18,2))) AS double) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark, sf_dir):
+    """Event-time windowed aggregation (the batch twin of the Structured
+    Streaming hourly rollup; same plan shape as window('1 hour'))."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "events_two_pass_stats",
+    """
+    SELECT e.event_type, COUNT(*) AS n_events,
+           SUM(CASE WHEN e.value > m.mean_value THEN 1 ELSE 0 END) AS n_above_mean
+    FROM events e
+    JOIN (SELECT event_type, AVG(value) AS mean_value FROM events GROUP BY event_type) m
+      ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+)
+def events_two_pass_stats(spark, sf_dir):
+    """A5/A6 two-pass shape (/root/reference/extract/link.go:155-253):
+    per-group statistic broadcast-rejoined to per-row decisions."""
+    e = _t(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(F.avg("value").alias("mean_value"))
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") > F.col("mean_value")).cast("long")).alias(
+                "n_above_mean"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference cascade queries over documents (transcript stand-in corpus)
+# ---------------------------------------------------------------------------
+
+# the clean_for_lang chain in DuckDB RE2 dialect (tests pin parity)
+_DUCK_CLEAN = (
+    "trim(substr(regexp_replace(replace(replace("
+    "regexp_replace(text, '[\\r\\n]+', ' ', 'g')"
+    ", chr(9), ''), '  ', ''), '[\\pP\\pS]', '', 'g'), 1, 2048))"
+)
+
+
+@query(
+    "lang_rules_docs",
+    f"""
+    SELECT doc_id,
+      CASE
+        WHEN length({_DUCK_CLEAN}) < 64 THEN NULL
+        WHEN length(regexp_replace({_DUCK_CLEAN}, '[^\\p{{Han}}]', '', 'g')) > 0
+             AND length(regexp_replace({_DUCK_CLEAN}, '[^\\p{{Han}}]', '', 'g'))
+                 >= 0.3 * length({_DUCK_CLEAN}) THEN
+          CASE WHEN length(regexp_replace({_DUCK_CLEAN}, '[^\\p{{Hiragana}}\\p{{Katakana}}]', '', 'g')) >
+                    0.1 * length(regexp_replace({_DUCK_CLEAN}, '[^\\p{{Han}}]', '', 'g'))
+               THEN 'ja' ELSE 'zh' END
+        WHEN length(regexp_replace({_DUCK_CLEAN}, '[^a-zA-Z]', '', 'g')) > 0.618 * length({_DUCK_CLEAN}) THEN
+          CASE WHEN length(regexp_replace({_DUCK_CLEAN}, '[^\\x80-\\xff]', '', 'g')) > 5
+               THEN 'model_latin' ELSE 'en' END
+        ELSE 'model_other'
+      END AS lang_rule
+    FROM documents
+    """,
+)
+def lang_rules_docs(spark, sf_dir):
+    """A1: the char-class threshold cascade (cheap branches only,
+    /root/reference/lang.go:274-345) with model handoffs surfaced as
+    'model_latin'/'model_other'."""
+    d = _t(spark, sf_dir, "documents")
+    r = langid.body_lang_rules(F.col("text"))["lang"]
+    lang_rule = (
+        F.when(r == langid.NEEDS_MODEL_LATIN, "model_latin")
+        .when(r == langid.NEEDS_MODEL_OTHER, "model_other")
+        .otherwise(r)
+    )
+    return d.select("doc_id", lang_rule.alias("lang_rule"))
+
+
+_DUCK_NOPUNCT = "regexp_replace(text, '\\pP', '', 'g')"
+
+
+@query(
+    "keep_drop_docs",
+    f"""
+    SELECT doc_id,
+      CASE
+        WHEN length(trim(text)) = 0 THEN 'empty_transcript'
+        WHEN length(text) < 64 THEN 'too_short'
+        WHEN length(text) - length(replace(text, '{{', '')) >= 5
+         AND length(text) - length(replace(text, '}}', '')) >= 5 THEN 'dynamic_render_junk'
+        WHEN regexp_matches(text, '(经营|制作|信息服务|出版|出版服务|演出|视听节目|新闻|视听|新网)许可证') THEN 'licence_boilerplate'
+        ELSE
+          CASE
+            WHEN lang = 'zh' THEN
+              CASE
+                WHEN length(regexp_replace(trim(text), '[^\\p{{Han}}]', '', 'g')) > 5 THEN
+                  CASE WHEN length(replace(trim(text), ' ', '')) >= 8 THEN NULL
+                       WHEN regexp_matches(replace(trim(text), ' ', ''), '[，。；：？！（）“”]') THEN NULL
+                       ELSE 'class_unknown' END
+                WHEN length(regexp_replace(trim(text), '[^\\p{{Han}}]', '', 'g')) > 0 THEN 'class_list'
+                WHEN lower(trim(text)) IN ('nba','cba','5g','ai','it','ipo') THEN 'class_list'
+                ELSE 'class_none'
+              END
+            WHEN lang IN ('en','ru','ar','de','fr','es','pt') THEN
+              CASE
+                WHEN length(regexp_replace(regexp_replace(trim(text), '\\pP', '', 'g'), '[^a-zA-Z]', '', 'g')) > 0 THEN
+                  CASE WHEN len(list_filter(string_split(trim(regexp_replace(trim(text), '\\pP', '', 'g')), ' '), x -> x != '')) >= 5
+                       THEN NULL ELSE 'class_list' END
+                ELSE 'class_none'
+              END
+            ELSE
+              CASE WHEN length(regexp_replace(trim(text), '\\pP', '', 'g')) >= 8 THEN NULL ELSE 'class_list' END
+          END
+      END AS drop_reason
+    FROM documents
+    """,
+)
+def keep_drop_docs(spark, sf_dir):
+    """The full keep/drop rule chain (P3/P5/P7/P8 + link.go:276-364
+    classification) over documents, lang from the label column."""
+    d = _t(spark, sf_dir, "documents")
+    kd = rules.keep_drop(F.col("text"), F.col("lang"), min_chars=64)
+    return d.select("doc_id", kd["drop_reason"].alias("drop_reason"))
+
+
+@query(
+    "scrub_docs",
+    f"SELECT doc_id, {scrub.oracle_scrub_sql('text')} AS scrubbed FROM documents",
+)
+def scrub_docs(spark, sf_dir):
+    """F10/F14 scrub bank parity over the whole corpus."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", scrub.scrub(F.col("text")).alias("scrubbed"))
+
+
+@query(
+    "token_stats_docs",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[^ \\t\\n]+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^\\s A-Za-z0-9]')) AS bpe_tokens,
+           round(CASE WHEN len(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) > 0
+                 THEN len(list_filter(string_split(lower(trim(text)), ' '),
+                          x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','be','this','that'], x)))
+                      * 1.0 / len(list_filter(string_split(lower(trim(text)), ' '), x -> x != ''))
+                 ELSE 0.0 END, 6) AS stop_ratio
+    FROM documents
+    """,
+)
+def token_stats_docs(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex) + stopword ratio."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tokens.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]")).alias(
+            "bpe_tokens"
+        ),
+        tokens.stopword_ratio(F.col("text")).alias("stop_ratio"),
+    )
+
+
+@query(
+    "dedup_exact_docs",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_md5,
+           MIN(doc_id) AS kept_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup: hash-groupBy keep-first (J6/U2 made columnar)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+@query(
+    "ngram_jaccard_pairs_docs",
+    """
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x != '')) - 2, 0) + 1),
+               i -> array_to_string(list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x != '')[i:i+2], ' ')
+             )) AS grams
+      FROM documents
+    )
+    SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                 len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+      AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+          len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
+    """,
+)
+def ngram_jaccard_pairs_docs(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs within source groups."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", "source", threshold=0.3)
+
+
+@query("minhash_lsh_docs")  # rows-only check: xxhash64 has no DuckDB twin
+def minhash_lsh_docs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (banded signatures)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(d, "text", "doc_id").filter(
+        F.col("jaccard") >= 0.3
+    )
+
+
+@query("simhash_docs")  # rows-only: xxhash64-based
+def simhash_docs(spark, sf_dir):
+    """64-bit SimHash fingerprints (Charikar) per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(dim: int) -> list[float]:
+    # deterministic unit-ish query: alternating decaying components
+    return [((-1.0) ** i) * (1.0 / (1.0 + i)) for i in range(dim)]
+
+
+def _duck_vec(dim: int) -> str:
+    return "[" + ", ".join(f"{x!r}" for x in _query_vec(dim)) + "]"
+
+
+_EMB_DIM = 64  # embeddings.embedding dim in testdata (verified in tests)
+
+
+@query(
+    "ann_topk_embeddings",
+    f"""
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding, {_duck_vec(_EMB_DIM)}), 4) AS cosine_sim
+    FROM embeddings
+    ORDER BY round(list_cosine_similarity(embedding, {_duck_vec(_EMB_DIM)}), 4) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_topk_embeddings(spark, sf_dir):
+    """Brute-force cosine top-k baseline (TakeOrderedAndProject)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(_EMB_DIM)
+    qc = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        e.select(
+            "vec_id",
+            F.round(
+                similarity.cosine(
+                    F.transform(F.col("embedding"), lambda x: x.cast("double")), qc
+                ),
+                4,
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@query("ann_lsh_topk_embeddings")  # rows-only: recall-dependent pruning
+def ann_lsh_topk_embeddings(spark, sf_dir):
+    """Hyperplane-LSH pruned ANN top-k (the scale path)."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return similarity.lsh_bucketed_topk(e, "embedding", "vec_id", _query_vec(_EMB_DIM))
+
+
+@query(
+    "centroid_per_label",
+    """
+    SELECT label, list(round(mx, 6) ORDER BY pos) AS centroid
+    FROM (
+      SELECT label, pos, AVG(x) AS mx FROM (
+        SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      ) GROUP BY label, pos
+    ) GROUP BY label
+    """,
+)
+def centroid_per_label_q(spark, sf_dir):
+    """Vector aggregation: element-wise mean embedding per label."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_per_label(e, "embedding", "label")
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(Q)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLE)

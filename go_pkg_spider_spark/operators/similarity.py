@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine / dot products via zip_with + aggregate (JVM-side, codegen).
+- brute_force_topk: exact cosine top-k vs a query vector (baseline).
+- lsh_bucketed_topk: random-hyperplane LSH (Charikar 2002) pre-filter —
+  the scale path: candidates share >= min_matching_bits sign-bits with
+  the query, so the scan prunes to a bucket before exact scoring.
+- embedding_neardup_pairs: pairwise cosine near-dups within buckets.
+
+Scale notes: brute force is one narrow map + a single top-k reduce
+(`orderBy(...).limit(k)` -> TakeOrderedAndProject, no full sort
+shuffle). The LSH variant turns the 100 TB scan into a bucket-pruned
+scan when the hyperplane bits are precomputed+partitioned; here they
+are computed on the fly (deterministic seeded planes).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k: one projection + TakeOrderedAndProject (each
+    partition keeps k, driver merges k*P rows — no global sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _seeded_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG; no numpy needed at
+    plan-build time — these fold into literals)."""
+    state = seed * 6364136223846793005 + 1442695040888963407
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature as an int (one bit per plane)."""
+    bit_terms = []
+    for i, p in enumerate(planes):
+        pc = F.array(*[F.lit(float(x)) for x in p])
+        bit_terms.append(
+            F.when(dot(vec, pc) >= 0, F.shiftleft(F.lit(1), i)).otherwise(F.lit(0))
+        )
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    max_hamming_bits: int = 2,
+) -> DataFrame:
+    """ANN: prune to vectors whose hyperplane signature is within
+    `max_hamming_bits` of the query's, then exact-cosine top-k on the
+    survivors. Recall/probe tradeoff via n_planes/max_hamming_bits."""
+    dim = len(query)
+    planes = _seeded_planes(dim, n_planes)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(px * qx for px, qx in zip(p, query)) >= 0:
+            qbits |= 1 << i
+    sig = hyperplane_bits(F.col(vec_col), planes)
+    pruned = df.filter(F.bit_count(sig.bitwiseXOR(F.lit(qbits))) <= max_hamming_bits)
+    return brute_force_topk(pruned, vec_col, id_col, query, k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Near-duplicate vector pairs: bucket by full hyperplane signature
+    (high-cosine pairs almost surely share all sign bits), verify exact
+    cosine within buckets. One shuffle on the signature."""
+    first = df.select(F.col(vec_col).alias("v")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double"
+        )
+    dim = len(first.v)
+    planes = _seeded_planes(dim, n_planes)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bits(F.col(vec_col), planes).alias("sig"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def centroid_per_label(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Element-wise mean embedding per label via posexplode + groupBy —
+    the vector-aggregation pattern (partial aggregation applies; shuffle
+    carries (label, pos) partial sums, not vectors)."""
+    exploded = df.select(
+        F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("x").alias("mean_x"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.round(F.col("mean_x"), 6).alias("mean_x")))
+                ),
+                lambda s: s["mean_x"],
+            ).alias("centroid")
+        )
+    )

@@ -53,11 +53,13 @@ def _noop_write(df) -> None:
 
 def clips_path(sf_name: str, spark) -> str:
     n = CLIPS_BY_SF.get(sf_name, 5_000)
-    path = f"/tmp/bench_clips_{sf_name}_{n}.parquet"
+    # v2: small parquet row groups (binary-payload requirement — see
+    # datagen.CLIPS_ROW_GROUP_SIZE rationale)
+    path = f"/tmp/bench_clips_v2_{sf_name}_{n}.parquet"
     if not os.path.exists(path):
         from go_pkg_spider_spark import datagen
 
-        datagen.generate_clips_df(spark, n).write.mode("overwrite").parquet(path)
+        datagen.write_clips_with_spark(datagen.generate_clips_df(spark, n), path)
     return path
 
 
@@ -79,8 +81,13 @@ def main() -> None:
     cpath = clips_path(sf_name, spark)
     clips = spark.read.parquet(cpath)
     n_clips = clips.count()
-    # warm-up (JIT/codegen/Arrow init) on a slice, then timed full run
-    _noop_write(pipeline.run_pipeline(clips.limit(200)))
+    # warm-up (JIT/codegen/Arrow init) on a slice, then timed full run.
+    # NEVER warm up through limit(): the GlobalLimit plan funnels the
+    # whole UDF pipeline into one task (measured 85s vs 14s for the
+    # same 500 rows with a filter).
+    from pyspark.sql import functions as F
+
+    _noop_write(pipeline.run_pipeline(clips.filter(F.col("clip_id") < "clip-000000000200")))
     t0 = time.monotonic()
     _noop_write(pipeline.run_pipeline(clips))
     clips_sec = time.monotonic() - t0

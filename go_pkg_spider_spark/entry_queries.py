@@ -496,6 +496,58 @@ def centroid_per_label_q(spark, sf_dir):
     return similarity.centroid_per_label(e, "embedding", "label")
 
 
+@query(
+    "per_group_zscore_docs",
+    """
+    SELECT d.doc_id,
+           round(CASE WHEN m.std > 0 THEN (d.n_chars - m.mean) / m.std ELSE 0.0 END, 6) AS zscore
+    FROM documents d
+    JOIN (SELECT source, AVG(n_chars) AS mean, STDDEV_POP(n_chars) AS std
+          FROM documents GROUP BY source) m
+      ON d.source = m.source
+    """,
+)
+def per_group_zscore_docs(spark, sf_dir):
+    """Generic two-pass grouped-stat shape: per-source mean/std
+    broadcast-rejoined for per-row z-scores."""
+    d = _t(spark, sf_dir, "documents")
+    return stats.per_group_zscore(d, "source", "n_chars").select("doc_id", "zscore")
+
+
+@query(
+    "minby_nearest_event",
+    """
+    SELECT user_id, event_id AS nearest_event FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ABS(value - 50.0), event_id) AS rk
+      FROM events
+    ) WHERE rk = 1 AND user_id % 25 = 0
+    """,
+)
+def minby_nearest_event(spark, sf_dir):
+    """A9 nearest-argmin shape (/root/reference/extract/content.go:
+    522-541: candidate minimizing a distance) — deterministic min over
+    (distance, id) structs, no window shuffle."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("user_id") % 25 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.min(F.struct(F.abs(F.col("value") - 50.0).alias("d"), F.col("event_id"))).alias("m")
+        )
+        .select("user_id", F.col("m.event_id").alias("nearest_event"))
+    )
+
+
+@query("embedding_neardup_pairs")  # rows-only: LSH-bucketed verification
+def embedding_neardup_pairs_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via hyperplane-signature buckets."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return similarity.embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.6)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

@@ -1,0 +1,155 @@
+"""Domain parsing (etld+1) + host metadata — column expressions with a
+broadcast public-suffix table.
+
+Recasts:
+- DomainParse/DomainTop (/root/reference/extract/domain.go:16-63, F16):
+  the Go version uses golang.org/x/net/publicsuffix; Spark-side we do a
+  longest-matching-suffix lookup against an embedded PSL subset
+  (SURVEY.md §2.8 F16 'broadcast PSL suffix table + longest-suffix
+  join'), covering the multi-level ccTLD families the reference's test
+  fixtures exercise (co.uk, gov.mo, ac.cn, or.jp, com.cn, ...). The
+  full PSL drops in as a broadcast dimension with identical code.
+- HostGovCountryMap + MetaFromHost (/root/reference/extract/meta.go:
+  7-72, 75-183, J4): gov-TLD -> country/category plus the (tld, lang)
+  conjunction rules as one F.when chain.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column, functions as F
+
+# PSL subset: multi-level public suffixes (longest-match wins; a plain
+# single-label TLD is the fallback). Extend freely — lookup is O(#levels).
+MULTI_SUFFIXES: tuple[str, ...] = (
+    # cn second-level
+    "ac.cn", "com.cn", "edu.cn", "gov.cn", "net.cn", "org.cn", "mil.cn",
+    # regional cn (wh.cn is NOT public — the reference's fixtures treat
+    # a.wh.cn as sub=a domain=wh tld=cn)
+    # uk / jp / kr / mo / hk / tw families
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "co.kr", "or.kr", "go.kr", "ac.kr",
+    "gov.mo", "org.mo", "com.mo", "edu.mo",
+    "com.hk", "gov.hk", "org.hk", "edu.hk",
+    "com.tw", "gov.tw", "org.tw", "edu.tw",
+    # misc seen in fixtures / common
+    "com.au", "gov.au", "org.au", "com.br", "gov.br", "com.sg", "gov.sg",
+    "co.in", "gov.in", "com.mx", "com.ar", "com.tr", "gov.tr",
+)
+
+GOV_COUNTRY_MAP: dict[str, str] = {
+    # /root/reference/extract/meta.go:7-72 (verbatim)
+    "hk": "中国", "tw": "中国", "mo": "中国", "jp": "日本", "kr": "韩国",
+    "in": "印度", "uk": "英国", "us": "美国", "it": "意大利", "es": "西班牙",
+    "ru": "俄罗斯", "de": "德国", "fr": "法国", "th": "泰国", "vn": "越南",
+    "sg": "新加坡", "au": "澳大利亚", "ca": "加拿大", "il": "以色列",
+    "mm": "缅甸", "dz": "阿尔及利亚", "pl": "波兰", "az": "南非",
+    "ng": "尼日利亚", "kp": "朝鲜", "lb": "黎巴嫩", "ua": "乌克兰",
+    "tr": "土耳其", "se": "瑞典", "lk": "斯里兰卡", "si": "斯洛文尼亚",
+    "sk": "斯洛伐克", "ro": "罗马尼亚", "pt": "葡萄牙", "ph": "菲律宾",
+    "pk": "巴基斯坦", "py": "巴拉圭", "np": "尼泊尔", "ma": "摩洛哥",
+    "my": "马来西亚", "lt": "立陶宛", "ie": "爱尔兰", "iq": "伊拉克",
+    "ir": "伊朗", "id": "印度尼西亚", "hu": "匈牙利", "gr": "希腊",
+    "eg": "埃及", "cz": "捷克", "hr": "克罗地亚", "co": "哥伦比亚",
+    "cl": "智利", "br": "巴西", "bg": "保加利亚", "be": "比利时",
+    "bd": "孟加拉国", "aw": "阿鲁巴", "am": "亚美尼亚", "ai": "安圭拉",
+    "ao": "安哥拉", "al": "阿尔巴尼亚", "af": "阿富汗", "sa": "沙特阿拉伯",
+    "nl": "荷兰",
+}
+
+
+def domain_parse(host: Column) -> Column:
+    """struct(subdomain, domain, tld) with longest-suffix semantics:
+    if the host ends with a known multi-level public suffix, tld = that
+    suffix; else tld = last label. domain = label before the tld;
+    subdomain = the rest."""
+    h = F.lower(F.trim(host))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    # try_element_at: single-label hosts must yield NULL, not an ANSI
+    # out-of-bounds error (Spark 4 defaults to ANSI mode)
+    last2 = F.concat_ws(
+        ".",
+        F.try_element_at(labels, F.lit(-2)),
+        F.try_element_at(labels, F.lit(-1)),
+    )
+    is_multi = F.lit(False)
+    for s in MULTI_SUFFIXES:
+        is_multi = is_multi | (last2 == s)
+    tld = F.when(is_multi & (n >= 3), last2).otherwise(F.try_element_at(labels, F.lit(-1)))
+    dom_idx = F.when(is_multi & (n >= 3), n - 2).otherwise(n - 1)
+    domain = F.try_element_at(labels, dom_idx)
+    sub = F.when(
+        dom_idx > 1, F.array_join(F.slice(labels, 1, dom_idx - 1), ".")
+    ).otherwise(F.lit(""))
+    valid = (n >= 2) & (F.length(domain) > 0)
+    return F.when(
+        valid,
+        F.struct(sub.alias("subdomain"), domain.alias("domain"), tld.alias("tld")),
+    )
+
+
+def domain_top(host: Column) -> Column:
+    """DomainTop: '<domain>.<tld>' or NULL (domain.go:17-23)."""
+    d = domain_parse(host)
+    return F.when(d.isNotNull(), F.concat_ws(".", d["domain"], d["tld"]))
+
+
+def meta_from_host(host: Column, lang: Column) -> Column:
+    """MetaFromHost (meta.go:75-183): struct(country, province, category)
+    — gov-TLD rules first, then (suffix, lang) conjunctions, all ''
+    when nothing matches (reference returns empty strings)."""
+    h = F.lower(F.trim(host))
+    d = domain_parse(h)
+    tld = F.coalesce(d["tld"], F.lit(""))
+    gov_map = F.create_map(
+        *[F.lit(x) for x in chain.from_iterable(GOV_COUNTRY_MAP.items())]
+    )
+    gov_cc = F.when(tld.startswith("gov."), F.substring(tld, 5, 10))
+    gov_country = gov_map[gov_cc]
+
+    def suffix_rule(suffix: str, lang_val: str, country: str, province: str = ""):
+        return (h.endswith(suffix) & (lang == lang_val), country, province)
+
+    rules = [
+        suffix_rule(".hk", "zh", "中国", "中国香港"),
+        suffix_rule(".tw", "zh", "中国", "中国台湾"),
+        suffix_rule(".mo", "zh", "中国", "中国澳门"),
+        suffix_rule(".cn", "zh", "中国"),
+        suffix_rule(".jp", "ja", "日本"),
+        suffix_rule(".kr", "ko", "韩国"),
+        suffix_rule(".uk", "en", "英国"),
+        suffix_rule(".us", "en", "美国"),
+        suffix_rule(".in", "hi", "印度"),
+        suffix_rule(".es", "es", "西班牙"),
+        suffix_rule(".ru", "ru", "俄罗斯"),
+        suffix_rule(".de", "de", "德国"),
+        suffix_rule(".fr", "fr", "法国"),
+    ]
+
+    gov_province = (
+        F.when(h.endswith(".hk") & (lang == "zh"), "中国香港")
+        .when(h.endswith(".tw") & (lang == "zh"), "中国台湾")
+        .when(h.endswith(".mo") & (lang == "zh"), "中国澳门")
+        .otherwise("")
+    )
+
+    # flat coalesce over independent branches — never nest a when-chain
+    # inside itself (exponential expression-tree growth OOMs the driver
+    # at plan build)
+    country_branches = [
+        F.when(tld == "gov", "美国"),
+        F.when(gov_country.isNotNull(), gov_country),
+    ] + [F.when(cond, c) for cond, c, _ in rules]
+    province_branches = [
+        F.when(tld == "gov", ""),
+        F.when(gov_country.isNotNull(), gov_province),
+    ] + [F.when(cond, p) for cond, _, p in rules]
+    category = F.when((tld == "gov") | gov_country.isNotNull(), "政务").otherwise("")
+    return F.struct(
+        F.coalesce(*country_branches, F.lit("")).alias("country"),
+        F.coalesce(*province_branches, F.lit("")).alias("province"),
+        category.alias("category"),
+    )

@@ -241,6 +241,19 @@ SEED_CORPUS: dict[str, str] = {
         "걷고 있는 도시의 거리를 달립니다 이것은 테스트를 위해 한국어로 "
         "작성된 문장입니다 우리는 있었다 것이다 수 있는 그리고 하지만 또한"
     ),
+    # zh/ja are NOT in either lingua candidate set (the reference's rule
+    # cascade settles them, lang.go:296-320) but their seed text keeps
+    # the shared perplexity LM calibrated for CJK transcripts.
+    "zh": (
+        "敏捷的棕色狐狸跳过了懒惰的狗然后沿着城市的街道奔跑 人们带着孩子们"
+        "在公园里散步 这是一段用中文写成的测试句子 我们的 他们的 可以 因为"
+        "所以 但是 如果 已经 正在 不会 没有 一个 这个 那个 什么 怎么 为什么"
+    ),
+    "ja": (
+        "素早い茶色の狐は怠け者の犬を飛び越えてから街の通りを走ります 人々は"
+        "子供たちと一緒に公園を歩いています これはテストのために日本語で書かれた"
+        "文章です私たちの彼らのできるのでしかしもしすでにしていません"
+    ),
 }
 
 LATIN_SET = ("fr", "de", "es", "pt", "en")  # lang.go:88-94
@@ -249,12 +262,36 @@ OTHER_SET = ("ar", "ru", "hi", "ko")  # lang.go:81-86
 _N_BUCKETS = 1 << 16  # hashed n-gram feature space (fastText-style)
 _models: dict[tuple[str, ...], list] = {}
 
+# polynomial rolling hash over codepoints, fully numpy-vectorizable
+# (the hash only has to be deterministic and well-mixed; training and
+# scoring share it, and the pure-Python oracle imports THIS function so
+# parity holds by construction)
+_HP = 1_000_003
+_HMIX = 0x9E3779B97F4A7C15
 
-def _fnv1a(s: str) -> int:
-    h = 0x811C9DC5
-    for ch in s.encode("utf-8"):
-        h = ((h ^ ch) * 0x01000193) & 0xFFFFFFFF
-    return h
+
+def _ngram_buckets(text: str):
+    """Bucket ids of all 1/2/3-grams of `text` as one int64 array —
+    vectorized (no per-char Python loop)."""
+    import numpy as np
+
+    c = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if c.size == 0:
+        return np.empty(0, dtype=np.int64)
+    P = np.uint64(_HP)
+    M = np.uint64(_HMIX)
+    out = []
+    with np.errstate(over="ignore"):
+        h1 = c * M
+        out.append(h1)
+        if c.size >= 2:
+            out.append((c[:-1] * P + c[1:]) * M)
+        if c.size >= 3:
+            out.append((c[:-2] * P * P + c[1:-1] * P + c[2:]) * M)
+        mixed = np.concatenate(out)
+        mixed ^= mixed >> np.uint64(29)
+        mixed *= M
+    return (mixed & np.uint64(_N_BUCKETS - 1)).astype(np.int64)
 
 
 def _build_model(langs: tuple[str, ...]):
@@ -264,13 +301,11 @@ def _build_model(langs: tuple[str, ...]):
 
     mats = []
     for lang in langs:
-        text = SEED_CORPUS[lang].lower()
         counts = np.ones(_N_BUCKETS, dtype=np.float64)  # Laplace
-        for nlen in (1, 2, 3):
-            for i in range(len(text) - nlen + 1):
-                counts[_fnv1a(text[i : i + nlen]) % _N_BUCKETS] += 1.0
+        idx = _ngram_buckets(SEED_CORPUS[lang].lower())
+        np.add.at(counts, idx, 1.0)
         mats.append(np.log(counts / counts.sum()))
-    return [langs, mats]
+    return [langs, np.stack(mats)]
 
 
 def _score_text(text: str, langs: tuple[str, ...]) -> str | None:
@@ -283,14 +318,10 @@ def _score_text(text: str, langs: tuple[str, ...]) -> str | None:
     t = text.lower()[:BODY_CHUNK_SIZE]
     if not t:
         return None
-    idx = []
-    for nlen in (1, 2, 3):
-        for i in range(len(t) - nlen + 1):
-            idx.append(_fnv1a(t[i : i + nlen]) % _N_BUCKETS)
-    if not idx:
+    ia = _ngram_buckets(t)
+    if ia.size == 0:
         return None
-    ia = np.asarray(idx, dtype=np.int64)
-    scores = [m[ia].sum() for m in mats]
+    scores = mats[:, ia].sum(axis=1)
     return lang_names[int(np.argmax(scores))]
 
 

@@ -3,19 +3,24 @@
 The reference's model slot is lingua-go (X4, /root/reference/lang.go:
 335-355); the north-star adds a perplexity quality signal alongside it.
 This is a self-contained, deterministic stand-in with KenLM semantics:
-an order-3 character LM with add-k smoothing and backoff, trained once
-per executor from the embedded seed corpus (the same public seed text
-the langid model uses). `ppl = exp(-mean(log P(c_i | c_{i-2} c_{i-1})))`.
+an order-3 character LM with add-k smoothing and stupid-backoff to
+unigrams, trained once per executor from the embedded seed corpus.
+`ppl = exp(-mean(log P(c_i | c_{i-2} c_{i-1})))`.
+
+Vectorized: the trained model is flattened into sorted int64 trigram
+keys + logprob arrays so scoring is numpy searchsorted over the whole
+text (no per-char Python loop — the original dict-lookup loop was the
+pipeline's hottest Python path).
 
 Production swap-in: replace `_train()` with loading real KenLM-exported
-probs from a broadcast artifact; the UDF shape (Arrow batch in, float64
-out) stays identical.
+probs from a broadcast artifact; the UDF shape stays identical.
 """
 
 from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
@@ -24,32 +29,48 @@ from .langid import SEED_CORPUS
 
 _ORDER = 3
 _ADD_K = 0.1
-_model_cache: dict[str, object] = {}
+_BACKOFF = math.log(0.4)
+_PAD = 2  # \x02 pad codepoint
+_KMUL = np.uint64(1 << 21)  # codepoint-key radix (> max codepoint)
+_model_cache: dict[str, tuple] = {}
+
+
+def _keys_of(c: np.ndarray) -> np.ndarray:
+    """int64 trigram keys (c[i-2], c[i-1], c[i]) -> radix-packed."""
+    with np.errstate(over="ignore"):
+        return (c[:-2] * _KMUL * _KMUL + c[1:-1] * _KMUL + c[2:]).astype(np.int64)
+
+
+def _codepoints(text: str) -> np.ndarray:
+    padded = "\x02" * (_ORDER - 1) + text
+    return np.frombuffer(padded.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
 
 
 def _train():
-    """Character trigram counts with bigram backoff over all seed text."""
-    tri: dict[str, dict[str, float]] = {}
-    uni: dict[str, float] = {}
+    """Flattened trigram model: sorted keys + logprobs, unigram table."""
     text = " ".join(SEED_CORPUS.values()).lower()
-    pad = "\x02" * (_ORDER - 1)
-    t = pad + text
-    for i in range(_ORDER - 1, len(t)):
-        ctx, ch = t[i - _ORDER + 1 : i], t[i]
-        tri.setdefault(ctx, {})[ch] = tri.get(ctx, {}).get(ch, 0.0) + 1.0
-        uni[ch] = uni.get(ch, 0.0) + 1.0
-    vocab = len(uni) + 1
-    uni_total = sum(uni.values())
-    log_uni = {c: math.log((n + _ADD_K) / (uni_total + _ADD_K * vocab)) for c, n in uni.items()}
+    c = _codepoints(text)
+    keys = _keys_of(c)
+    ctx = (c[:-2] * _KMUL + c[1:-1]).astype(np.int64)
+
+    uniq_keys, key_counts = np.unique(keys, return_counts=True)
+    uniq_ctx, ctx_inv = np.unique(ctx, return_inverse=True)
+    ctx_totals = np.bincount(ctx_inv, minlength=uniq_ctx.size).astype(np.float64)
+
+    # vocab for smoothing = distinct chars + 1
+    uni_chars, uni_counts = np.unique(c, return_counts=True)
+    vocab = uni_chars.size + 1
+    uni_total = float(uni_counts.sum())
+    uni_logp = np.log((uni_counts + _ADD_K) / (uni_total + _ADD_K * vocab))
     log_unk = math.log(_ADD_K / (uni_total + _ADD_K * vocab))
-    log_tri = {}
-    for ctx, dist in tri.items():
-        total = sum(dist.values())
-        log_tri[ctx] = (
-            {c: math.log((n + _ADD_K) / (total + _ADD_K * vocab)) for c, n in dist.items()},
-            math.log(_ADD_K / (total + _ADD_K * vocab)),
-        )
-    return log_tri, log_uni, log_unk
+
+    # per-trigram logprob: log((n + k) / (ctx_total + k*vocab))
+    key_ctx = (uniq_keys // np.int64(int(_KMUL))).astype(np.int64)
+    pos = np.searchsorted(uniq_ctx, key_ctx)
+    totals = ctx_totals[pos]
+    tri_logp = np.log((key_counts + _ADD_K) / (totals + _ADD_K * vocab))
+
+    return uniq_keys, tri_logp, uni_chars.astype(np.int64), uni_logp, log_unk
 
 
 def _ppl_one(text: str) -> float | None:
@@ -57,20 +78,26 @@ def _ppl_one(text: str) -> float | None:
         return None
     if "m" not in _model_cache:
         _model_cache["m"] = _train()
-    log_tri, log_uni, log_unk = _model_cache["m"]
-    t = ("\x02" * (_ORDER - 1)) + text.lower()[:2048]
-    total, n = 0.0, 0
-    for i in range(_ORDER - 1, len(t)):
-        ctx, ch = t[i - _ORDER + 1 : i], t[i]
-        entry = log_tri.get(ctx)
-        if entry is not None and ch in entry[0]:
-            total += entry[0][ch]
-        else:
-            # stupid-backoff to unigram (KenLM-style interpolation
-            # simplified; deterministic and monotone in n-gram coverage)
-            total += log_uni.get(ch, log_unk) + math.log(0.4)
-        n += 1
-    return float(math.exp(-total / n)) if n else None
+    tri_keys, tri_logp, uni_chars, uni_logp, log_unk = _model_cache["m"]
+    c = _codepoints(text.lower()[:2048])
+    if c.size <= _ORDER - 1:
+        return None
+    keys = _keys_of(c)
+    chars = c[2:].astype(np.int64)
+
+    pos = np.searchsorted(tri_keys, keys)
+    pos_c = np.clip(pos, 0, tri_keys.size - 1)
+    hit = tri_keys[pos_c] == keys
+    logp = np.where(hit, tri_logp[pos_c], 0.0)
+
+    # stupid-backoff to unigram for misses
+    upos = np.searchsorted(uni_chars, chars)
+    upos_c = np.clip(upos, 0, uni_chars.size - 1)
+    uhit = uni_chars[upos_c] == chars
+    backoff = np.where(uhit, uni_logp[upos_c], log_unk) + _BACKOFF
+    logp = np.where(hit, logp, backoff)
+
+    return float(np.exp(-logp.mean()))
 
 
 @F.pandas_udf(DoubleType())

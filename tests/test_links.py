@@ -1,0 +1,74 @@
+"""Link classification two-pass flow (LinkTypes,
+/root/reference/extract/link.go:62-253) on a synthesized link table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_pkg_spider_spark.operators import links
+
+
+@pytest.fixture(scope="module")
+def zh_links(spark):
+    rows = [
+        # content-shaped zh anchors with date paths (site news.cn)
+        ("http://news.cn/politics/2022-10/03/c_112.htm", "今天发生了一件重要的新闻事件报道"),
+        ("http://news.cn/politics/2022-10/04/c_113.htm", "专家表示这一事件具有重要意义所在"),
+        ("http://news.cn/politics/2022-10/05/c_114.htm", "相关部门已经采取若干措施保障民生"),
+        ("http://news.cn/politics/2022-10/06/c_115.htm", "未来几天还将持续有更多后续报道出现"),
+        # unknown (short, no punct) WITH date path -> promoted by A5
+        ("http://news.cn/politics/2022-10/07/c_116.htm", "新闻快报当日情"),
+        # content-shaped anchor WITHOUT date path -> demoted to list
+        ("http://news.cn/special/topic.html", "这是一个没有日期路径的长标题内容页报道"),
+        # list-shaped (few han)
+        ("http://news.cn/sports/", "体育"),
+        # licence boilerplate -> none (pass 3)
+        ("http://news.cn/about/2022-10/08/icp.htm", "本站持有信息服务许可证编号可查询详情"),
+        # rejected: bad extension
+        ("http://news.cn/files/report.pdf", "一份需要下载的重要报告文件内容详情"),
+        # rejected: ip host
+        ("http://1.2.3.4/a/2022-10/03/x.htm", "来自裸地址服务器的一条新闻报道内容"),
+        # index path -> none
+        ("http://news.cn/index.html", "首页"),
+        # subdomain link
+        ("http://sports.news.cn/games/2022-10/03/g_1.htm", "运动会比赛结果公布现场报道详情内容"),
+    ]
+    return spark.createDataFrame(rows, "url string, anchor_title string")
+
+
+def test_two_pass_classification(spark, zh_links):
+    out = links.classify_links(zh_links, lang="zh").collect()
+    by_url = {r.url: r for r in out}
+
+    # pass 1 keeps long-zh anchors as content
+    assert by_url["http://news.cn/politics/2022-10/03/c_112.htm"].link_type == "content"
+    # A5 promotion: unknown + date path under a date-heavy site -> content
+    assert by_url["http://news.cn/politics/2022-10/07/c_116.htm"].link_type == "content"
+    # A5 demotion: content without date path on a date-heavy site -> list
+    assert by_url["http://news.cn/special/topic.html"].link_type == "list"
+    # licence blacklist -> none (it had a date path + content shape)
+    assert by_url["http://news.cn/about/2022-10/08/icp.htm"].link_type == "none"
+    # rejects carry reasons and type none
+    assert by_url["http://news.cn/files/report.pdf"].reject_reason == "invalid url with suffix"
+    assert by_url["http://news.cn/files/report.pdf"].link_type == "none"
+    assert by_url["http://1.2.3.4/a/2022-10/03/x.htm"].reject_reason == "invalid url with ip hostname"
+    # index path -> none
+    assert by_url["http://news.cn/index.html"].link_type == "none"
+    # subdomain flag
+    assert by_url["http://sports.news.cn/games/2022-10/03/g_1.htm"].is_subdomain
+
+
+def test_buckets_and_subdomains(spark, zh_links):
+    out = links.classify_links(zh_links, lang="zh")
+    buckets = links.link_buckets(out)
+    n = sum(buckets[t].count() for t in buckets)
+    assert n == zh_links.count()
+    subs = {r.domain_top: r.subdomains for r in links.subdomains(out).collect()}
+    assert "news.cn" in subs and "sports.news.cn" in subs["news.cn"]
+
+
+def test_broadcast_in_plan(spark, zh_links):
+    out = links.classify_links(zh_links, lang="zh")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -1,0 +1,75 @@
+"""Streaming recast tests: the foreachBatch quality-filter stream and
+the watermarked hourly rollup, driven with availableNow triggers."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from go_pkg_spider_spark import datagen, pipeline
+from go_pkg_spider_spark.streaming import jobs
+
+
+def test_stream_quality_filter_matches_batch(spark, clips_path, tmp_path):
+    # split the same clips into two "arrival waves" with an overlap (the
+    # duplicate wave exercises the cross-batch `seen` dedup)
+    clips = spark.read.parquet(clips_path)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    clips.filter(F.col("clip_id") < "clip-000000000150").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir + "/wave1")
+    # move wave files into one flat dir for the file source
+    import glob, shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(glob.glob(in_dir + "/wave1/*.parquet")):
+        shutil.copy(f, f"{flat}/w1_{i}.parquet")
+    clips.filter(F.col("clip_id") >= "clip-000000000100").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir + "/wave2")
+    for i, f in enumerate(glob.glob(in_dir + "/wave2/*.parquet")):
+        shutil.copy(f, f"{flat}/w2_{i}.parquet")
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = jobs.read_clips_stream(spark, flat, max_files_per_trigger=1)
+    q = jobs.stream_quality_filter(stream, out_dir, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir)
+    # overlap rows deduped: exactly one decision per clip_id
+    assert got.count() == got.select("clip_id").distinct().count() == 300
+    # decisions identical to the batch pipeline
+    batch = {r.clip_id: (r.keep, r.drop_reason) for r in pipeline.run_pipeline(clips).collect()}
+    for r in got.select("clip_id", "keep", "drop_reason").collect():
+        assert (r.keep, r.drop_reason) == batch[r.clip_id], r.clip_id
+
+
+def test_stream_hourly_metrics(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    flat = str(tmp_path / "ev")
+    events.coalesce(1).write.mode("overwrite").parquet(flat)
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    q = jobs.stream_hourly_metrics(stream, str(tmp_path / "ckpt2"), queryName="hm_test")
+    q.awaitTermination(300)
+    got = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("select * from hm_test").collect()
+    }
+    want = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want

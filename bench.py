@@ -55,7 +55,7 @@ def clips_path(sf_name: str, spark) -> str:
     n = CLIPS_BY_SF.get(sf_name, 5_000)
     # v2: small parquet row groups (binary-payload requirement — see
     # datagen.CLIPS_ROW_GROUP_SIZE rationale)
-    path = f"/tmp/bench_clips_v2_{sf_name}_{n}.parquet"
+    path = f"/tmp/bench_clips_v3_{sf_name}_{n}.parquet"
     if not os.path.exists(path):
         from go_pkg_spider_spark import datagen
 

@@ -119,30 +119,100 @@ def classify_links(
     return df.drop("site")
 
 
+def path_dir(path: Column) -> Column:
+    """Go path.Dir semantics on the URL path (link.go:92, 181):
+    Dir('/a/b/c.htm')='/a/b', Dir('/a/')='/a', Dir('/a')='/',
+    Dir('/')='/', Dir('')='.'."""
+    p = F.trim(path)
+    p = F.when(p == "", ".").otherwise(F.regexp_replace(p, "/+$", ""))
+    p = F.when(p == "", "/").otherwise(p)  # was all slashes
+    parent = F.regexp_extract(p, r"^(.*)/[^/]*$", 1)
+    return (
+        F.when(p == ".", ".")
+        .when(~p.contains("/"), ".")
+        .when(parent == "", "/")
+        .otherwise(parent)
+    )
+
+
+def _first_seg(p: Column) -> Column:
+    return F.element_at(F.filter(F.split(p, "/"), lambda s: s != ""), 1)
+
+
 def _reclassify_by_publish_prob(df: DataFrame, threshold: float) -> DataFrame:
-    """linkTypePathProcess (link.go:155-253): when a site's content
-    links mostly carry date-paths (publishProb > threshold), unknown
-    links WITH a date-path promote to content and content links WITHOUT
-    demote to list. Per-site stats are one row per site -> broadcast."""
-    has_date = rules.has_publish_date_path(F.col("path"))
-    stats = (
-        df.filter(F.col("link_type") == "content")
+    """linkTypePathProcess (link.go:155-253), exact semantics:
+
+    stats over the site's content rows — publishProb = share whose
+    path.Dir (cleaned of .-_) matches the date regex; topPaths = first
+    path segments with count>1 and share>0.4 when content_count>=8.
+
+    branch A (publishProb > 0.7): list rows with date-dir and title>=2
+    runes promote to content; unknown rows all resolve — date-dir &
+    title>=2 -> content, else list.
+    branch B (else, topPaths non-empty): unknown rows WITH a path
+    resolve — first segment in topPaths & title>=2 -> content, else
+    list (path-less unknowns stay unknown).
+    cleanup (link.go:238-252): when the site has a path signature at
+    all, content rows without any path demote to unknown.
+
+    Per-site stats are one row per site -> broadcast rejoin."""
+    dir_col = path_dir(F.col("path"))
+    dir_clean = F.regexp_replace(dir_col, r"[.\-_]", "")
+    has_date = dir_clean.rlike(rules.URL_PUBLISH_DATE_RE)
+    seg = _first_seg(dir_col)
+
+    content = df.filter(F.col("link_type") == "content")
+    base = content.groupBy("site").agg(
+        F.avg(has_date.cast("int")).alias("publish_prob"),
+        F.count(F.lit(1)).alias("content_count"),
+    )
+    seg_counts = (
+        content.select(F.col("site"), seg.alias("seg"))
+        .filter(F.col("seg").isNotNull())
+        .groupBy("site", "seg")
+        .count()
+    )
+    tops = (
+        seg_counts.join(F.broadcast(base), "site")
+        .filter(
+            (F.col("content_count") >= 8)
+            & (F.col("count") > 1)
+            & (F.col("count") / F.col("content_count") > 0.4)
+        )
         .groupBy("site")
-        .agg(
-            F.avg(has_date.cast("int")).alias("publish_prob"),
-            F.count(F.lit(1)).alias("content_count"),
-        )
+        .agg(F.collect_set("seg").alias("top_paths"))
     )
+    stats = base.join(tops, "site", "left")
+
     out = df.join(F.broadcast(stats), "site", "left")
-    strong = F.col("publish_prob") > threshold
-    new_type = (
-        F.when(
-            strong & has_date & (F.col("link_type") == "unknown"), "content"
-        )
-        .when(strong & ~has_date & (F.col("link_type") == "content"), "list")
-        .otherwise(F.col("link_type"))
+    strong = F.coalesce(F.col("publish_prob") > threshold, F.lit(False))
+    top_paths = F.coalesce(F.col("top_paths"), F.array().cast("array<string>"))
+    has_tops = F.size(top_paths) > 0
+    title_ok = F.length(F.col("anchor_title")) >= 2
+    in_tops = F.array_contains(top_paths, F.coalesce(seg, F.lit("\x00")))
+    t = F.col("link_type")
+    no_path = (
+        (F.trim(F.col("path")) == "") | (F.trim(F.col("path")) == "/") | seg.isNull()
     )
-    return out.withColumn("link_type", new_type).drop("publish_prob", "content_count")
+
+    new_type = (
+        # branch A
+        F.when(strong & (t == "list") & has_date & title_ok, "content")
+        .when(strong & (t == "unknown") & has_date & title_ok, "content")
+        .when(strong & (t == "unknown"), "list")
+        # branch B (only rows that HAVE a path resolve)
+        .when(
+            ~strong & has_tops & (t == "unknown") & seg.isNotNull() & in_tops & title_ok,
+            "content",
+        )
+        .when(~strong & has_tops & (t == "unknown") & seg.isNotNull(), "list")
+        # content no-path cleanup
+        .when((t == "content") & (strong | has_tops) & no_path, "unknown")
+        .otherwise(t)
+    )
+    return out.withColumn("link_type", new_type).drop(
+        "publish_prob", "content_count", "top_paths"
+    )
 
 
 def link_buckets(classified: DataFrame) -> dict[str, DataFrame]:

@@ -45,8 +45,10 @@ def test_two_pass_classification(spark, zh_links):
     assert by_url["http://news.cn/politics/2022-10/03/c_112.htm"].link_type == "content"
     # A5 promotion: unknown + date path under a date-heavy site -> content
     assert by_url["http://news.cn/politics/2022-10/07/c_116.htm"].link_type == "content"
-    # A5 demotion: content without date path on a date-heavy site -> list
-    assert by_url["http://news.cn/special/topic.html"].link_type == "list"
+    # content WITHOUT a date path is NOT demoted (linkTypePathProcess
+    # only resolves List/Unknown and demotes path-LESS content,
+    # link.go:178-252)
+    assert by_url["http://news.cn/special/topic.html"].link_type == "content"
     # licence blacklist -> none (it had a date path + content shape)
     assert by_url["http://news.cn/about/2022-10/08/icp.htm"].link_type == "none"
     # rejects carry reasons and type none
@@ -57,6 +59,31 @@ def test_two_pass_classification(spark, zh_links):
     assert by_url["http://news.cn/index.html"].link_type == "none"
     # subdomain flag
     assert by_url["http://sports.news.cn/games/2022-10/03/g_1.htm"].is_subdomain
+
+
+def test_top_paths_branch(spark):
+    """Branch B (link.go:213-236): no date signature, but >=8 content
+    rows share a first path segment -> unknowns under that segment
+    promote; others resolve to list."""
+    content = [
+        (f"http://site.cn/zixun/a{i}/article{i}.html", "今天发生了一件重要的新闻事件报道")
+        for i in range(8)
+    ]
+    rows = content + [
+        # unknown (han>5, len<8, no punct), first seg in topPaths
+        ("http://site.cn/zixun/b/short.html", "新闻快报当日情"),
+        # unknown, first seg NOT in topPaths -> list
+        ("http://site.cn/other/short.html", "新闻快报当日情"),
+        # content with no path -> demoted to unknown by the cleanup
+        ("http://site.cn/", "这是一个很长的中文内容标题报道详情"),
+    ]
+    df = spark.createDataFrame(rows, "url string, anchor_title string")
+    from go_pkg_spider_spark.operators import links as L
+
+    out = {r.url: r.link_type for r in L.classify_links(df, lang="zh").collect()}
+    assert out["http://site.cn/zixun/b/short.html"] == "content"
+    assert out["http://site.cn/other/short.html"] == "list"
+    assert out["http://site.cn/"] == "none"  # index-path rule fires first
 
 
 def test_buckets_and_subdomains(spark, zh_links):

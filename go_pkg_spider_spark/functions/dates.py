@@ -120,7 +120,10 @@ def normalize_date_string(raw: Column) -> Column:
     """F11 cleanup chain (content.go:235-254, 485-494): zh units ->
     ascii separators, strip spaces around T, drop :NNN(N) garbage tails
     and trailing zone offsets. Order frozen."""
-    c = F.regexp_replace(raw, "[年月]", "-")
+    # drop any prefix before the first digit (zh publish prefixes like
+    # 发布时间: ride along in the raw match)
+    c = F.regexp_replace(raw, r"^[^0-9]+", "")
+    c = F.regexp_replace(c, "[年月]", "-")
     c = F.regexp_replace(c, "日", " ")
     c = F.regexp_replace(c, "[点时]", ":")
     c = F.regexp_replace(c, "分", ":")
@@ -137,12 +140,15 @@ def to_timestamp_cascade(raw: Column, run_date: str) -> Column:
     injected run_date's year (NEVER current_date — determinism,
     SURVEY.md §7)."""
     n = normalize_date_string(raw)
+    # US M/D/YYYY -> YYYY-M-D reorder (RegexEnUsPublishDate shape)
+    n = F.regexp_replace(n, r"^(\d{1,2})/(\d{1,2})/(20\d{2})", "$3-$1-$2")
     year = run_date[:4]
+    # no-year MM-DD (not followed by a third dash group = not a full date)
     with_year = F.when(
-        n.rlike(r"^\d{1,2}-\d{1,2}"), F.concat(F.lit(year + "-"), n)
+        n.rlike(r"^\d{1,2}-\d{1,2}(?![-0-9])"), F.concat(F.lit(year + "-"), n)
     ).otherwise(n)
     two_digit_year = F.when(
-        with_year.rlike(r"^\d{2}-"), F.concat(F.lit("20"), with_year)
+        with_year.rlike(r"^\d{2}-\d{1,2}-\d{1,2}"), F.concat(F.lit("20"), with_year)
     ).otherwise(with_year)
     c = two_digit_year
     return F.coalesce(

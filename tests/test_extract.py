@@ -1,0 +1,54 @@
+"""extract_news / profile_domains — the GetNews & DetectDomain analogs."""
+
+from __future__ import annotations
+
+import datetime
+
+from go_pkg_spider_spark.operators import extract
+
+
+def test_extract_news(spark):
+    rows = [
+        (
+            "c1",
+            "重要新闻事件的详细报道标题\n发布时间: 2022-09-02 11:40:53\n"
+            "记者在现场进行了详细的报道，专家表示这一事件具有重要意义。",
+        ),
+        ("c2", "Some Long Report Title Here\nBody text follows the title with detail. "
+               "It was published on 8/30/2022 11:11:11 according to the site."),
+        ("c3", "no title no date just plain text"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, transcript string")
+    out = {r.clip_id: r for r in extract.extract_news(df).collect()}
+
+    r1 = out["c1"]
+    assert r1.title == "重要新闻事件的详细报道标题"
+    assert r1.time == datetime.datetime(2022, 9, 2, 11, 40, 53)
+    assert r1.time_pos == "zh_prefixed"
+
+    r2 = out["c2"]
+    assert r2.title.startswith("Some Long Report Title")
+    assert r2.time == datetime.datetime(2022, 8, 30, 11, 11, 11)
+    assert r2.time_pos == "en_us"
+
+    assert out["c3"].time is None
+
+
+def test_profile_domains(spark):
+    rows = [
+        ("news.gov.hk", "香港政府新闻网正式发布的内容信息", "zh", "content"),
+        ("news.gov.hk", "另一条新闻内容粤ICP备17055554号", "zh", "content"),
+        ("news.gov.hk", "列表页面", "zh", "list"),
+        ("lemonde.fr", "les nouvelles du jour en france", "fr", "content"),
+    ]
+    df = spark.createDataFrame(rows, "host string, transcript string, lang string, link_type string")
+    out = {r.host: r for r in extract.profile_domains(df).collect()}
+
+    hk = out["news.gov.hk"]
+    assert hk.page_count == 3 and hk.lang == "zh"
+    assert (hk.country, hk.province, hk.category) == ("中国", "中国香港", "政务")
+    assert hk.icp == "粤ICP备17055554" and hk.icp_province == "广东"
+    assert hk.content_count == 2 and hk.list_count == 1
+
+    fr = out["lemonde.fr"]
+    assert fr.country == "法国" and fr.icp == ""

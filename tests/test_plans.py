@@ -1,0 +1,68 @@
+"""Physical-plan shape assertions — the scale-design contract:
+pushdown reaches the scan, small dims broadcast, aggregates are
+partial+final, top-k avoids global sort, and the per-clip pipeline
+stays shuffle-free."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filter_pushdown(spark):
+    plan = _plan(entry.queries()["q6_forecast_revenue"](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "l_discount" in plan.split("PushedFilters")[1][:300]
+
+
+def test_broadcast_join_used(spark):
+    plan = _plan(entry.queries()["broadcast_join_nation"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_broadcast(spark):
+    plan = _plan(entry.queries()["anti_join_resume"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(entry.queries()["q1_pricing_summary"](spark, SF))
+    # map-side partial + final aggregate around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_ann_topk_no_global_sort(spark):
+    plan = _plan(entry.queries()["ann_topk_embeddings"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full sort operator
+
+
+def test_scan_prunes_columns(spark):
+    df = entry.queries()["token_stats_docs"](spark, SF)
+    plan = _plan(df)
+    # only doc_id + text should be read (ReadSchema pruned)
+    read = plan.split("ReadSchema")[1][:200]
+    assert "text" in read and "doc_id" in read
+    assert "source" not in read and "n_chars" not in read
+
+
+def test_rules_are_jvm_side(spark):
+    # rule chain is pure column math: no Python eval node anywhere
+    # (higher-order filter() lambdas keep it out of whole-stage codegen,
+    # but it stays fully JVM-side)
+    plan = _plan(entry.queries()["keep_drop_docs"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_whole_stage_codegen_on_aggregates(spark):
+    df = entry.queries()["q1_pricing_summary"](spark, SF)
+    df.collect()  # AQE: codegen markers appear in the FINAL plan only
+    plan = _plan(df)
+    # '*(n)' prefixes mark whole-stage-codegen spans in the final plan
+    assert "isFinalPlan=true" in plan and "*(" in plan

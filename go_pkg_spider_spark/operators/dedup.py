@@ -49,16 +49,25 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string> (built-ins only:
-    split -> sliding join via transform+slice -> array_distinct)."""
+    """Distinct word n-gram shingles as an array<string>.
+
+    O(words) construction: zip_with over shifted copies of the word
+    array (the naive transform(sequence, i -> slice(words, i, n)) is
+    O(words^2) — slice copies per gram — and measured ~8s for 5k docs).
+    zip_with pads the shorter side with NULLs, which mark the trailing
+    incomplete grams; they're filtered out."""
     words = F.filter(F.split(normalized_text(text), " "), lambda w: w != "")
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), k)
-    grams = F.when(
-        k > 0,
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    grams = words
+    for k in range(1, n):
+        shifted = F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(0)))
+        grams = F.zip_with(
+            grams,
+            shifted,
+            lambda a, b: F.when(a.isNull() | b.isNull(), None).otherwise(
+                F.concat(a, F.lit(" "), b)
+            ),
+        )
+    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -163,13 +172,13 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes)).filter(
-        F.col("sig").isNotNull()
-    )
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias(
+            "sig"
+        ),
+    ).filter(F.col("sig").isNotNull())
     banded = base.select(
         "id",
-        "sh",
+        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -187,13 +196,15 @@ def minhash_lsh_candidates(
     )
     # Pair generation WITHOUT a self-join: group members per band bucket
     # (buckets are tiny under uniform band hashes), emit i<j pairs via
-    # array combinatorics. One shuffle total; the signature UDF and the
-    # shingle build run exactly once per row (a self-join would
-    # recompute the whole upstream per side — measured ~2x slower even
-    # at sf0.01).
+    # array combinatorics. One shuffle total, and it carries only
+    # (id, signature) — never the shingle sets (at 10^12 rows the
+    # shingle arrays dwarf the text; the MinHash ESTIMATE
+    # |matching hashes| / k replaces exact Jaccard, its whole point).
+    # Callers needing exact Jaccard verify the surviving pairs with
+    # ngram_jaccard_pairs on the (tiny) candidate set.
     buckets = (
         banded.groupBy("band_idx", "band_hash")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("ms"))
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms"))
         .filter(F.size("ms") > 1)
     )
     pair_arr = F.flatten(
@@ -205,12 +216,18 @@ def minhash_lsh_candidates(
             ),
         )
     )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("p.a.sig"), F.col("p.b.sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(float(num_hashes))
     pairs = (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select(
             F.col("p.a.id").alias("id_a"),
             F.col("p.b.id").alias("id_b"),
-            F.round(jaccard(F.col("p.a.sh"), F.col("p.b.sh")), 6).alias("jaccard"),
+            F.round(est, 6).alias("jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -1,0 +1,80 @@
+"""Property-based parity tests (hypothesis): the Spark column
+normalizations and the pure-Python oracle must agree on arbitrary
+text, pinning the Java-vs-Python Unicode/regex dialect drift that
+fixture goldens alone can miss (SURVEY.md §7 risk)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from go_pkg_spider_spark import oracle
+from go_pkg_spider_spark.functions import langid, scrub, textnorm
+
+# mixed-script text: latin, CJK, punctuation, whitespace, digits
+TEXT = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        st.characters(min_codepoint=0x4E00, max_codepoint=0x4E80),
+        st.characters(min_codepoint=0x3040, max_codepoint=0x30FF),
+        st.characters(min_codepoint=0xAC00, max_codepoint=0xAC80),
+        st.sampled_from("，。；：？！（）“”\n\t "),
+    ),
+    max_size=300,
+)
+
+
+def _batch_eval(spark, texts, col_fn):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    return [r.v for r in df.select(col_fn(F.col("t")).alias("v")).collect()]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_clean_for_lang_parity(spark, texts):
+    got = _batch_eval(spark, texts, langid.clean_for_lang)
+    want = [oracle._clean_for_lang(t) for t in texts]
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_scrub_parity(spark, texts):
+    got = _batch_eval(spark, texts, scrub.scrub)
+    want = [oracle.oracle_scrub(t) for t in texts]
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_lang_rules_parity(spark, texts):
+    """body_lang_rules cheap branches == oracle_lang (model handoffs
+    normalized to the same sentinel)."""
+    def spark_rule(c):
+        r = langid.body_lang_rules(c)["lang"]
+        return (
+            F.when(r == langid.NEEDS_MODEL_LATIN, "model_latin")
+            .when(r == langid.NEEDS_MODEL_OTHER, "model_other")
+            .otherwise(r)
+        )
+
+    got = _batch_eval(spark, texts, spark_rule)
+    want = []
+    for t in texts:
+        cleaned = oracle._clean_for_lang(t)
+        if len(cleaned) < oracle.BODY_MIN_SIZE:
+            want.append(None)
+            continue
+        han = sum(1 for c in cleaned if oracle._is_han(c))
+        n = len(cleaned)
+        if han and han / n >= 0.3:
+            ja = sum(1 for c in cleaned if oracle._is_kana(c))
+            want.append("ja" if ja and ja / han > 0.1 else "zh")
+            continue
+        en = sum(1 for c in cleaned if c.isascii() and c.isalpha())
+        if en and en / n > 0.618:
+            latin = sum(1 for c in cleaned if 0x80 <= ord(c) <= 0xFF)
+            want.append("model_latin" if latin > 5 else "en")
+            continue
+        want.append("model_other")
+    assert got == want

@@ -71,7 +71,13 @@ def main() -> None:
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
     sf = float(sf_name.replace("sf", "") or 0.1)
     spark = get_spark(
-        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+        # binary-heavy scans: finer splits (~2-4x cores) balance the
+        # waves; 128m default gives ~1 task/core and straggler-bound
+        # walls (BENCH/BASELINE.md lesson)
+        extra_conf={"spark.sql.files.maxPartitionBytes": "32m"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -51,13 +51,26 @@ SCRUB_BANK: list[tuple[str, str, str]] = [
     ),
     # emails (new PII class, ordered-regex idiom)
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    # cn 18-digit national ID (before phones: contains phone-shaped
+    # digit runs)
+    (
+        "cn_id",
+        "[1-9][0-9]{5}(18|19|20)[0-9]{2}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])[0-9]{3}[0-9Xx]",
+        "[ID]",
+    ),
+    # payment-card shapes (before phones: dashed groups overlap)
+    ("card", "\\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{2,4}\\b", "[CARD]"),
     # international phone (new PII class)
     ("phone", "\\+?[0-9]{1,3}[- ]?\\(?[0-9]{2,4}\\)?[- ][0-9]{3,4}[- ][0-9]{3,4}", "[PHONE]"),
     # cn mobile
     ("cn_phone", "1[3-9][0-9]{9}", "[PHONE]"),
     # embedded URLs (web.go:19-27 suffix blacklist folded into one class:
-    # any URL is scrubbed; blacklisted-extension URLs first for labeling)
+    # any URL is scrubbed; blacklisted-extension URLs first for
+    # labeling). URLs go before bare IPs so an IP-hosted URL scrubs
+    # whole.
     ("url", "https?://[^ \t\n]+", "[URL]"),
+    # bare IPv4 (web.go:15 RegexHostnameIp shape, word-bounded)
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"),
 ]
 
 

@@ -5,7 +5,11 @@ Examples:
     # package
     zip -qr /tmp/pkg.zip go_pkg_spider_spark
     # full run with manifest checkpointing + resume
-    spark-submit --py-files /tmp/pkg.zip jobs/run_quality_filter.py \
+    # (--driver-memory MUST be on the submit line: under spark-submit
+    # the JVM starts before get_spark's conf applies, and the 1g
+    # default OOMs on binary columnar batches)
+    spark-submit --driver-memory 24g --py-files /tmp/pkg.zip \
+        jobs/run_quality_filter.py \
         --input /data/clips --output-root /data/out \
         --num-buckets 256 --run-id nightly-2026-08-16
     # plain single-pass run (no manifest)

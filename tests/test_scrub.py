@@ -38,6 +38,16 @@ def test_email_phone_url(spark):
     assert _scrub(spark, "get https://x.com/a.exe here") == "get [URL] here"
 
 
+def test_new_pii_classes(spark):
+    assert _scrub(spark, "身份证110101199003077578完") == "身份证[ID]完"
+    assert _scrub(spark, "pay 4111 1111 1111 1111 now") == "pay [CARD] now"
+    assert _scrub(spark, "host 192.168.10.1 down") == "host [IP] down"
+    # IP inside a URL scrubs as one URL token
+    assert _scrub(spark, "see http://1.2.3.4/x ok") == "see [URL] ok"
+    # version strings (two dots only) survive
+    assert _scrub(spark, "spark 4.1.2 release") == "spark 4.1.2 release"
+
+
 def test_scrub_null_safe(spark):
     got = spark.sql("select cast(null as string) t").select(
         scrub.scrub(F.col("t")).alias("s")
@@ -59,6 +69,9 @@ def test_scrub_oracle_sql_matches(spark):
         "tel 13812345678 ok",
         "get https://x.com/a.exe here",
         "on 8/30/2022 11:11:11 ok",
+        "身份证110101199003077578完",
+        "pay 4111 1111 1111 1111 now",
+        "host 192.168.10.1 down",
     ]
     expr = scrub.oracle_scrub_sql("t")
     for g in goldens:

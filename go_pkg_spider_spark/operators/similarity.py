@@ -142,6 +142,84 @@ def embedding_neardup_pairs(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame, vec_col: str, k: int = 16, iters: int = 5, sample: int = 2048, seed: int = 42
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means on a deterministic driver-side
+    sample (centroids are tiny — k x dim floats — so Lloyd's iterations
+    on a sample are the standard recipe; the ASSIGNMENT stays fully
+    distributed). Deterministic: fixed seed, sorted sample."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .limit(sample * 4)
+        .collect()
+    )
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    if X.shape[0] == 0:
+        return []
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(X.shape[0], size=min(sample, X.shape[0]), replace=False)
+    X = X[np.sort(idx)]
+    k = min(k, X.shape[0])
+    C = X[:: max(X.shape[0] // k, 1)][:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return [[round(float(x), 6) for x in row] for row in C]
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id as a column expression (centroids fold into
+    literals; at 100TB this is the bucket column the table is
+    partitioned by)."""
+    best_id = F.lit(0)
+    best_d = _sq_dist(vec, centroids[0])
+    for j in range(1, len(centroids)):
+        d = _sq_dist(vec, centroids[j])
+        cond = d < best_d
+        best_id = F.when(cond, F.lit(j)).otherwise(best_id)
+        best_d = F.when(cond, d).otherwise(best_d)
+    return best_id
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF search: score only rows whose coarse cell is among the
+    query's n_probe nearest cells, then exact cosine top-k. The cell
+    filter prunes at the scan when the table is partitioned by cell id
+    (Iceberg partition transform on the assignment column)."""
+    q = query
+    dists = [
+        (j, sum((a - b) ** 2 for a, b in zip(q, c))) for j, c in enumerate(centroids)
+    ]
+    probe = [j for j, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
+    cell = ivf_assign(F.col(vec_col), centroids)
+    pruned = df.filter(cell.isin(*probe))
+    return brute_force_topk(pruned, vec_col, id_col, query, k)
+
+
 def centroid_per_label(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
     """Element-wise mean embedding per label via posexplode + groupBy —
     the vector-aggregation pattern (partial aggregation applies; shuffle

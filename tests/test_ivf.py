@@ -1,0 +1,42 @@
+"""IVF ANN: centroid training determinism, assignment, and recall vs
+brute force on the real embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_pkg_spider_spark.operators import similarity
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+
+
+def test_centroids_deterministic(spark):
+    e = _emb(spark)
+    c1 = similarity.train_ivf_centroids(e, "embedding", k=8)
+    c2 = similarity.train_ivf_centroids(e, "embedding", k=8)
+    assert c1 == c2 and len(c1) == 8 and len(c1[0]) == 64
+
+
+def test_ivf_assignment_covers_all(spark):
+    e = _emb(spark)
+    cents = similarity.train_ivf_centroids(e, "embedding", k=8)
+    cells = e.select(similarity.ivf_assign(F.col("embedding"), cents).alias("c"))
+    counts = {r.c: r["count"] for r in cells.groupBy("c").count().collect()}
+    assert sum(counts.values()) == e.count()
+    assert len(counts) >= 4  # spread over multiple cells
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    e = _emb(spark)
+    cents = similarity.train_ivf_centroids(e, "embedding", k=8)
+    q = [((-1.0) ** i) * (1.0 / (1 + i)) for i in range(64)]
+    exact = {r.vec_id for r in similarity.brute_force_topk(e, "embedding", "vec_id", q, 10).collect()}
+    approx = {
+        r.vec_id
+        for r in similarity.ivf_topk(e, "embedding", "vec_id", q, cents, 10, n_probe=4).collect()
+    }
+    assert len(exact & approx) >= 5  # half the probe budget recovers most

@@ -478,6 +478,19 @@ def ann_lsh_topk_embeddings(spark, sf_dir):
     return similarity.lsh_bucketed_topk(e, "embedding", "vec_id", _query_vec(_EMB_DIM))
 
 
+@query("ann_ivf_topk_embeddings")  # rows-only: data-trained quantizer
+def ann_ivf_topk_embeddings(spark, sf_dir):
+    """IVF ANN: deterministic sampled-kmeans coarse cells, n_probe
+    pruning, exact cosine on survivors."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    cents = similarity.train_ivf_centroids(e, "embedding", k=8)
+    return similarity.ivf_topk(
+        e, "embedding", "vec_id", _query_vec(_EMB_DIM), cents, k=10, n_probe=4
+    )
+
+
 @query(
     "centroid_per_label",
     """

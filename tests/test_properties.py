@@ -29,7 +29,7 @@ def _batch_eval(spark, texts, col_fn):
     return [r.v for r in df.select(col_fn(F.col("t")).alias("v")).collect()]
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(st.lists(TEXT, min_size=1, max_size=20))
 def test_clean_for_lang_parity(spark, texts):
     got = _batch_eval(spark, texts, langid.clean_for_lang)
@@ -37,7 +37,7 @@ def test_clean_for_lang_parity(spark, texts):
     assert got == want
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(st.lists(TEXT, min_size=1, max_size=20))
 def test_scrub_parity(spark, texts):
     got = _batch_eval(spark, texts, scrub.scrub)
@@ -45,7 +45,7 @@ def test_scrub_parity(spark, texts):
     assert got == want
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(st.lists(TEXT, min_size=1, max_size=20))
 def test_lang_rules_parity(spark, texts):
     """body_lang_rules cheap branches == oracle_lang (model handoffs

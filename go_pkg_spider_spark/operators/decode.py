@@ -79,14 +79,16 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     pcm = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
     if n_ch > 1:
         pcm = pcm[: (len(pcm) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
-    return pcm.astype(np.float64) / 32767.0, int(sr)
+    # float32 halves the bandwidth of the hottest loop in the pipeline;
+    # 16-bit sources lose nothing (float32 has 24 mantissa bits)
+    return pcm.astype(np.float32) / np.float32(32767.0), int(sr)
 
 
 def decode_pcm_s16le(blob: bytes, sr_hz: int) -> tuple[np.ndarray, int]:
     pcm = np.frombuffer(blob[: len(blob) - (len(blob) % 2)], dtype="<i2")
     if pcm.size == 0:
         raise ValueError("empty_pcm")
-    return pcm.astype(np.float64) / 32767.0, int(sr_hz)
+    return pcm.astype(np.float32) / np.float32(32767.0), int(sr_hz)
 
 
 def decode_blob(blob: bytes | None, codec: str | None, sr_hz: int | None) -> tuple[np.ndarray | None, int, str | None]:
@@ -119,10 +121,14 @@ def decode_blob(blob: bytes | None, codec: str | None, sr_hz: int | None) -> tup
 
 def _features(pcm: np.ndarray, sr: int) -> tuple:
     n = int(pcm.size)
-    rms = float(np.sqrt(np.mean(pcm**2))) if n else 0.0
-    peak = float(np.max(np.abs(pcm))) if n else 0.0
-    clip_ratio = float(np.mean(np.abs(pcm) >= 0.999)) if n else 0.0
-    dc = float(np.mean(pcm)) if n else 0.0
+    if n == 0:
+        return 0, sr, 0.0, 0.0, 0.0, 0.0, 0.0
+    a = np.abs(pcm)
+    # float64 accumulators over float32 data: exact enough, half the reads
+    rms = float(np.sqrt(np.mean(np.square(pcm, dtype=np.float64))))
+    peak = float(a.max())
+    clip_ratio = float(np.mean(a >= 0.999))
+    dc = float(pcm.mean(dtype=np.float64))
     zcr = float(np.mean(np.abs(np.diff(np.signbit(pcm))))) if n > 1 else 0.0
     return n, sr, rms, peak, clip_ratio, dc, zcr
 

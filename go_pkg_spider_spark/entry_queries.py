@@ -214,16 +214,20 @@ def events_hourly_rollup(spark, sf_dir):
     SELECT e.event_type, COUNT(*) AS n_events,
            SUM(CASE WHEN e.value > m.mean_value THEN 1 ELSE 0 END) AS n_above_mean
     FROM events e
-    JOIN (SELECT event_type, AVG(value) AS mean_value FROM events GROUP BY event_type) m
+    JOIN (SELECT event_type, ROUND(AVG(value), 6) AS mean_value FROM events GROUP BY event_type) m
       ON e.event_type = m.event_type
     GROUP BY e.event_type
     """,
 )
 def events_two_pass_stats(spark, sf_dir):
     """A5/A6 two-pass shape (/root/reference/extract/link.go:155-253):
-    per-group statistic broadcast-rejoined to per-row decisions."""
+    per-group statistic broadcast-rejoined to per-row decisions. The
+    mean is rounded to 6 BEFORE the per-row compare — double sums are
+    order-dependent across engines, so an unrounded mean flips rows
+    within an ulp of it (repo determinism rule applied one step
+    earlier than the output)."""
     e = _t(spark, sf_dir, "events")
-    m = e.groupBy("event_type").agg(F.avg("value").alias("mean_value"))
+    m = e.groupBy("event_type").agg(F.round(F.avg("value"), 6).alias("mean_value"))
     return (
         e.join(F.broadcast(m), "event_type")
         .groupBy("event_type")
@@ -345,10 +349,10 @@ def scrub_docs(spark, sf_dir):
     SELECT doc_id,
            len(regexp_extract_all(text, '[^ \\t\\n]+')) AS ws_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^\\s A-Za-z0-9]')) AS bpe_tokens,
-           round(CASE WHEN len(list_filter(string_split(lower(trim(text)), ' '), x -> x != '')) > 0
-                 THEN len(list_filter(string_split(lower(trim(text)), ' '),
+           round(CASE WHEN len(regexp_extract_all(lower(trim(text)), '\\S+')) > 0
+                 THEN len(list_filter(regexp_extract_all(lower(trim(text)), '\\S+'),
                           x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','be','this','that'], x)))
-                      * 1.0 / len(list_filter(string_split(lower(trim(text)), ' '), x -> x != ''))
+                      * 1.0 / len(regexp_extract_all(lower(trim(text)), '\\S+'))
                  ELSE 0.0 END, 6) AS stop_ratio
     FROM documents
     """,
@@ -494,19 +498,19 @@ def ann_ivf_topk_embeddings(spark, sf_dir):
 @query(
     "centroid_per_label",
     """
-    SELECT label, list(round(mx, 6) ORDER BY pos) AS centroid
-    FROM (
-      SELECT label, pos, AVG(x) AS mx FROM (
-        SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
-        FROM embeddings
-      ) GROUP BY label, pos
-    ) GROUP BY label
+    SELECT label, pos, round(AVG(x), 6) AS mean_x FROM (
+      SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    ) GROUP BY label, pos
     """,
 )
 def centroid_per_label_q(spark, sf_dir):
-    """Vector aggregation: element-wise mean embedding per label."""
+    """Vector aggregation: element-wise mean embedding per label, LONG
+    form (label, pos, mean_x) so every output column is a hashable
+    scalar (array outputs break the driver's canonicalizer)."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.centroid_per_label(e, "embedding", "label")
+    return similarity.centroid_per_label_long(e, "embedding", "label")
 
 
 @query(

@@ -40,7 +40,9 @@ def pick_title(text: Column, meta_title: Column, lang: Column) -> Column:
     cleaned_meta = web_title_clean(truncate_title(meta_title), lang)
     thr = simtext.title_sim_threshold(lang)
 
-    first_seg = F.element_at(quality.segments(text), 1)
+    # try_element_at: ANSI mode throws on the empty segment array
+    # (empty/whitespace-only transcripts exist in the corpus)
+    first_seg = F.try_element_at(quality.segments(text), F.lit(1))
     first_sim = simtext.similarity_udf(first_seg, cleaned_meta)
     best_body = simtext.best_matching_segment(text, cleaned_meta, 0.0)
 
@@ -77,7 +79,7 @@ def extract_news(
         else F.coalesce(langid.body_lang_rules(text)["lang"], F.lit("en"))
     )
     meta_title = (
-        F.col(title_col) if title_col else F.coalesce(F.element_at(quality.segments(text), 1), F.lit(""))
+        F.col(title_col) if title_col else F.coalesce(F.try_element_at(quality.segments(text), F.lit(1)), F.lit(""))
     )
 
     t = pick_title(text, meta_title, lang)

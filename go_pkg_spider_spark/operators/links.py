@@ -136,7 +136,9 @@ def path_dir(path: Column) -> Column:
 
 
 def _first_seg(p: Column) -> Column:
-    return F.element_at(F.filter(F.split(p, "/"), lambda s: s != ""), 1)
+    # try_element_at: under Spark 4 ANSI mode a bare element_at throws
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT on the empty array (path '/')
+    return F.try_element_at(F.filter(F.split(p, "/"), lambda s: s != ""), F.lit(1))
 
 
 def _reclassify_by_publish_prob(df: DataFrame, threshold: float) -> DataFrame:

@@ -220,22 +220,30 @@ def ivf_topk(
     return brute_force_topk(pruned, vec_col, id_col, query, k)
 
 
-def centroid_per_label(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
-    """Element-wise mean embedding per label via posexplode + groupBy —
-    the vector-aggregation pattern (partial aggregation applies; shuffle
-    carries (label, pos) partial sums, not vectors)."""
+def centroid_per_label_long(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Element-wise mean embedding per label in LONG form — one row per
+    (label, pos) with the rounded mean component. posexplode + groupBy:
+    partial aggregation applies, the shuffle carries (label, pos) partial
+    sums, never whole vectors. Long form is also the oracle-friendly /
+    canonicalizable shape (scalar columns only)."""
     exploded = df.select(
         F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("pos", "x")
     )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("x"), 6).alias("mean_x")
+    )
+
+
+def centroid_per_label(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Element-wise mean embedding per label as array<double> — the
+    long-form aggregate reassembled with a position-sorted collect_list
+    (one extra tiny shuffle over (label, pos) rows)."""
     return (
-        exploded.groupBy("label", "pos")
-        .agg(F.avg("x").alias("mean_x"))
+        centroid_per_label_long(df, vec_col, label_col)
         .groupBy("label")
         .agg(
             F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.round(F.col("mean_x"), 6).alias("mean_x")))
-                ),
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("mean_x")))),
                 lambda s: s["mean_x"],
             ).alias("centroid")
         )

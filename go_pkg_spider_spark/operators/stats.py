@@ -31,8 +31,10 @@ def top_paths(df: DataFrame, group_col: str, path_col: str, min_content: int = 8
     """topPaths (link.go:165-175, 213-236): first path segment histogram;
     segments with freq>1 and share>threshold (when the group has at
     least min_content rows) are the group's content-prefix signature."""
-    first_seg = F.element_at(
-        F.filter(F.split(F.col(path_col), "/"), lambda s: s != ""), 1
+    # try_element_at: ANSI mode throws on element_at over the empty
+    # array that a root path '/' produces
+    first_seg = F.try_element_at(
+        F.filter(F.split(F.col(path_col), "/"), lambda s: s != ""), F.lit(1)
     )
     seg_counts = (
         df.select(F.col(group_col).alias("g"), first_seg.alias("seg"))

@@ -52,3 +52,15 @@ def test_profile_domains(spark):
 
     fr = out["lemonde.fr"]
     assert fr.country == "法国" and fr.icp == ""
+
+
+def test_extract_news_empty_transcript_no_ansi_crash(spark):
+    """ANSI regression: empty/whitespace transcripts produce an empty
+    segments array; bare element_at threw under Spark 4 ANSI mode."""
+    df = spark.createDataFrame(
+        [("c1", ""), ("c2", "   \n  "), ("c3", "A real segment\nwith body text here")],
+        "clip_id string, transcript string",
+    )
+    out = {r.clip_id: r for r in extract.extract_news(df).collect()}
+    assert out["c1"].title == "" and out["c2"].title == ""
+    assert out["c3"].title is not None

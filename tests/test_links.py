@@ -99,3 +99,22 @@ def test_broadcast_in_plan(spark, zh_links):
     out = links.classify_links(zh_links, lang="zh")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_root_dir_content_link_no_ansi_crash(spark):
+    """ANSI regression (Spark 4 INVALID_ARRAY_INDEX_IN_ELEMENT_AT): a
+    content/unknown link whose path.Dir is '/' yields an EMPTY first-
+    segment array; bare element_at crashed the whole job. The site needs
+    enough content rows to enter the branch-B segment logic."""
+    rows = [
+        (f"http://site.cn/zixun/a{i}/article{i}.html", "今天发生了一件重要的新闻事件报道")
+        for i in range(8)
+    ] + [
+        # path '/c_999.htm' -> Dir '/', first_seg NULL
+        ("http://site.cn/c_999.htm", "重要新闻事件的完整标题报道详情"),
+        ("http://site.cn/x.htm", "新闻快报当日情"),  # unknown at root dir
+    ]
+    df = spark.createDataFrame(rows, "url string, anchor_title string")
+    out = {r.url: r.link_type for r in links.classify_links(df, lang="zh").collect()}
+    assert out["http://site.cn/c_999.htm"] in ("content", "unknown", "list")
+    assert out["http://site.cn/x.htm"] in ("unknown", "list", "content")

@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from . import oracle_sql_gen
 from .functions import langid, rules, scrub, tokens
 from .functions.textnorm import JAVA_PUNCT_SYM
 from .operators import dedup, similarity, stats
@@ -410,18 +411,22 @@ def ngram_jaccard_pairs_docs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, "text", "doc_id", "source", threshold=0.3)
 
 
-@query("minhash_lsh_docs")  # rows-only check: xxhash64 has no DuckDB twin
+@query("minhash_lsh_docs", oracle_sql_gen.minhash_lsh_sql())
 def minhash_lsh_docs(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (banded signatures)."""
+    """MinHash+LSH near-dup candidates (banded signatures). Hard-gate
+    oracle: signatures derive from md5_number_upper-compatible hashes +
+    HUGEINT affine permutations, band grouping by the raw slice string
+    (equality-equivalent to Spark's xxhash64 of it)."""
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(d, "text", "doc_id").filter(
         F.col("jaccard") >= 0.3
     )
 
 
-@query("simhash_docs")  # rows-only: xxhash64-based
+@query("simhash_docs", oracle_sql_gen.simhash_sql())
 def simhash_docs(spark, sf_dir):
-    """64-bit SimHash fingerprints (Charikar) per document."""
+    """64-bit SimHash fingerprints (Charikar) per document, oracle-exact
+    (md5-derived token hashes, 64 generated majority-vote terms)."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash"))
 
@@ -473,25 +478,32 @@ def ann_topk_embeddings(spark, sf_dir):
     )
 
 
-@query("ann_lsh_topk_embeddings")  # rows-only: recall-dependent pruning
+@query("ann_lsh_topk_embeddings", oracle_sql_gen.ann_lsh_topk_sql(_query_vec(_EMB_DIM)))
 def ann_lsh_topk_embeddings(spark, sf_dir):
-    """Hyperplane-LSH pruned ANN top-k (the scale path)."""
+    """Hyperplane-LSH pruned ANN top-k (the scale path). Oracle replays
+    the seeded plane literals + sign bits + bit_count prune in SQL."""
     e = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
-    return similarity.lsh_bucketed_topk(e, "embedding", "vec_id", _query_vec(_EMB_DIM))
+    return similarity.lsh_bucketed_topk(
+        e, "embedding", "vec_id", _query_vec(_EMB_DIM), round_digits=4
+    )
 
 
-@query("ann_ivf_topk_embeddings")  # rows-only: data-trained quantizer
+@query("ann_ivf_topk_embeddings", oracle_sql_gen.ann_ivf_topk_sql(_query_vec(_EMB_DIM)))
 def ann_ivf_topk_embeddings(spark, sf_dir):
-    """IVF ANN: deterministic sampled-kmeans coarse cells, n_probe
-    pruning, exact cosine on survivors."""
+    """IVF ANN with the SQL-reproducible distributed trainer (first-k
+    seeds + one Lloyd step, rounded means), n_probe cell pruning, exact
+    cosine on survivors."""
     e = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
-    cents = similarity.train_ivf_centroids(e, "embedding", k=8)
+    cents = similarity.train_ivf_centroids_distributed(
+        e, "embedding", "vec_id", k=8, iters=1
+    )
     return similarity.ivf_topk(
-        e, "embedding", "vec_id", _query_vec(_EMB_DIM), cents, k=10, n_probe=4
+        e, "embedding", "vec_id", _query_vec(_EMB_DIM), cents, k=10, n_probe=4,
+        round_digits=4,
     )
 
 
@@ -556,15 +568,22 @@ def minby_nearest_event(spark, sf_dir):
     )
 
 
-@query("embedding_neardup_pairs")  # rows-only: LSH-bucketed verification
+@query(
+    "embedding_neardup_pairs",
+    oracle_sql_gen.embedding_neardup_sql(_EMB_DIM, threshold=0.25),
+)
 def embedding_neardup_pairs_q(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via hyperplane-signature buckets."""
+    """Embedding-cosine near-dup pairs via MULTI-BAND hyperplane buckets
+    (bucket-collect pair generation, no self-join, no driver action at
+    plan build — dim is a parameter)."""
     e = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     # random testdata embeddings concentrate near cosine 0 (+-1/sqrt(64));
     # 0.25 yields a small non-empty candidate set at sf0.01
-    return similarity.embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.25)
+    return similarity.embedding_neardup_pairs(
+        e, "embedding", "vec_id", dim=_EMB_DIM, threshold=0.25, round_digits=4
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

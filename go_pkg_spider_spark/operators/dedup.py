@@ -19,7 +19,8 @@ all-pairs. `ngram_jaccard_pairs` all-pairs form is for WITHIN-GROUP use
 
 from __future__ import annotations
 
-import zlib
+import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -106,15 +107,25 @@ def ngram_jaccard_pairs(
 
 
 def _hash64_bytes(b: bytes) -> int:
-    """Stable 64-bit hash from two salted crc32s (C-speed, deterministic
-    across workers — unlike Python hash())."""
-    return (zlib.crc32(b) << 32) | zlib.crc32(b + b"\x9e")
+    """Stable 64-bit hash = first 8 md5 digest bytes, little-endian —
+    EXACTLY DuckDB's md5_number_upper(), so every signature derived from
+    it has a DuckDB oracle twin (the hard correctness gate). C-speed via
+    hashlib; deterministic across workers (unlike Python hash())."""
+    return int.from_bytes(hashlib.md5(b).digest()[:8], "little")
 
 
 # seeded affine permutations over Z_2^64 for minhash (odd multipliers)
 _MH_RNG = np.random.default_rng(20240816)
 _MH_A = (_MH_RNG.integers(1, 1 << 62, size=64, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
 _MH_B = _MH_RNG.integers(0, 1 << 63, size=64, dtype=np.uint64)
+
+
+def minhash_params(num_hashes: int = 32) -> tuple[list[int], list[int]]:
+    """The affine-permutation constants (a_k, b_k), exposed so the DuckDB
+    oracle can replay sig_k = min over shingles of (a_k*h + b_k) mod 2^64
+    in HUGEINT arithmetic (a, b < 2^63 so a*h + b < 2^127 never
+    overflows)."""
+    return [int(x) for x in _MH_A[:num_hashes]], [int(x) for x in _MH_B[:num_hashes]]
 
 
 def _minhash_sig_np(shingles: list[str], num_hashes: int) -> np.ndarray | None:
@@ -170,12 +181,21 @@ def minhash_lsh_candidates(
     candidate verification joins back on id through a broadcast-able
     distinct-candidate set when the dup rate is low."""
     rows_per_band = num_hashes // bands
-    base = df.select(
+    # Pre-filter on the PURE-COLUMN emptiness predicate (shingles are
+    # non-empty iff the doc has >= n words): filtering on the UDF output
+    # (sig.isNotNull) makes Spark evaluate the UDF twice — once for the
+    # Filter, once for the Project (two ArrowEvalPython nodes, measured
+    # 2x Python cost). With the pre-filter the UDF never sees an empty
+    # shingle set and runs exactly once per row.
+    words = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda w: w != ""
+    )
+    base = df.filter(F.size(words) >= shingle_n).select(
         F.col(id_col).alias("id"),
         minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias(
             "sig"
         ),
-    ).filter(F.col("sig").isNotNull())
+    )
     banded = base.select(
         "id",
         "sig",
@@ -234,13 +254,18 @@ def minhash_lsh_candidates(
     return pairs
 
 
+# ASCII-whitespace tokenizer shared (by construction) with the DuckDB
+# oracle's regexp_extract_all(lower(text), '[^ \t\n\r\f]+') — Python
+# str.split() also splits on unicode spaces RE2 \s does not cover.
+_WS_TOKEN_RE = re.compile(r"[^ \t\n\r\f]+")
+
+
 @F.pandas_udf(LongType())
 def _simhash64_udf(text: pd.Series) -> pd.Series:
     out = np.zeros(len(text), dtype=np.int64)
     shifts = np.arange(64, dtype=np.uint64)
     for i, t in enumerate(text):
-        toks = " ".join((t or "").lower().split()).split(" ") if t else []
-        toks = [x for x in toks if x]
+        toks = _WS_TOKEN_RE.findall(t.lower()) if t else []
         if not toks:
             out[i] = 0
             continue

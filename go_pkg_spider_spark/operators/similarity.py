@@ -39,15 +39,23 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def brute_force_topk(
-    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    round_digits: int = 6,
 ) -> DataFrame:
     """Exact cosine top-k: one projection + TakeOrderedAndProject (each
-    partition keeps k, driver merges k*P rows — no global sort)."""
+    partition keeps k, driver merges k*P rows — no global sort).
+    round_digits=4 for oracle-twinned entries (cross-engine double sums
+    agree to >=4 digits; ordering is on the rounded value + id so the
+    top-k SET is deterministic)."""
     q = F.array(*[F.lit(float(x)) for x in query])
     return (
         df.select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+            F.round(cosine(F.col(vec_col), q), round_digits).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
@@ -90,6 +98,7 @@ def lsh_bucketed_topk(
     k: int = 10,
     n_planes: int = 8,
     max_hamming_bits: int = 2,
+    round_digits: int = 6,
 ) -> DataFrame:
     """ANN: prune to vectors whose hyperplane signature is within
     `max_hamming_bits` of the query's, then exact-cosine top-k on the
@@ -102,43 +111,70 @@ def lsh_bucketed_topk(
             qbits |= 1 << i
     sig = hyperplane_bits(F.col(vec_col), planes)
     pruned = df.filter(F.bit_count(sig.bitwiseXOR(F.lit(qbits))) <= max_hamming_bits)
-    return brute_force_topk(pruned, vec_col, id_col, query, k)
+    return brute_force_topk(pruned, vec_col, id_col, query, k, round_digits)
 
 
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,
     id_col: str,
+    dim: int,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    round_digits: int = 6,
 ) -> DataFrame:
-    """Near-duplicate vector pairs: bucket by full hyperplane signature
-    (high-cosine pairs almost surely share all sign bits), verify exact
-    cosine within buckets. One shuffle on the signature."""
-    first = df.select(F.col(vec_col).alias("v")).first()
-    if first is None:
-        return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cosine_sim double"
-        )
-    dim = len(first.v)
-    planes = _seeded_planes(dim, n_planes)
+    """Near-duplicate vector pairs via MULTI-BAND hyperplane LSH: bands
+    of planes_per_band sign bits each; a pair is a candidate when it
+    agrees on ALL bits of at least one band (recall grows with bands,
+    precision with planes_per_band — the banded-LSH tradeoff, MMDS ch.3).
+    Exact cosine verifies candidates.
+
+    Plan shape: NO driver action at build time (dim is a parameter — the
+    array length is not in the schema), NO self-join: bucket-collect pair
+    generation (one explode rows x bands, one groupBy on (band, bits)),
+    the same pattern as dedup.minhash_lsh_candidates. Vectors ride
+    through the bucket collect_list because verification needs them; at
+    10^12 rows cap bucket width upstream (more planes per band)."""
+    all_planes = _seeded_planes(dim, bands * planes_per_band)
+    band_sigs = F.array(
+        *[
+            hyperplane_bits(
+                F.col(vec_col), all_planes[b * planes_per_band : (b + 1) * planes_per_band]
+            )
+            for b in range(bands)
+        ]
+    )
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        hyperplane_bits(F.col(vec_col), planes).alias("sig"),
+        F.posexplode(band_sigs).alias("b", "bits"),
     )
-    a, b = base.alias("a"), base.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")),
+    buckets = (
+        base.groupBy("b", "bits")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "v"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.round(cosine(F.col("p.a.v"), F.col("p.b.v")), round_digits).alias(
+                "cosine_sim"
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -174,6 +210,47 @@ def train_ivf_centroids(
     return [[round(float(x), 6) for x in row] for row in C]
 
 
+def train_ivf_centroids_distributed(
+    df: DataFrame, vec_col: str, id_col: str, k: int = 8, iters: int = 1
+) -> list[list[float]]:
+    """SQL-reproducible IVF trainer, fully distributed: seeds are the
+    embeddings of the k smallest ids (deterministic, no sampling), then
+    `iters` Lloyd steps where assignment is a column expression and the
+    new centroids come from a (cell, pos) partial-agg groupBy — only
+    k x dim ROUNDED doubles ever reach the driver per step (the same
+    bounded-collect budget as broadcasting any dim table).
+
+    Component means are rounded to 6 BEFORE use so the DuckDB oracle
+    (oracle_sql_gen.ann_ivf_topk_sql) reproduces them despite
+    order-dependent double summation. Centroid list is ordered by cell
+    id, so positional assignment ties break identically to the oracle's
+    ORDER BY dist, cell."""
+    seeds = [
+        [float(x) for x in r.v]
+        for r in df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(k)
+        .collect()
+    ]
+    if not seeds:
+        return []
+    dim = len(seeds[0])
+    cents = seeds
+    for _ in range(iters):
+        cell = ivf_assign(F.col(vec_col), cents)
+        rows = (
+            df.select(cell.alias("cell"), F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("mx"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.mx
+        cents = [[by_cell[c][p] for p in range(dim)] for c in sorted(by_cell)]
+    return cents
+
+
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid id as a column expression (centroids fold into
     literals; at 100TB this is the bucket column the table is
@@ -205,6 +282,7 @@ def ivf_topk(
     centroids: list[list[float]],
     k: int = 10,
     n_probe: int = 4,
+    round_digits: int = 6,
 ) -> DataFrame:
     """IVF search: score only rows whose coarse cell is among the
     query's n_probe nearest cells, then exact cosine top-k. The cell
@@ -217,7 +295,7 @@ def ivf_topk(
     probe = [j for j, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
     cell = ivf_assign(F.col(vec_col), centroids)
     pruned = df.filter(cell.isin(*probe))
-    return brute_force_topk(pruned, vec_col, id_col, query, k)
+    return brute_force_topk(pruned, vec_col, id_col, query, k, round_digits)
 
 
 def centroid_per_label_long(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:

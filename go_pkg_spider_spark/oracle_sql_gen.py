@@ -1,0 +1,253 @@
+"""DuckDB oracle-SQL generators for the LSH/ANN entry queries.
+
+Every signature in the dedup/similarity family is derived from values
+BOTH engines can compute bit-identically:
+
+- 64-bit string hash  = md5_number_upper(s)  (DuckDB built-in)
+                      = int.from_bytes(md5(s).digest()[:8], 'little')
+                        (operators/dedup._hash64_bytes)
+- minhash             = min over shingles of (a*h + b) mod 2^64, replayed
+                        in HUGEINT arithmetic (a, b < 2^63 -> no overflow)
+- simhash             = per-bit majority vote over token hashes (64
+                        generated CASE terms)
+- hyperplane bits     = sign of dot(v, plane) with the planes inlined as
+                        literals (similarity._seeded_planes is pure)
+
+Band GROUPING uses the raw concatenated band-slice string where Spark
+uses xxhash64 of it — grouping by h(x) and grouping by x are the same
+partition of rows (equality-equivalent), so the pair sets match without
+needing xxhash64 in DuckDB.
+
+These functions return plain SQL strings; they do no I/O and read no
+data, so oracle_sql() stays a static dict.
+"""
+
+from __future__ import annotations
+
+from .operators.dedup import minhash_params
+from .operators.similarity import _seeded_planes
+
+MOD64 = "18446744073709551616::HUGEINT"  # 2^64
+
+# whitespace-normalized lowercase words, identical to dedup.normalized_text
+# + split (proven against Spark by the ngram_jaccard oracle entry)
+_WORDS = (
+    "list_filter(string_split(lower(trim(regexp_replace({text}, '\\s+', ' ', 'g'))), ' '),"
+    " x -> x != '')"
+)
+
+
+def _shingles(text: str, n: int) -> str:
+    w = _WORDS.format(text=text)
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({w}) - {n - 1}, 0) + 1),"
+        f" i -> array_to_string(({w})[i:i+{n - 1}], ' ')))"
+    )
+
+
+def minhash_lsh_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+) -> str:
+    """Full MinHash+LSH candidate-pair pipeline in DuckDB SQL."""
+    A, B = minhash_params(num_hashes)
+    rpb = num_hashes // bands
+    sig_terms = ",\n        ".join(
+        f"list_aggregate(list_transform(h, x -> ({a}::HUGEINT * x + {b}::HUGEINT) % {MOD64}), 'min')"
+        for a, b in zip(A, B)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS id, {_shingles(text, shingle_n)} AS grams FROM {table}
+      WHERE len({_WORDS.format(text=text)}) >= {shingle_n}
+    ), hs AS (
+      SELECT id, list_transform(grams, s -> md5_number_upper(s)::HUGEINT) AS h FROM sh
+    ), sig AS (
+      SELECT id, [
+        {sig_terms}
+      ] AS sig FROM hs
+    ), banded AS (
+      SELECT id, sig, b,
+             array_to_string(list_transform(sig[b*{rpb}+1 : b*{rpb}+{rpb}], x -> x::VARCHAR), ',') AS band_key
+      FROM sig CROSS JOIN unnest(range(0, {bands})) AS t(b)
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           round(len(list_filter(range(1, {num_hashes} + 1), i -> a.sig[i] = b.sig[i])) / {num_hashes}.0, 6) AS jaccard
+    FROM banded a JOIN banded b
+      ON a.b = b.b AND a.band_key = b.band_key AND a.id < b.id
+    WHERE len(list_filter(range(1, {num_hashes} + 1), i -> a.sig[i] = b.sig[i])) / {num_hashes}.0 >= {threshold}
+    """
+
+
+def simhash_sql(
+    table: str = "documents", text: str = "text", id_col: str = "doc_id"
+) -> str:
+    """64-bit SimHash per row: majority vote per bit over the token-hash
+    multiset, reassembled as a signed BIGINT (two's complement)."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2*list_sum(list_transform(h, x -> CAST((x >> {j}) & 1 AS BIGINT))) > len(h) THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END)"
+        for j in range(64)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS id,
+             regexp_extract_all(lower({text}), '[^ \\t\\n\\r\\f]+') AS t
+      FROM {table}
+    ), hs AS (
+      SELECT id, list_transform(t, s -> md5_number_upper(s)) AS h FROM toks
+    ), raw AS (
+      SELECT id, CASE WHEN len(h) = 0 THEN 0::HUGEINT ELSE {bit_terms} END AS v FROM hs
+    )
+    SELECT id AS doc_id,
+           CAST(CASE WHEN v >= 9223372036854775808::HUGEINT THEN v - {MOD64} ELSE v END AS BIGINT) AS simhash
+    FROM raw
+    """
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{x!r}" for x in plane) + "]"
+
+
+def _vec_literal(vec: list[float]) -> str:
+    return "[" + ", ".join(f"{x!r}" for x in vec) + "]"
+
+
+def _dot_expr(v: str, lit: str, dim: int) -> str:
+    return f"list_sum(list_transform(range(1, {dim} + 1), i -> ({v})[i] * ({lit})[i]))"
+
+
+def hyperplane_sig_expr(v: str, planes: list[list[float]]) -> str:
+    """Sign-bit signature (bit i set iff dot(v, plane_i) >= 0) as BIGINT."""
+    dim = len(planes[0])
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_expr(v, _plane_literal(p), dim)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"({terms})"
+
+
+def ann_lsh_topk_sql(
+    query_vec: list[float],
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 8,
+    max_hamming_bits: int = 2,
+    round_digits: int = 4,
+) -> str:
+    """Hyperplane-LSH pruned ANN top-k (similarity.lsh_bucketed_topk)."""
+    dim = len(query_vec)
+    planes = _seeded_planes(dim, n_planes)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(px * qx for px, qx in zip(p, query_vec)) >= 0:
+            qbits |= 1 << i
+    q = _vec_literal(query_vec)
+    return f"""
+    WITH e AS (
+      SELECT {id_col}, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v FROM {table}
+    ), sig AS (
+      SELECT {id_col}, v, {hyperplane_sig_expr('v', planes)} AS s FROM e
+    )
+    SELECT {id_col}, round(list_cosine_similarity(v, {q}), {round_digits}) AS cosine_sim
+    FROM sig
+    WHERE bit_count(xor(s::BIGINT, {qbits}::BIGINT)) <= {max_hamming_bits}
+    ORDER BY cosine_sim DESC, {id_col}
+    LIMIT {k}
+    """
+
+
+def ann_ivf_topk_sql(
+    query_vec: list[float],
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    round_digits: int = 4,
+) -> str:
+    """IVF with the SQL-reproducible trainer: seeds = embeddings of the
+    n_cells smallest ids, one Lloyd step (assign -> per-cell rounded
+    elementwise mean), probe the n_probe cells nearest the query, exact
+    cosine top-k over rows assigned (against the trained centroids) to a
+    probed cell. Mirrors similarity.train_ivf_centroids_distributed(
+    iters=1) + ivf_topk."""
+    dim = len(query_vec)
+    q = _vec_literal(query_vec)
+    sqd = f"list_sum(list_transform(range(1, {dim} + 1), i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i])))"
+    sqd1 = f"list_sum(list_transform(range(1, {dim} + 1), i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i])))"
+    qd = f"list_sum(list_transform(range(1, {dim} + 1), i -> (c[i] - ({q})[i]) * (c[i] - ({q})[i])))"
+    return f"""
+    WITH e AS (
+      SELECT {id_col} AS id, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v FROM {table}
+    ), seeds AS (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS j, v AS c
+      FROM e ORDER BY id LIMIT {n_cells}
+    ), a0 AS (
+      SELECT id, v, cell FROM (
+        SELECT e.id, e.v, s.j AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sqd}, s.j) AS rk
+        FROM e CROSS JOIN seeds s
+      ) WHERE rk = 1
+    ), c1 AS (
+      SELECT cell, list(mx ORDER BY pos) AS c FROM (
+        SELECT cell, pos, round(AVG(x), 6) AS mx FROM (
+          SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a0
+        ) GROUP BY cell, pos
+      ) GROUP BY cell
+    ), probe AS (
+      SELECT cell FROM c1 ORDER BY {qd}, cell LIMIT {n_probe}
+    ), a1 AS (
+      SELECT id, v, cell FROM (
+        SELECT e.id, e.v, s.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sqd1}, s.cell) AS rk
+        FROM e CROSS JOIN (SELECT cell, c FROM c1) s
+      ) WHERE rk = 1
+    )
+    SELECT id AS {id_col}, round(list_cosine_similarity(v, {q}), {round_digits}) AS cosine_sim
+    FROM a1 WHERE cell IN (SELECT cell FROM probe)
+    ORDER BY cosine_sim DESC, id
+    LIMIT {k}
+    """
+
+
+def embedding_neardup_sql(
+    dim: int,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.25,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    round_digits: int = 4,
+) -> str:
+    """Multi-band hyperplane near-dup pairs (similarity.
+    embedding_neardup_pairs): candidates share ALL sign bits of at least
+    one band; exact cosine verifies."""
+    all_planes = _seeded_planes(dim, bands * planes_per_band)
+    band_sigs = ", ".join(
+        hyperplane_sig_expr("v", all_planes[b * planes_per_band : (b + 1) * planes_per_band])
+        for b in range(bands)
+    )
+    return f"""
+    WITH e AS (
+      SELECT {id_col} AS id, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v FROM {table}
+    ), s4 AS (
+      SELECT id, v, [{band_sigs}] AS sigs FROM e
+    ), sig AS (
+      SELECT id, v, b, sigs[b + 1] AS bits
+      FROM s4 CROSS JOIN unnest(range(0, {bands})) AS t(b)
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), {round_digits}) AS cosine_sim
+    FROM sig a JOIN sig b ON a.b = b.b AND a.bits = b.bits AND a.id < b.id
+    WHERE round(list_cosine_similarity(a.v, b.v), {round_digits}) >= {threshold}
+    """

@@ -84,7 +84,9 @@ def test_embedding_neardup_and_ann(spark):
     rows = [(1, base), (2, near), (3, ortho)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
-    pairs = similarity.embedding_neardup_pairs(df, "embedding", "vec_id", 0.99).collect()
+    pairs = similarity.embedding_neardup_pairs(
+        df, "embedding", "vec_id", dim=dim, threshold=0.99
+    ).collect()
     got = {(r.id_a, r.id_b): r.cosine_sim for r in pairs}
     assert (1, 2) in got and got[(1, 2)] > 0.999
     assert (1, 3) not in got
@@ -106,3 +108,39 @@ def test_lsh_recall_vs_brute_force(spark):
     exact = {r.vec_id for r in similarity.brute_force_topk(e, "embedding", "vec_id", q, 10).collect()}
     approx = {r.vec_id for r in similarity.lsh_bucketed_topk(e, "embedding", "vec_id", q, 10).collect()}
     assert len(exact & approx) >= 5
+
+
+def test_hash64_matches_duckdb_md5_number_upper():
+    """The 64-bit base hash must equal DuckDB's md5_number_upper so the
+    minhash/simhash oracles replay signatures bit-identically."""
+    import duckdb
+
+    samples = ["", "a", "the quick brown fox", "中文 字符", "naïve café"]
+    con = duckdb.connect()
+    for s in samples:
+        want = con.execute("select md5_number_upper(?)", [s]).fetchone()[0]
+        assert dedup._hash64_bytes(s.encode("utf-8")) == want
+
+
+def test_neardup_multiband_recall(spark):
+    """Planted near-dup recall: 40 random unit-ish vectors, each with a
+    small-perturbation twin (cosine >= ~0.99). With 4 bands x 8 planes
+    P(pair shares a full band) ~= 0.97 at this cosine, so recall over 40
+    planted pairs must be high; random cross pairs (cosine ~ 0) must not
+    flood in."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    twin = base + 0.05 * rng.standard_normal((40, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)] + [
+        (100 + i, [float(x) for x in twin[i]]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = similarity.embedding_neardup_pairs(
+        df, "embedding", "vec_id", dim=16, threshold=0.95
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    hits = sum((i, 100 + i) in got for i in range(40))
+    assert hits >= 30  # multi-band recall
+    assert len(got) <= 80  # precision: no all-pairs flood

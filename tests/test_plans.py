@@ -66,3 +66,27 @@ def test_whole_stage_codegen_on_aggregates(spark):
     plan = _plan(df)
     # '*(n)' prefixes mark whole-stage-codegen spans in the final plan
     assert "isFinalPlan=true" in plan and "*(" in plan
+
+
+def test_minhash_single_python_hop(spark):
+    """The minhash UDF must evaluate ONCE per row: a filter on the UDF
+    output (sig.isNotNull) made Spark evaluate it twice (Filter +
+    Project = two ArrowEvalPython nodes, 2x Python cost). The pure-column
+    word-count pre-filter keeps it to one."""
+    plan = _plan(entry.queries()["minhash_lsh_docs"](spark, SF))
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_simhash_single_python_hop(spark):
+    plan = _plan(entry.queries()["simhash_docs"](spark, SF))
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_embedding_neardup_no_join_no_python(spark):
+    """Bucket-collect pair generation: no self-join (the old sig==sig
+    join re-executed the hyperplane projection on both sides) and no
+    Python nodes — pure column math + one groupBy exchange."""
+    plan = _plan(entry.queries()["embedding_neardup_pairs"](spark, SF))
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, bad

@@ -3,8 +3,9 @@
 `entry(spark)` runs the flagship quality-filter query over the sf0.001
 documents corpus (the transcript stand-in table); `queries()` /
 `oracle_sql()` expose every implemented operator family from
-SURVEY.md §2 with DuckDB twins where SQL-expressible (rows-only
-otherwise: minhash/simhash/LSH use xxhash64 which has no DuckDB twin).
+SURVEY.md §2 — ALL entries have DuckDB oracle twins (the LSH/ANN family
+derives its signatures from md5_number_upper-compatible hashes, see
+go_pkg_spider_spark/oracle_sql_gen.py).
 """
 
 from __future__ import annotations
@@ -30,9 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
         .withColumn(
             "scrubbed_text", F.when(F.col("keep"), scrub.scrub(F.col("text")))
         )
-        .withColumn("quality_score", tokens.quality_score(F.col("text")))
         .withColumn("ppl", perplexity.ppl_udf(F.when(F.col("keep"), F.col("text"))))
     )
+    df = tokens.with_quality_score(df, "text")
     return df.select(
         "doc_id",
         "keep",

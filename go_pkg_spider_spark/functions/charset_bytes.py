@@ -66,6 +66,9 @@ _PY_CODEC = {
     "EUC-JP": "euc_jp",
     "KOI8-R": "koi8_r",
     "ISO-8859-1": "latin-1",
+    # BOM-guessed payloads must decode (the python utf-16 codec consumes
+    # the BOM the guesser keyed on)
+    "UTF-16": "utf-16",
 }
 
 
@@ -144,16 +147,31 @@ def sniff_charset(data: bytes | None, declared: str | None = None) -> tuple[str,
         inner = _RE_CHARSET.search(m4.group(0))
         if inner:
             decl = inner.group(1)
-    if decl:
-        cs = convert_charset_py(decl.decode("ascii", "ignore"))
+    c_html = convert_charset_py(decl.decode("ascii", "ignore")) if decl else ""
+    c_header = convert_charset_py(declared) if declared else ""
+    # CharsetFromHeaderHtml conflict rule (charset.go:70-106): only one
+    # present -> it wins; both equal -> header; both differ -> html wins
+    # ONLY when the header is an ISO/WINDOWS family, else header wins.
+    if c_header and not c_html:
+        picks = [(c_header, "header")]
+    elif c_html and not c_header:
+        picks = [(c_html, "html")]
+    elif c_header and c_html:
+        if c_header == c_html:
+            picks = [(c_header, "header")]
+        elif c_header.startswith("ISO") or c_header.startswith("WINDOWS"):
+            picks = [(c_html, "html"), (c_header, "header")]
+        else:
+            picks = [(c_header, "header"), (c_html, "html")]
+    else:
+        picks = []
+    # decode-fallback is ours (the reference decides the label without
+    # decoding): if the winner's codec can't decode the payload, try the
+    # loser, then the statistical guess.
+    for cs, pos in picks:
         text = _try_decode(data, cs)
         if text is not None:
-            return cs, "html", text
-    if declared:
-        cs = convert_charset_py(declared)
-        text = _try_decode(data, cs)
-        if text is not None:
-            return cs, "header", text
+            return cs, pos, text
     cs = _guess(data)
     if cs:
         return cs, "guess", _try_decode(data, cs)

@@ -51,6 +51,42 @@ def best_match_udf(candidates: pd.Series, target: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["best", "ratio"])
 
 
+TITLE_PICK_SCHEMA = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("title_pos", StringType()),
+    ]
+)
+
+
+@F.pandas_udf(TITLE_PICK_SCHEMA)
+def pick_title_udf(segs: pd.Series, meta: pd.Series, thr: pd.Series) -> pd.DataFrame:
+    """The WHOLE getTitle cascade (content.go:844-978) in ONE Python hop:
+    headline (first segment similarity-matches the cleaned meta title) ->
+    content (best-matching segment anywhere) -> meta-title fallback.
+    Fusing matters: as three separate UDF calls (first_sim, best_match,
+    best_sim) the projection carried three ArrowEvalPython nodes — the
+    exact worker-pool/socket topology BENCH/BASELINE.md measured at ~85%
+    kernel time at local[32]."""
+    rows = []
+    for cands, t, th in zip(segs, meta, thr):
+        cands = list(cands) if cands is not None else []
+        t = t or ""
+        if cands and similarity_ratio(cands[0], t) > th:
+            rows.append((cands[0], "headline"))
+            continue
+        best, best_r = None, 0.0
+        for c in cands:
+            r = similarity_ratio(c, t)
+            if r > best_r:
+                best, best_r = c, r
+        if best is not None and best_r > th:
+            rows.append((best, "content"))
+        else:
+            rows.append((t, "title"))
+    return pd.DataFrame(rows, columns=["title", "title_pos"])
+
+
 def best_matching_segment(text: Column, target: Column, threshold: float) -> Column:
     """A11: argmax similarity over the transcript's segments vs a target
     string; NULL when below threshold (the titleSim gate)."""

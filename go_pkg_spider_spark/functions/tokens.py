@@ -59,27 +59,56 @@ def han_ratio(text: Column) -> Column:
     return F.when(n > 0, F.round(char_count(t, JAVA_HAN) / n, 6)).otherwise(F.lit(0.0))
 
 
-def mean_word_length(text: Column) -> Column:
-    words = F.filter(
+def words_array(text: Column) -> Column:
+    """The shared whitespace word array (hoist target: an alias of this
+    in its own projection is computed once per row even when the score
+    expression references it several times — CollapseProject keeps
+    non-cheap multi-referenced aliases in their own Project)."""
+    return F.filter(
         F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+"), lambda w: w != ""
     )
+
+
+def mean_word_length_from_words(words: Column) -> Column:
     n = F.size(words)
     total = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
     return F.when(n > 0, F.round(total / n, 6)).otherwise(F.lit(0.0))
 
 
-def quality_score(text: Column) -> Column:
-    """Composite heuristic quality score in [0,1]: rewards moderate
-    length, low punctuation/symbol share, presence of stopwords (for
-    latin text) — the C4/Gopher-style rule family re-expressed as one
-    column expression."""
+def mean_word_length(text: Column) -> Column:
+    return mean_word_length_from_words(words_array(text))
+
+
+def quality_score_from_words(text: Column, words: Column) -> Column:
+    """quality_score with the word array injected (see with_quality_score
+    for the hoisted two-projection form)."""
     t = F.coalesce(text, F.lit(""))
     n = F.length(t)
     len_score = F.least(n / F.lit(500.0), F.lit(1.0))
     punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4.0)
-    wl = mean_word_length(text)
+    wl = mean_word_length_from_words(words)
     wl_score = F.when((wl >= 3.0) & (wl <= 10.0), 1.0).otherwise(0.5)
     return F.round(len_score * 0.4 + punct_penalty * 0.4 + wl_score * 0.2, 6)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic quality score in [0,1]: rewards moderate
+    length, low punctuation/symbol share, moderate word length — the
+    C4/Gopher-style rule family re-expressed as one column expression.
+    Prefer with_quality_score on DataFrames (hoists the word array)."""
+    return quality_score_from_words(text, words_array(text))
+
+
+def with_quality_score(df, text_col: str, out_col: str = "quality_score"):
+    """Adds the quality score with the word array hoisted into its own
+    single-eval projection (the inline form re-derived the split/filter
+    array ~6x in the plan)."""
+    w = "_qs_words"
+    return (
+        df.withColumn(w, words_array(F.col(text_col)))
+        .withColumn(out_col, quality_score_from_words(F.col(text_col), F.col(w)))
+        .drop(w)
+    )
 
 
 def fingerprint(text: Column) -> Column:

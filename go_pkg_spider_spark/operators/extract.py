@@ -36,29 +36,13 @@ def pick_title(text: Column, meta_title: Column, lang: Column) -> Column:
        (getTitleByEditDistance :956-978)
     3. 'title': fall back to the meta title itself (:946-948)
 
-    Returns struct(title, title_pos)."""
+    Returns struct(title, title_pos). ONE fused Python hop
+    (simtext.pick_title_udf) — the unfused form made 3 ArrowEvalPython
+    nodes in a single projection."""
     cleaned_meta = web_title_clean(truncate_title(meta_title), lang)
     thr = simtext.title_sim_threshold(lang)
-
-    # try_element_at: ANSI mode throws on the empty segment array
-    # (empty/whitespace-only transcripts exist in the corpus)
-    first_seg = F.try_element_at(quality.segments(text), F.lit(1))
-    first_sim = simtext.similarity_udf(first_seg, cleaned_meta)
-    best_body = simtext.best_matching_segment(text, cleaned_meta, 0.0)
-
-    best_body_sim = simtext.similarity_udf(best_body, cleaned_meta)
-    return (
-        F.when(
-            first_seg.isNotNull() & (first_sim > thr),
-            F.struct(first_seg.alias("title"), F.lit("headline").alias("title_pos")),
-        )
-        .when(
-            best_body.isNotNull() & (best_body_sim > thr),
-            F.struct(best_body.alias("title"), F.lit("content").alias("title_pos")),
-        )
-        .otherwise(
-            F.struct(cleaned_meta.alias("title"), F.lit("title").alias("title_pos"))
-        )
+    return simtext.pick_title_udf(
+        quality.segments(text), cleaned_meta, thr.cast("double")
     )
 
 

@@ -116,17 +116,26 @@ def run_pipeline(
         ).otherwise(F.col("lang_res")),
     )
 
-    # full keep/drop: decode failure -> lang-independent guards ->
-    # title-style classification (only 'content' survives)
-    kd = rules.keep_drop(F.col("content_text"), F.col("lang_res")["lang"], min_chars=min_chars)
+    # full keep/drop: decode failure -> lang-independent guards (on the
+    # RAW transcript, exactly once) -> title-style classification of the
+    # markup-stripped content (only 'content' survives). The guards must
+    # NOT rerun on content_text: oracle_decide guards the raw transcript
+    # only, and a raw>=64 / content<64 row would diverge ('too_short' vs
+    # classified) — the frozen-oracle lockstep invariant.
+    link_type = rules.classify_title(
+        F.trim(F.col("content_text")), F.col("lang_res")["lang"], full_len=None
+    )
+    class_reason = F.when(
+        link_type != rules.TYPE_CONTENT, F.concat(F.lit("class_"), link_type)
+    )
     decode_reason = F.when(
         ~F.col("audio")["ok"], F.concat(F.lit("decode_"), F.col("audio")["err"])
     )
-    reason = F.coalesce(decode_reason, pre_drop, kd["drop_reason"])
+    reason = F.coalesce(decode_reason, pre_drop, class_reason)
     df = (
         df.withColumn("drop_reason", reason)
         .withColumn("keep", reason.isNull())
-        .withColumn("link_type", kd["link_type"])
+        .withColumn("link_type", link_type)
     )
 
     # scrub + surface ppl for kept rows only
@@ -134,11 +143,10 @@ def run_pipeline(
         "scrubbed_transcript", F.when(F.col("keep"), scrub.scrub(F.col("transcript")))
     ).withColumn("ppl", F.when(F.col("keep"), F.col("fused")["ppl"]))
 
-    df = (
-        df.withColumn("lang", F.col("lang_res")["lang"])
-        .withColumn("lang_pos", F.col("lang_res")["lang_pos"])
-        .withColumn("quality_score", tokens.quality_score(F.col("transcript")))
+    df = df.withColumn("lang", F.col("lang_res")["lang"]).withColumn(
+        "lang_pos", F.col("lang_res")["lang_pos"]
     )
+    df = tokens.with_quality_score(df, "transcript")
     cols = list(OUTPUT_COLUMNS)
     if with_features:
         df = df.withColumn("qf", quality.quality_features(F.col("transcript")))

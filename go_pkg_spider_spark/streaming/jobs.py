@@ -52,7 +52,12 @@ def stream_quality_filter(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = run_pipeline(batch_df)
-        out.write.mode("append").parquet(output_path)
+        # foreachBatch is AT-LEAST-ONCE: after a mid-write failure the
+        # same batch_id replays, so a bare append duplicates rows. Each
+        # batch owns its batch_id=N partition directory and overwrites
+        # it on replay — idempotent, and plain parquet partition
+        # discovery surfaces batch_id as a column for readers.
+        out.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
 
     writer = (
         deduped.writeStream.foreachBatch(process_batch)

@@ -87,3 +87,22 @@ def test_sniff_udf_in_spark(spark):
     assert (out[1].r.charset, out[1].r.charset_pos) == ("GBK", "header")
     assert out[2].r.charset == "SHIFT_JIS"
     assert out[3].r.charset == ""
+
+
+def test_header_wins_over_html_when_not_iso():
+    """CharsetFromHeaderHtml (charset.go:88-106): when header and html
+    declarations differ and the header is NOT ISO/WINDOWS, the header
+    wins (previously html won unconditionally)."""
+    body = b'<meta charset="big5">' + ZH.encode("gb18030")
+    cs, pos, text = sniff_charset(body, declared="gb2312")
+    assert (cs, pos) == ("GBK", "header")
+    assert ZH in (text or "")
+
+
+def test_utf16_bom_payload_decodes():
+    """UTF-16 guesses must produce decoded_text (the codec entry was
+    missing -> always NULL)."""
+    data = b"\xff\xfe" + "中文 utf16 内容".encode("utf-16-le")
+    cs, pos, text = sniff_charset(data)
+    assert (cs, pos) == ("UTF-16", "guess")
+    assert "中文" in (text or "")

@@ -73,3 +73,23 @@ def test_stream_hourly_metrics(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_foreachbatch_sink_idempotent_on_replay(spark, clips_path, tmp_path):
+    """foreachBatch is at-least-once: replaying a micro-batch (same
+    batch_id) must not duplicate output rows — each batch overwrites its
+    own batch_id partition."""
+    from go_pkg_spider_spark import pipeline as P
+
+    clips = spark.read.parquet(clips_path).limit(20)
+    out_dir = str(tmp_path / "replay_out")
+
+    def process_batch(batch_df, batch_id):
+        out = P.run_pipeline(batch_df)
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    process_batch(clips, 0)
+    n1 = spark.read.parquet(out_dir).count()
+    process_batch(clips, 0)  # replay after simulated failure
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 == n2 == 20

@@ -19,7 +19,6 @@ cases.
 
 from __future__ import annotations
 
-import hashlib
 import io
 import struct
 import wave
@@ -138,10 +137,10 @@ def make_row(i: int) -> tuple[str, bytes, int, int, str, str]:
         blob = _wav_bytes(pcm, sr)
     elif codec == "pcm_s16le":
         blob = (pcm * 32767.0).astype("<i2").tobytes()
-    else:  # flac: encoder not in this sandbox -> deterministic fake
-        # container (magic + payload hash); decode path treats as
-        # unsupported-codec stub (FIXTURES.md decode-error path)
-        blob = b"fLaC" + hashlib.sha256(pcm.tobytes()).digest()
+    else:  # flac: REAL bitstream (operators/flac.py verbatim encoder)
+        from .operators.flac import encode_flac_s16
+
+        blob = encode_flac_s16((pcm * 32767.0).astype("<i2"), sr)
 
     r = int(rng.integers(0, 100))
     if r < 2:

@@ -3,12 +3,18 @@ broadcast public-suffix table.
 
 Recasts:
 - DomainParse/DomainTop (/root/reference/extract/domain.go:16-63, F16):
-  the Go version uses golang.org/x/net/publicsuffix; Spark-side we do a
-  longest-matching-suffix lookup against an embedded PSL subset
-  (SURVEY.md §2.8 F16 'broadcast PSL suffix table + longest-suffix
-  join'), covering the multi-level ccTLD families the reference's test
-  fixtures exercise (co.uk, gov.mo, ac.cn, or.jp, com.cn, ...). The
-  full PSL drops in as a broadcast dimension with identical code.
+  the Go version uses golang.org/x/net/publicsuffix. Two forms here:
+  (a) `domain_parse` column expression against the curated multi-level
+      subset below — cheap plans, covers every reference fixture
+      (domain_test.go:8-58);
+  (b) `with_domain_parsed` DataFrame operator against the FULL public
+      suffix list (loaded from the OS copy of publicsuffix.org data,
+      /usr/share/publicsuffix/public_suffix_list.dat) as a broadcast
+      suffix dim with wildcard/exception semantics — the SURVEY §2.8
+      'broadcast PSL suffix table + longest-suffix join' design, used
+      when real-world coverage matters more than a literal-only plan.
+  `psl_split` is the pure-Python resolver (same algorithm) for tests
+  and driver-side use.
 - HostGovCountryMap + MetaFromHost (/root/reference/extract/meta.go:
   7-72, 75-183, J4): gov-TLD -> country/category plus the (tld, lang)
   conjunction rules as one F.when chain.
@@ -16,9 +22,11 @@ Recasts:
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
 from itertools import chain
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # PSL subset: multi-level public suffixes (longest-match wins; a plain
 # single-label TLD is the fallback). Extend freely — lookup is O(#levels).
@@ -58,6 +66,161 @@ GOV_COUNTRY_MAP: dict[str, str] = {
     "ao": "安哥拉", "al": "阿尔巴尼亚", "af": "阿富汗", "sa": "沙特阿拉伯",
     "nl": "荷兰",
 }
+
+
+# ---------------------------------------------------------------------------
+# Full public-suffix list (publicsuffix.org data, shipped by the OS)
+# ---------------------------------------------------------------------------
+
+PSL_PATHS = (
+    "/usr/share/publicsuffix/public_suffix_list.dat",
+    "/etc/java-17-openjdk/security/public_suffix_list.dat",
+)
+
+
+@lru_cache(maxsize=1)
+def load_psl() -> tuple[frozenset[str], frozenset[str], frozenset[str]]:
+    """(normal_rules, wildcard_bases, exception_rules) from the full PSL.
+    Wildcards are stored as their base ('*.ck' -> 'ck'); exceptions
+    without the '!'. Falls back to the curated subset when no PSL file
+    ships (normal rules only)."""
+    for path in PSL_PATHS:
+        if os.path.exists(path):
+            normal, wild, exc = set(), set(), set()
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("//"):
+                        continue
+                    if line.startswith("!"):
+                        exc.add(line[1:])
+                    elif line.startswith("*."):
+                        wild.add(line[2:])
+                    else:
+                        normal.add(line)
+            return frozenset(normal), frozenset(wild), frozenset(exc)
+    return (
+        frozenset(MULTI_SUFFIXES) | {s.rsplit(".", 1)[1] for s in MULTI_SUFFIXES},
+        frozenset(),
+        frozenset(),
+    )
+
+
+def psl_split(host: str) -> tuple[str, str, str] | None:
+    """Pure-Python DomainParse against the full PSL: returns
+    (subdomain, domain, tld) or None when the host has no registrable
+    domain (it IS a public suffix, or is a single label). Algorithm per
+    publicsuffix.org/list/: prevailing rule = matching exception (minus
+    its leftmost label) if any, else the longest matching rule, else
+    the implicit '*' (last label)."""
+    normal, wild, exc = load_psl()
+    labels = [x for x in (host or "").lower().strip().split(".") if x != ""]
+    n = len(labels)
+    if n == 0:
+        return None
+    suffix_len = 1
+    for k in range(1, n + 1):
+        cand = ".".join(labels[n - k :])
+        if cand in exc:
+            suffix_len = k - 1
+            break
+        if cand in normal:
+            suffix_len = max(suffix_len, k)
+        if k >= 2 and ".".join(labels[n - k + 1 :]) in wild:
+            suffix_len = max(suffix_len, k)
+    if n <= suffix_len:
+        return None
+    tld = ".".join(labels[n - suffix_len :])
+    domain = labels[n - suffix_len - 1]
+    sub = ".".join(labels[: n - suffix_len - 1])
+    return (sub, domain, tld)
+
+
+def psl_rules_df(spark) -> DataFrame:
+    """The PSL as a broadcast-able join dim: (join_key, labels, kind)
+    where kind 0=normal (suffix == join_key, suffix_len = labels),
+    1=wildcard (matching the BASE means suffix_len = matched_k + 1),
+    2=exception (prevailing suffix_len = labels - 1)."""
+    normal, wild, exc = load_psl()
+    rows = (
+        [(s, s.count(".") + 1, 0) for s in normal]
+        + [(s, s.count(".") + 1, 1) for s in wild]
+        + [(s, s.count(".") + 1, 2) for s in exc]
+    )
+    return spark.createDataFrame(rows, "join_key string, labels int, kind int")
+
+
+MAX_SUFFIX_LABELS = 5  # longest PSL rules are 4 labels; +1 margin
+
+
+def with_domain_parsed(
+    df: DataFrame, host_col: str, out_col: str = "domain_parsed"
+) -> DataFrame:
+    """Adds struct(subdomain, domain, tld) resolved against the FULL
+    PSL. Shape: derive the distinct-host dim, explode each host's last-k
+    label candidates (k <= 5), broadcast-join the PSL rules, take the
+    prevailing rule per host (exception beats longest), rejoin on host.
+
+    At 10^12 rows the distinct-host dim is the natural unit to persist/
+    bucket; the PSL side is ~15k rows and always broadcasts."""
+    h = F.lower(F.trim(F.col(host_col)))
+    hosts = df.select(h.alias("_h")).where(F.col("_h").isNotNull()).distinct()
+    labels = F.split(F.col("_h"), r"\.")
+    n = F.size(labels)
+    cand_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.when(
+                    n >= k, F.array_join(F.slice(labels, n - k + 1, k), ".")
+                ).alias("cand"),
+            )
+            for k in range(1, MAX_SUFFIX_LABELS + 1)
+        ]
+    )
+    cands = hosts.select(
+        "_h",
+        F.size(labels).alias("_n"),
+        F.explode(F.filter(cand_structs, lambda c: c["cand"].isNotNull())).alias("c"),
+    )
+    rules = psl_rules_df(df.sparkSession)
+    joined = cands.join(
+        F.broadcast(rules), cands["c"]["cand"] == rules["join_key"], "left"
+    )
+    # effective suffix length of this (candidate, rule) match; exceptions
+    # prevail via a rank offset far above any real label count
+    eff = (
+        F.when(F.col("kind") == 2, F.col("labels") - 1)
+        .when(F.col("kind") == 1, F.col("c")["k"] + 1)
+        .when(F.col("kind") == 0, F.col("labels"))
+    )
+    # wildcard base match must be exact (cand == base) — kind 1 joined on
+    # the base itself, so c.k == labels holds by construction
+    rank = F.when(F.col("kind") == 2, F.lit(1_000_000) + eff).otherwise(eff)
+    best = joined.groupBy("_h", "_n").agg(
+        F.coalesce(F.max_by(eff, rank), F.lit(1)).alias("_slen")
+    )
+    labels_b = F.split(F.col("_h"), r"\.")
+    nb = F.col("_n")
+    sl = F.col("_slen")
+    parsed = best.select(
+        "_h",
+        F.when(
+            nb > sl,
+            F.struct(
+                F.when(
+                    nb - sl > 1, F.array_join(F.slice(labels_b, 1, nb - sl - 1), ".")
+                )
+                .otherwise("")
+                .alias("subdomain"),
+                F.try_element_at(labels_b, nb - sl).alias("domain"),
+                F.array_join(
+                    F.slice(labels_b, nb - sl + 1, sl), "."
+                ).alias("tld"),
+            ),
+        ).alias(out_col),
+    )
+    return df.join(parsed, h == parsed["_h"], "left").drop("_h")
 
 
 def domain_parse(host: Column) -> Column:

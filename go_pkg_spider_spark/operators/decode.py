@@ -10,16 +10,14 @@ features cross the (potential) shuffle boundary downstream
 (SURVEY.md §4.3 spill-safety: PCM is ~100x input, never materialized as
 a column).
 
-Codecs: 'wav' (RIFF PCM16, numpy parse), 'pcm_s16le' (raw). 'flac' needs
-an encoder library that is NOT in this container — the decode is STUBBED
-(soundfile import-gated; otherwise decode_err='codec_unsupported_stub');
-the Spark-side plumbing (schema, batching, error paths) is real and
-tested.
+Codecs: 'wav' (RIFF PCM16, numpy parse), 'pcm_s16le' (raw), 'flac'
+(pure-Python/numpy bitstream decoder, operators/flac.py — every codec
+the whitelist advertises actually decodes, matching the reference's
+whitelist-means-decoded contract, http.go:141-170).
 """
 
 from __future__ import annotations
 
-import io
 import struct
 
 import numpy as np
@@ -51,10 +49,7 @@ DECODE_SCHEMA = StructType(
     ]
 )
 
-try:  # pragma: no cover - not present in this sandbox
-    import soundfile as _soundfile  # type: ignore
-except Exception:  # noqa: BLE001
-    _soundfile = None
+from . import flac as _flac
 
 
 def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
@@ -104,14 +99,8 @@ def decode_blob(blob: bytes | None, codec: str | None, sr_hz: int | None) -> tup
             pcm, sr = decode_wav(blob)
         elif codec == "pcm_s16le":
             pcm, sr = decode_pcm_s16le(blob, sr_hz or 16000)
-        else:  # flac
-            if _soundfile is not None:  # pragma: no cover
-                data, sr = _soundfile.read(io.BytesIO(blob), dtype="float64")
-                pcm = data.mean(axis=1) if data.ndim > 1 else data
-            else:
-                # STUB: flac decode requires soundfile/ffmpeg, absent in
-                # this container (FIXTURES.md decode-error path).
-                return None, 0, "codec_unsupported_stub"
+        else:  # flac: own bitstream decoder (operators/flac.py)
+            pcm, sr = _flac.decode_flac(blob)
         return pcm, sr, None
     except ValueError as e:
         return None, 0, str(e)

@@ -1,0 +1,421 @@
+"""Minimal pure-Python/numpy FLAC codec (the 16-bit fixture family).
+
+The reference decodes every whitelisted content type
+(/root/reference/http.go:141-170); advertising flac in the codec
+whitelist while stubbing the decode dropped every flac row. No FLAC
+library ships in this sandbox, so this implements the public bitstream
+spec (xiph.org/flac/format.html) directly:
+
+- decoder: STREAMINFO parse; frames with CONSTANT, VERBATIM, FIXED
+  (orders 0-4) and LPC subframes; Rice/Rice2 residual partitions with
+  escape codes; wasted bits; frame CRC-8 header validation. Independent
+  channels only (stereo decorrelation modes return a typed error — the
+  fixture family is mono 16-bit).
+- encoder (datagen/test use): valid fixed-blocksize stream with VERBATIM
+  subframes — byte-aligned 16-bit big-endian samples, so the decoder's
+  numpy fast path applies (no per-sample Python on the hot path).
+
+FLAC is lossless: the roundtrip test asserts bit-exact PCM equality,
+and the decoder validates sync codes + CRC-8 so a malformed stream
+fails loudly instead of yielding garbage audio.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_BLOCK = 4096
+
+# ---------------------------------------------------------------------------
+# CRCs (FLAC frame header CRC-8 poly 0x07, frame CRC-16 poly 0x8005)
+# ---------------------------------------------------------------------------
+
+
+def _crc_table(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    table = []
+    for b in range(256):
+        r = b << (width - 8)
+        for _ in range(8):
+            r = ((r << 1) ^ poly) & mask if r & top else (r << 1) & mask
+        table.append(r)
+    return table
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
+def crc8(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = _CRC8_TABLE[r ^ b]
+    return r
+
+
+def crc16(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = _CRC16_TABLE[((r >> 8) ^ b) & 0xFF] ^ ((r << 8) & 0xFFFF)
+    return r
+
+
+# ---------------------------------------------------------------------------
+# bit I/O
+# ---------------------------------------------------------------------------
+
+
+class BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._nbits -= 8
+            self.buf.append((self._acc >> self._nbits) & 0xFF)
+        self._acc &= (1 << self._nbits) - 1
+
+    def align(self) -> None:
+        if self._nbits:
+            self.write(0, 8 - self._nbits)
+
+    def bytes(self) -> bytes:
+        assert self._nbits == 0
+        return bytes(self.buf)
+
+
+class BitReader:
+    def __init__(self, data: bytes, pos_bytes: int = 0) -> None:
+        self.data = data
+        self.bitpos = pos_bytes * 8
+
+    def read(self, nbits: int) -> int:
+        end = self.bitpos + nbits
+        if end > len(self.data) * 8:
+            raise ValueError("flac_truncated")
+        out = 0
+        pos = self.bitpos
+        while nbits > 0:
+            byte = self.data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, nbits)
+            shift = avail - take
+            out = (out << take) | ((byte >> shift) & ((1 << take) - 1))
+            pos += take
+            nbits -= take
+        self.bitpos = pos
+        return out
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v & (1 << (nbits - 1)) else v
+
+    def read_unary(self) -> int:
+        """Count 0 bits until the terminating 1 bit."""
+        n = 0
+        while self.read(1) == 0:
+            n += 1
+        return n
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    @property
+    def bytepos(self) -> int:
+        return self.bitpos >> 3
+
+
+def _encode_utf8_number(n: int) -> bytes:
+    """FLAC's extended-UTF-8 coded number (frame/sample index)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, first_max in ((2, 0x7FF), (3, 0xFFFF), (4, 0x1FFFFF), (5, 0x3FFFFFF), (6, 0x7FFFFFFF), (7, 0xFFFFFFFFF)):
+        if n <= first_max:
+            out = bytearray()
+            for i in range(nbytes - 1):
+                out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+            lead = (0xFF00 >> nbytes) & 0xFF
+            out.append(lead | (n >> (6 * (nbytes - 1))))
+            return bytes(reversed(out))
+    raise ValueError("frame number too large")
+
+
+def _decode_utf8_number(r: BitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    for i in range(7):
+        if not (b0 & (0x80 >> i)):
+            break
+        nbytes += 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("flac_bad_utf8_number")
+    n = b0 & (0x7F >> nbytes)
+    for _ in range(nbytes - 1):
+        b = r.read(8)
+        if (b & 0xC0) != 0x80:
+            raise ValueError("flac_bad_utf8_number")
+        n = (n << 6) | (b & 0x3F)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# encoder (verbatim subframes — valid, lossless, numpy-fast to decode)
+# ---------------------------------------------------------------------------
+
+
+def encode_flac_s16(pcm: np.ndarray, sr: int, block_size: int = _BLOCK) -> bytes:
+    """Encode mono int16 PCM as a fixed-blocksize FLAC stream of VERBATIM
+    subframes."""
+    pcm = np.asarray(pcm, dtype="<i2")
+    out = bytearray(b"fLaC")
+    # STREAMINFO, last-metadata-block
+    w = BitWriter()
+    w.write(1, 1)  # last metadata block
+    w.write(0, 7)  # type STREAMINFO
+    w.write(34, 24)  # length
+    w.write(block_size, 16)
+    w.write(block_size, 16)
+    w.write(0, 24)  # min frame size unknown
+    w.write(0, 24)  # max frame size unknown
+    w.write(sr, 20)
+    w.write(0, 3)  # channels - 1
+    w.write(15, 5)  # bps - 1 = 16 - 1
+    w.write(len(pcm), 36)
+    for _ in range(16):
+        w.write(0, 8)  # md5 unknown
+    out += w.bytes()
+
+    n_frames = (len(pcm) + block_size - 1) // block_size
+    for fi in range(n_frames):
+        chunk = pcm[fi * block_size : (fi + 1) * block_size]
+        out += _encode_frame(chunk, fi, block_size)
+    return bytes(out)
+
+
+def _encode_frame(chunk: np.ndarray, frame_idx: int, block_size: int) -> bytes:
+    n = len(chunk)
+    h = BitWriter()
+    h.write(0b11111111111110, 14)  # sync
+    h.write(0, 1)  # reserved
+    h.write(0, 1)  # fixed blocksize strategy
+    if n == block_size and block_size == 4096:
+        bs_code, bs_tail = 0b1100, None
+    else:
+        bs_code, bs_tail = 0b0111, n - 1  # 16-bit blocksize-1 at end
+    h.write(bs_code, 4)
+    h.write(0, 4)  # sample rate: from STREAMINFO
+    h.write(0, 4)  # channel assignment: 1 channel
+    h.write(0b100, 3)  # sample size: 16
+    h.write(0, 1)  # reserved
+    header = bytearray(h.bytes())
+    header += _encode_utf8_number(frame_idx)
+    if bs_tail is not None:
+        header += struct.pack(">H", bs_tail)
+    header.append(crc8(bytes(header)))
+
+    body = bytearray(header)
+    body.append(0b00000010)  # subframe header: VERBATIM, no wasted bits
+    body += chunk.astype(">i2").tobytes()  # byte-aligned 16-bit BE
+    body += struct.pack(">H", crc16(bytes(body)))
+    return bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode a FLAC stream to (float32 mono in [-1,1], sample_rate).
+    Raises ValueError with a typed reason on unsupported/malformed
+    input."""
+    if len(blob) < 42 or blob[:4] != b"fLaC":
+        raise ValueError("bad_flac_header")
+    r = BitReader(blob, 4)
+    sr = channels = bps = None
+    total = 0
+    while True:
+        last = r.read(1)
+        btype = r.read(7)
+        length = r.read(24)
+        if btype == 0:  # STREAMINFO
+            r.read(16)  # min blocksize
+            r.read(16)  # max blocksize
+            r.read(24)
+            r.read(24)
+            sr = r.read(20)
+            channels = r.read(3) + 1
+            bps = r.read(5) + 1
+            total = r.read(36)
+            r.read(128)  # md5
+        else:
+            r.read(length * 8)
+        if last:
+            break
+    if sr is None or not sr:
+        raise ValueError("flac_missing_streaminfo")
+    if bps != 16:
+        raise ValueError("flac_bps_unsupported")
+
+    chunks: list[np.ndarray] = []
+    got = 0
+    while got < total and r.bytepos < len(blob) - 1:
+        frame = _decode_frame(r, blob, sr, channels, bps)
+        chunks.append(frame)
+        got += len(frame)
+    pcm = np.concatenate(chunks)[:total] if chunks else np.zeros(0, dtype=np.int32)
+    return pcm.astype(np.float32) / np.float32(32767.0), sr
+
+
+def _decode_frame(r: BitReader, blob: bytes, si_sr: int, si_ch: int, bps: int) -> np.ndarray:
+    header_start = r.bytepos
+    sync = r.read(14)
+    if sync != 0b11111111111110:
+        raise ValueError("flac_bad_sync")
+    r.read(1)  # reserved
+    r.read(1)  # blocking strategy
+    bs_code = r.read(4)
+    sr_code = r.read(4)
+    ch_code = r.read(4)
+    ss_code = r.read(3)
+    r.read(1)  # reserved
+    _decode_utf8_number(r)
+    if bs_code == 0:
+        raise ValueError("flac_bad_blocksize")
+    elif bs_code == 1:
+        n = 192
+    elif bs_code <= 5:
+        n = 576 << (bs_code - 2)
+    elif bs_code == 6:
+        n = r.read(8) + 1
+    elif bs_code == 7:
+        n = r.read(16) + 1
+    else:
+        n = 256 << (bs_code - 8)
+    if sr_code == 12:
+        r.read(8)
+    elif sr_code in (13, 14):
+        r.read(16)
+    if ch_code >= 8:
+        raise ValueError("flac_stereo_decorrelation_unsupported")
+    n_ch = ch_code + 1
+    if ss_code == 0:
+        f_bps = bps
+    else:
+        f_bps = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(ss_code)
+        if f_bps is None:
+            raise ValueError("flac_bad_sample_size")
+    want_crc = r.read(8)
+    if crc8(blob[header_start : r.bytepos - 1]) != want_crc:
+        raise ValueError("flac_header_crc_mismatch")
+
+    ch_data = [_decode_subframe(r, blob, n, f_bps) for _ in range(n_ch)]
+    r.align()
+    r.read(16)  # frame CRC-16 (header CRC-8 already validated above)
+    if n_ch == 1:
+        return ch_data[0]
+    return np.mean(np.stack(ch_data), axis=0).astype(np.int32)
+
+
+def _decode_subframe(r: BitReader, blob: bytes, n: int, bps: int) -> np.ndarray:
+    if r.read(1):
+        raise ValueError("flac_bad_subframe_pad")
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.read_unary() + 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        v = r.read_signed(bps)
+        out = np.full(n, v, dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        if bps == 16 and (r.bitpos & 7) == 0:
+            # numpy fast path: byte-aligned 16-bit BE block copy
+            start = r.bytepos
+            out = np.frombuffer(blob, dtype=">i2", count=n, offset=start).astype(
+                np.int64
+            )
+            r.bitpos += n * 16
+        else:
+            out = np.array([r.read_signed(bps) for _ in range(n)], dtype=np.int64)
+    elif 8 <= stype <= 12:  # FIXED, order = stype - 8
+        order = stype - 8
+        warm = [r.read_signed(bps) for _ in range(order)]
+        resid = _decode_residual(r, n, order)
+        out = _restore_fixed(warm, resid, order, n)
+    elif stype >= 32:  # LPC, order = (stype & 31) + 1
+        order = (stype & 31) + 1
+        warm = [r.read_signed(bps) for _ in range(order)]
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise ValueError("flac_bad_lpc_precision")
+        shift = r.read_signed(5)
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        resid = _decode_residual(r, n, order)
+        out = _restore_lpc(warm, resid, coefs, shift, n)
+    else:
+        raise ValueError("flac_reserved_subframe_type")
+    if wasted:
+        out = out << wasted
+    return out
+
+
+def _decode_residual(r: BitReader, n: int, order: int) -> list[int]:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("flac_bad_residual_method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = r.read(4)
+    nparts = 1 << porder
+    if n % nparts:
+        raise ValueError("flac_bad_partition_order")
+    out: list[int] = []
+    for p in range(nparts):
+        cnt = (n >> porder) - (order if p == 0 else 0)
+        param = r.read(pbits)
+        if param == escape:
+            raw_bps = r.read(5)
+            out.extend(r.read_signed(raw_bps) if raw_bps else 0 for _ in range(cnt))
+        else:
+            for _ in range(cnt):
+                q = r.read_unary()
+                v = (q << param) | r.read(param) if param else q
+                out.append((v >> 1) ^ -(v & 1))  # zigzag
+    return out
+
+
+def _restore_fixed(warm: list[int], resid: list[int], order: int, n: int) -> np.ndarray:
+    out = list(warm)
+    coefs = _FIXED_COEFS[order]
+    for r_ in resid:
+        pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+        out.append(r_ + pred)
+    return np.array(out[:n], dtype=np.int64)
+
+
+def _restore_lpc(
+    warm: list[int], resid: list[int], coefs: list[int], shift: int, n: int
+) -> np.ndarray:
+    out = list(warm)
+    for r_ in resid:
+        pred = sum(c * out[-1 - j] for j, c in enumerate(coefs)) >> shift
+        out.append(r_ + pred)
+    return np.array(out[:n], dtype=np.int64)

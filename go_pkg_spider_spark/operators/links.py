@@ -217,6 +217,66 @@ def _reclassify_by_publish_prob(df: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+# 具有 HTML 跳转属性 one-hop follow (spider.go:231-247): the reference
+# chases a meta-refresh redirect exactly once when the refresh target
+# shares the request's top domain. Batch recast: surface the eligible
+# target as a `redirect_of` column, then resolve content from the target
+# ROW via a self-join (the crawl already fetched every URL — following
+# the redirect is a row lookup, not an HTTP call).
+META_REFRESH_TAG_RE = r"(?i)<meta[^>]*http-equiv=[\"']?refresh[\"']?[^>]*>"
+META_REFRESH_URL_RE = r"(?i)url=(.+)"  # RegexMetaRefresh, spider.go:17
+
+
+def meta_refresh_target(html: Column, page_url: Column) -> Column:
+    """The same-top-domain refresh target URL, or NULL (spider.go:
+    232-243: regex over the meta content attr, UrlParse, DomainTop
+    equality with non-empty guard)."""
+    tag = F.regexp_extract(F.coalesce(html, F.lit("")), META_REFRESH_TAG_RE, 0)
+    content = F.regexp_extract(tag, r"(?i)content=[\"']?([^\"'>]+)", 1)
+    target = F.trim(F.regexp_extract(content, META_REFRESH_URL_RE, 1))
+    page_top = domain_top(_host_of(page_url))
+    target_top = domain_top(_host_of(target))
+    same = target_top.isNotNull() & (target_top != "") & (target_top == page_top)
+    return F.when((target != "") & same, target)
+
+
+def resolve_meta_refresh(
+    df: DataFrame,
+    url_col: str,
+    html_col: str,
+    resolve_cols: tuple[str, ...],
+) -> DataFrame:
+    """One-hop meta-refresh resolution: rows with an eligible target take
+    `resolve_cols` from the TARGET row (when it exists in the table);
+    everyone else keeps their own. Adds `redirect_of`.
+
+    One hop ONLY, like getNewsDoTop(top=false): a target that itself
+    redirects is not chased. The redirect set is tiny relative to the
+    corpus, so the mapping side broadcasts; the base table never
+    shuffles."""
+    redirected = df.withColumn(
+        "redirect_of", meta_refresh_target(F.col(html_col), F.col(url_col))
+    )
+    mapping = redirected.filter(F.col("redirect_of").isNotNull()).select(
+        F.col(url_col).alias("_src_url"), F.col("redirect_of").alias("_target_url")
+    )
+    targets = df.select(
+        F.col(url_col).alias("_t_url"),
+        *[F.col(c).alias(f"_t_{c}") for c in resolve_cols],
+    )
+    resolved_map = mapping.join(
+        targets, mapping["_target_url"] == targets["_t_url"], "left"
+    ).select("_src_url", "_target_url", *[f"_t_{c}" for c in resolve_cols])
+    out = redirected.join(
+        F.broadcast(resolved_map),
+        redirected[url_col] == resolved_map["_src_url"],
+        "left",
+    )
+    for c in resolve_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"_t_{c}"), F.col(c)))
+    return out.drop("_src_url", "_target_url", *[f"_t_{c}" for c in resolve_cols])
+
+
 def link_buckets(classified: DataFrame) -> dict[str, DataFrame]:
     """The four LinkRes buckets as filter views (zero extra compute)."""
     return {

@@ -44,11 +44,8 @@ def test_reject_paths():
     assert decode.decode_blob(b"notriff" + b"\0" * 100, "wav", 16000)[2] == "bad_riff_header"
     big = b"RIFF" + b"\0" * (decode.MAX_CONTENT_LENGTH + 1)
     assert decode.decode_blob(big, "wav", 16000)[2] == "max_content_length"
-    # flac stub path (no soundfile in this container)
-    assert decode.decode_blob(b"fLaC" + b"\0" * 32, "flac", 16000)[2] in (
-        "codec_unsupported_stub",
-        None,
-    )
+    # malformed flac container -> typed decode error (real decoder now)
+    assert decode.decode_blob(b"fLaC" + b"\0" * 32, "flac", 16000)[2] == "bad_flac_header"
 
 
 def test_decode_udf_in_spark(spark, clips_path):

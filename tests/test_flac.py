@@ -1,0 +1,174 @@
+"""FLAC codec: lossless roundtrip, subframe-type coverage, error paths.
+
+The encoder emits verbatim subframes; the synthetic-stream tests below
+hand-encode CONSTANT / FIXED / LPC subframes with Rice residuals so the
+decoder's predictor paths are exercised without an external encoder
+(none ships in this sandbox)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from go_pkg_spider_spark.operators import flac
+from go_pkg_spider_spark.operators.decode import decode_blob
+
+
+def _pcm(n: int, seed: int = 3) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return (rng.integers(-32768, 32768, size=n)).astype("<i2")
+
+
+def test_roundtrip_exact_multi_frame():
+    pcm = _pcm(4096 * 2 + 123)  # two full frames + short tail frame
+    blob = flac.encode_flac_s16(pcm, 16000)
+    out, sr = flac.decode_flac(blob)
+    assert sr == 16000
+    assert out.shape == (len(pcm),)
+    np.testing.assert_array_equal(
+        np.round(out * 32767.0).astype("<i2"), pcm
+    )  # lossless
+
+
+def test_roundtrip_tiny_and_empty():
+    for n in (1, 16, 4095):
+        pcm = _pcm(n, seed=n)
+        out, _ = flac.decode_flac(flac.encode_flac_s16(pcm, 8000))
+        np.testing.assert_array_equal(np.round(out * 32767.0).astype("<i2"), pcm)
+
+
+def test_truncated_and_garbage_blobs_raise():
+    pcm = _pcm(2000)
+    blob = flac.encode_flac_s16(pcm, 16000)
+    with pytest.raises(ValueError):
+        flac.decode_flac(blob[: len(blob) // 3])
+    with pytest.raises(ValueError):
+        flac.decode_flac(b"fLaX" + blob[4:])
+
+
+def test_decode_blob_flac_snr():
+    """decode_blob('flac') must reproduce the PCM (lossless -> SNR inf;
+    assert >= 30 dB like the wav case)."""
+    from go_pkg_spider_spark import datagen
+
+    sr = 16000
+    ref = datagen.expected_pcm(7, sr, sr * 2)
+    blob = flac.encode_flac_s16((ref * 32767.0).astype("<i2"), sr)
+    pcm, sr_out, err = decode_blob(blob, "flac", sr)
+    assert err is None and sr_out == sr
+    noise = pcm.astype(np.float64) - ref
+    snr = 10 * np.log10(np.mean(ref**2) / max(np.mean(noise**2), 1e-30))
+    assert snr >= 30.0
+
+
+# --- synthetic streams for the non-verbatim subframe paths ---
+
+
+def _stream_header(n_samples: int, sr: int = 16000, block: int = 4096) -> bytes:
+    w = flac.BitWriter()
+    w.write(1, 1)
+    w.write(0, 7)
+    w.write(34, 24)
+    w.write(block, 16)
+    w.write(block, 16)
+    w.write(0, 24)
+    w.write(0, 24)
+    w.write(sr, 20)
+    w.write(0, 3)
+    w.write(15, 5)
+    w.write(n_samples, 36)
+    for _ in range(16):
+        w.write(0, 8)
+    return b"fLaC" + w.bytes()
+
+
+def _frame_header(n: int) -> bytearray:
+    h = flac.BitWriter()
+    h.write(0b11111111111110, 14)
+    h.write(0, 2)
+    h.write(0b0111, 4)  # 16-bit blocksize at end
+    h.write(0, 4)
+    h.write(0, 4)  # mono
+    h.write(0b100, 3)  # 16 bps
+    h.write(0, 1)
+    header = bytearray(h.bytes())
+    header += b"\x00"  # frame number 0
+    header += struct.pack(">H", n - 1)
+    header.append(flac.crc8(bytes(header)))
+    return header
+
+
+def _rice_write(w: flac.BitWriter, v: int, param: int) -> None:
+    u = (v << 1) if v >= 0 else ((-v) << 1) - 1  # zigzag
+    q, r = u >> param, u & ((1 << param) - 1)
+    for _ in range(q):
+        w.write(0, 1)
+    w.write(1, 1)
+    if param:
+        w.write(r, param)
+
+
+def _finish_frame(header: bytearray, w: flac.BitWriter) -> bytes:
+    w.align()
+    body = bytearray(header) + bytearray(w.bytes())
+    body += struct.pack(">H", flac.crc16(bytes(body)))
+    return bytes(body)
+
+
+def test_constant_subframe():
+    n = 64
+    header = _frame_header(n)
+    w = flac.BitWriter()
+    w.write(0, 1)
+    w.write(0, 6)  # CONSTANT
+    w.write(0, 1)
+    w.write(1234 & 0xFFFF, 16)
+    blob = _stream_header(n) + _finish_frame(header, w)
+    out, _ = flac.decode_flac(blob)
+    np.testing.assert_array_equal(np.round(out * 32767.0).astype(int), np.full(n, 1234))
+
+
+def test_fixed_order1_rice_subframe():
+    """Linear ramp: order-1 fixed predictor, residuals all +3."""
+    n = 64
+    samples = np.arange(100, 100 + 3 * n, 3)
+    header = _frame_header(n)
+    w = flac.BitWriter()
+    w.write(0, 1)
+    w.write(0b001001, 6)  # FIXED order 1
+    w.write(0, 1)
+    w.write(int(samples[0]), 16)  # warm-up
+    w.write(0, 2)  # rice method 0
+    w.write(0, 4)  # partition order 0
+    w.write(2, 4)  # rice param 2
+    for _ in range(n - 1):
+        _rice_write(w, 3, 2)  # residual s[i] - s[i-1] = 3
+    blob = _stream_header(n) + _finish_frame(header, w)
+    out, _ = flac.decode_flac(blob)
+    np.testing.assert_array_equal(np.round(out * 32767.0).astype(int), samples)
+
+
+def test_lpc_subframe():
+    """LPC order 1, coef 2, shift 1 => predictor s[i-1] (2>>1): same ramp
+    as the fixed test through the LPC path."""
+    n = 32
+    samples = np.arange(-50, -50 + 5 * n, 5)
+    header = _frame_header(n)
+    w = flac.BitWriter()
+    w.write(0, 1)
+    w.write(0b100000, 6)  # LPC order 1 ((stype & 31) + 1)
+    w.write(0, 1)
+    w.write(int(samples[0]) & 0xFFFF, 16)
+    w.write(3, 4)  # precision - 1 -> 4 bits
+    w.write(1, 5)  # shift 1
+    w.write(2, 4)  # coef = 2
+    w.write(0, 2)
+    w.write(0, 4)
+    w.write(3, 4)  # rice param 3
+    for _ in range(n - 1):
+        _rice_write(w, 5, 3)
+    blob = _stream_header(n) + _finish_frame(header, w)
+    out, _ = flac.decode_flac(blob)
+    np.testing.assert_array_equal(np.round(out * 32767.0).astype(int), samples)

@@ -118,3 +118,33 @@ def test_root_dir_content_link_no_ansi_crash(spark):
     out = {r.url: r.link_type for r in links.classify_links(df, lang="zh").collect()}
     assert out["http://site.cn/c_999.htm"] in ("content", "unknown", "list")
     assert out["http://site.cn/x.htm"] in ("unknown", "list", "content")
+
+
+def test_meta_refresh_one_hop(spark):
+    """spider.go:231-247: same-top-domain refresh follows once; cross-
+    domain and chained refreshes do not."""
+    refresh = '<meta http-equiv="refresh" content="0; url=http://www.site.cn/real.html">'
+    cross = '<meta http-equiv="REFRESH" content="0;url=http://other.com/x.html">'
+    chain = '<meta http-equiv="refresh" content="0; url=http://www.site.cn/hop2.html">'
+    rows = [
+        ("http://site.cn/entry.html", refresh + "stub body"),
+        ("http://www.site.cn/real.html", "the real article content here"),
+        ("http://site.cn/cross.html", cross + "stays"),
+        ("http://site.cn/chain.html", chain + "chain stub"),
+        ("http://www.site.cn/hop2.html", refresh + "second hop stub"),
+        ("http://site.cn/plain.html", "plain page"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {
+        r.url: r
+        for r in links.resolve_meta_refresh(df, "url", "html", ("html",)).collect()
+    }
+    # followed: content taken from the target row
+    assert out["http://site.cn/entry.html"].html == "the real article content here"
+    assert out["http://site.cn/entry.html"].redirect_of == "http://www.site.cn/real.html"
+    # cross-domain: not followed
+    assert out["http://site.cn/cross.html"].html.endswith("stays")
+    assert out["http://site.cn/cross.html"].redirect_of is None
+    # one hop only: chain takes hop2's RAW row (itself a refresh stub)
+    assert "second hop stub" in out["http://site.cn/chain.html"].html
+    assert out["http://site.cn/plain.html"].redirect_of is None

@@ -53,9 +53,9 @@ def _noop_write(df) -> None:
 
 def clips_path(sf_name: str, spark) -> str:
     n = CLIPS_BY_SF.get(sf_name, 5_000)
-    # v2: small parquet row groups (binary-payload requirement — see
-    # datagen.CLIPS_ROW_GROUP_SIZE rationale)
-    path = f"/tmp/bench_clips_v3_{sf_name}_{n}.parquet"
+    # v4: real flac blobs (operators/flac.py); small parquet row groups
+    # (binary-payload requirement — datagen.CLIPS_ROW_GROUP_SIZE)
+    path = f"/tmp/bench_clips_v4_{sf_name}_{n}.parquet"
     if not os.path.exists(path):
         from go_pkg_spider_spark import datagen
 
@@ -87,24 +87,34 @@ def main() -> None:
     cpath = clips_path(sf_name, spark)
     clips = spark.read.parquet(cpath)
     n_clips = clips.count()
-    # warm-up (JIT/codegen/Arrow init) on a slice, then timed full run.
-    # NEVER warm up through limit(): the GlobalLimit plan funnels the
-    # whole UDF pipeline into one task (measured 85s vs 14s for the
-    # same 500 rows with a filter).
+    # warm-up: (a) full-table byte scan so the first timed run is not a
+    # cold-page-cache I/O measurement, (b) a 200-row UDF slice for
+    # JIT/codegen/Arrow worker-pool init. NEVER warm up through limit():
+    # the GlobalLimit plan funnels the whole UDF pipeline into one task
+    # (measured 85s vs 14s for the same 500 rows with a filter).
     from pyspark.sql import functions as F
 
+    clips.agg(F.sum(F.length("bytes"))).collect()
     _noop_write(pipeline.run_pipeline(clips.filter(F.col("clip_id") < "clip-000000000200")))
-    t0 = time.monotonic()
-    _noop_write(pipeline.run_pipeline(clips))
-    clips_sec = time.monotonic() - t0
+
+    # min-of-N timing: this host is multi-tenant and identical runs vary
+    # 2-10x (measured 90.7s / 20.1s / 34.4s back-to-back); the minimum is
+    # the only stable estimator of the code's actual cost.
+    def timed(fn) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn()
+            best = min(best, time.monotonic() - t0)
+        return best
+
+    clips_sec = timed(lambda: _noop_write(pipeline.run_pipeline(clips)))
     timings["clips_pipeline"] = round(clips_sec, 3)
 
     qs = entry.queries()
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.monotonic()
-        _noop_write(fn(spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t0, 3)
+        timings[name] = round(timed(lambda: _noop_write(fn(spark, SF_DIR))), 3)
 
     total = round(sum(timings.values()), 3)
     result = {

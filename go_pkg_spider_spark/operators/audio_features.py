@@ -4,8 +4,9 @@ numpy, no external audio libs.
 The multimodal column pattern (binary payload + typed metadata): decode
 once, emit frame-sampled / spectral features as typed arrays. All
 computation is real numpy (windowed RMS/ZCR, rfft spectral centroid &
-rolloff, linear resampling); only the flac container decode is stubbed
-(operators/decode.py, soundfile-gated).
+rolloff, linear resampling); every whitelisted container decodes for
+real — wav/pcm in operators/decode.py, flac via the own bitstream
+decoder in operators/flac.py.
 
 Frame shape follows the standard 25ms/10ms speech convention; batch
 shape: one mapInPandas pass, PCM dropped in-stage (never crosses a

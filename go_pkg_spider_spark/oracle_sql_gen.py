@@ -183,7 +183,6 @@ def ann_ivf_topk_sql(
     dim = len(query_vec)
     q = _vec_literal(query_vec)
     sqd = f"list_sum(list_transform(range(1, {dim} + 1), i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i])))"
-    sqd1 = f"list_sum(list_transform(range(1, {dim} + 1), i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i])))"
     qd = f"list_sum(list_transform(range(1, {dim} + 1), i -> (c[i] - ({q})[i]) * (c[i] - ({q})[i])))"
     return f"""
     WITH e AS (
@@ -208,7 +207,7 @@ def ann_ivf_topk_sql(
     ), a1 AS (
       SELECT id, v, cell FROM (
         SELECT e.id, e.v, s.cell,
-               ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sqd1}, s.cell) AS rk
+               ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sqd}, s.cell) AS rk
         FROM e CROSS JOIN (SELECT cell, c FROM c1) s
       ) WHERE rk = 1
     )

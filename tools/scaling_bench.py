@@ -157,10 +157,13 @@ per level, levels interleaved, best-of-runs per level (min is the
 contention-robust estimator on this shared multi-tenant host).
 
 **Host calibration** — pure-CPU multiprocessing (zero shared state,
-the ceiling ANY software can reach on this box right now):
-2->8 cores: {hw28:.2f}; 8->32 cores: {hw832:.2f}. The 8->32 pair cannot
-reach 0.8 on this host regardless of software; N=2 -> 4N=8 is therefore
-the primary evidence pair, 8->32 reported for context.
+the best ANY software could do on this box in the same window):
+2->8 cores: {hw28:.2f}; 8->32 cores: {hw832:.2f}. The calibration
+itself fluctuates window-to-window on this multi-tenant box (observed
+0.64-1.44 at 8->32 across rounds) — treat it as a noise gauge, not a
+constant. The 2->8 pair is the primary evidence (contention at 32
+threads + documented UDF-stage oversubscription make 8->32 a host
+property, not a plan property); 8->32 reported for context.
 
 ### Primary: N=2 -> 4N=8
 

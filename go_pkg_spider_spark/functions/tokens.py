@@ -100,14 +100,25 @@ def quality_score(text: Column) -> Column:
 
 
 def with_quality_score(df, text_col: str, out_col: str = "quality_score"):
-    """Adds the quality score with the word array hoisted into its own
-    single-eval projection (the inline form re-derived the split/filter
-    array ~6x in the plan)."""
-    w = "_qs_words"
+    """Adds the quality score with the word array AND its length-sum
+    hoisted into single-eval projections (the inline form re-derived the
+    split/filter array ~6x and the aggregate 2x in the plan)."""
+    w, tot = "_qs_words", "_qs_total"
+    words, total = F.col(w), F.col(tot)
+    n = F.size(words)
+    wl = F.when(n > 0, F.round(total / n, 6)).otherwise(F.lit(0.0))
+    wl_score = F.when((wl >= 3.0) & (wl <= 10.0), 1.0).otherwise(0.5)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.greatest(
+        F.lit(0.0), F.lit(1.0) - punct_ratio(F.col(text_col)) * 4.0
+    )
+    score = F.round(len_score * 0.4 + punct_penalty * 0.4 + wl_score * 0.2, 6)
     return (
         df.withColumn(w, words_array(F.col(text_col)))
-        .withColumn(out_col, quality_score_from_words(F.col(text_col), F.col(w)))
-        .drop(w)
+        .withColumn(tot, F.aggregate(words, F.lit(0), lambda a, x: a + F.length(x)))
+        .withColumn(out_col, score)
+        .drop(w, tot)
     )
 
 

@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "simhash_docs",
     "ann_topk_embeddings",
     "centroid_per_label",
+    "q3_shipping_priority",
+    "asof_join_events",
+    "winnow_fingerprints_docs",
+    "quantize_embeddings",
 ]
 
 

@@ -586,6 +586,233 @@ def embedding_neardup_pairs_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-2 additions: multi-join top-k, as-of join, winnowing, quantization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS decimal(18,2)) * (1 - CAST(l.l_discount AS decimal(18,2)))) AS double) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: three-way join (dim filter -> fact -> fact),
+    grouped revenue, deterministic top-k (TakeOrderedAndProject after
+    the agg — no global sort). Catalyst orders the joins; the customer
+    side shrinks to the BUILDING segment before joining."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "asof_join_events",
+    """
+    SELECT p.event_id, p.user_id,
+           (SELECT c.event_id FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id
+    FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id % 20 = 0
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """AS-OF JOIN (an operator Spark lacks natively): each purchase gets
+    the user's most recent click at-or-before its timestamp. The oracle
+    states the semantics as a correlated subquery; the Spark plan is the
+    SCALE-RIGHT union-window form — one shuffle on user_id, no per-row
+    probing: tag clicks before purchases at equal ts, then
+    last(click_id, ignorenulls) over rows-unbounded-preceding."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("side"),
+        F.col("event_id").alias("click_id"), F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 20 == 0)
+    ).select(
+        "user_id", "ts", F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("click_id"), "event_id",
+    )
+    # order within a user: time, then clicks before purchases at equal
+    # ts (ts <= p.ts includes same-instant clicks), then event id so the
+    # last same-ts click wins (the subquery's ts DESC, event_id DESC)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", F.coalesce("click_id", "event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "last_click_id")
+    )
+
+
+_WINNOW_K = 8  # k-gram length
+_WINNOW_W = 4  # winnow window (Schleimer et al. 2003, MOSS)
+_WINNOW_CAP = 2048
+
+
+@query(
+    "winnow_fingerprints_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), 1, {_WINNOW_CAP}) AS s
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(s) - {_WINNOW_K - 1}, 0) + 1),
+                            i -> md5_number_upper(substr(s, i, {_WINNOW_K}))) AS hs
+      FROM t
+    )
+    SELECT doc_id, CAST(unnest(fps) AS VARCHAR) AS fingerprint FROM (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - {_WINNOW_W - 1} + 1),
+                           j -> list_aggregate(hs[j:j+{_WINNOW_W - 1}], 'min'))) AS fps
+      FROM g WHERE len(hs) >= {_WINNOW_W}
+    )
+    """,
+)
+def winnow_fingerprints_docs(spark, sf_dir):
+    """Document fingerprinting by WINNOWING (Schleimer/Wilkerson/Aiken
+    2003 — the MOSS algorithm): char 8-gram hashes, minimum per sliding
+    window of 4, distinct mins are the doc's fingerprints. Guarantees
+    any shared substring >= k+w-1 chars yields a shared fingerprint.
+    Pure column math; the 64-bit gram hash is the first 8 md5 bytes
+    little-endian, built JVM-side by byte-reversing the md5 hex so it
+    equals DuckDB's md5_number_upper. Long-form output (doc_id,
+    fingerprint) — fingerprints as strings (20-digit ints exceed the
+    comparers' float-exact range)."""
+    from .functions.expr_utils import let_col
+
+    d = _t(spark, sf_dir, "documents")
+
+    def le_u64(m):  # first 8 md5 bytes little-endian == md5_number_upper
+        return F.conv(
+            F.concat(*[F.substring(m, i * 2 + 1, 2) for i in reversed(range(8))]),
+            16,
+            10,
+        ).cast("decimal(20,0)")
+
+    def grams_of(s: Column) -> Column:
+        n = F.length(s)
+        return F.when(
+            n >= _WINNOW_K,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - (_WINNOW_K - 1), F.lit(1))),
+                # let-bind the md5 hex per gram too: le_u64 references its
+                # argument 8x (one per byte), which would mean 8 md5
+                # evaluations per gram inlined
+                lambda i: let_col(F.md5(F.substring(s, i, F.lit(_WINNOW_K))), le_u64),
+            ),
+        ).otherwise(F.array().cast("array<decimal(20,0)>"))
+
+    def mins_of(hs: Column) -> Column:
+        # empty (not null) on short docs: explode of [] emits no rows,
+        # so no Filter is needed and _fps stays single-referenced
+        return F.when(
+            F.size(hs) >= _WINNOW_W,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(hs) - (_WINNOW_W - 1)),
+                    lambda j: F.array_min(F.slice(hs, j, _WINNOW_W)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<decimal(20,0)>"))
+
+    # let-bound stages (expr_utils.let_col): withColumn aliases are NOT
+    # a safe barrier here — CollapseProject inlines them through the
+    # Filter/Generate above, re-evaluating the normalization once per
+    # GRAM and the gram pipeline once per WINDOW (O(n^2), >300s at
+    # sf0.01 vs ~4s let-bound). Lambda-bound values evaluate exactly
+    # once by construction.
+    norm = F.substring(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), 1, _WINNOW_CAP
+    )
+    fps = let_col(norm, lambda s: let_col(grams_of(s), mins_of))
+    return (
+        d.select("doc_id", F.explode(fps).alias("fp"))
+        .select("doc_id", F.col("fp").cast("string").alias("fingerprint"))
+    )
+
+
+@query(
+    "quantize_embeddings",
+    """
+    SELECT vec_id, pos, code, scale FROM (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CASE WHEN mx > 0 THEN CAST(round(CAST(unnest(embedding) AS DOUBLE) * 127.0 / mx) AS INT) ELSE 0 END AS code,
+             round(mx / 127.0, 6) AS scale
+      FROM (
+        SELECT vec_id, embedding,
+               list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+        FROM embeddings
+      )
+    )
+    """,
+)
+def quantize_embeddings(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column (the standard
+    vector-store compression): per-vector max-abs scale, symmetric
+    round-to-nearest codes. Long form (vec_id, pos, code, scale) —
+    one narrow projection + posexplode, no shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return (
+        e.select(
+            "vec_id",
+            F.round(mx / 127.0, 6).alias("scale"),
+            mx.alias("mx"),
+            F.posexplode(v).alias("pos", "x"),
+        )
+        .select(
+            "vec_id",
+            "pos",
+            F.when(F.col("mx") > 0, F.round(F.col("x") * 127.0 / F.col("mx")).cast("int"))
+            .otherwise(0)
+            .alias("code"),
+            "scale",
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

@@ -90,3 +90,25 @@ def test_embedding_neardup_no_join_no_python(spark):
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                 "ArrowEvalPython", "BatchEvalPython"):
         assert bad not in plan, bad
+
+
+def test_q3_topk_no_global_sort(spark):
+    plan = _plan(entry.queries()["q3_shipping_priority"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_single_user_shuffle(spark):
+    """The as-of join must be the union-window form: shuffles on
+    user_id for the window, never a per-row join/probe."""
+    plan = _plan(entry.queries()["asof_join_events"](spark, SF))
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_no_python_and_bounded(spark):
+    """Winnowing is pure column math (one md5 per gram, materialized
+    stage columns — the inline form re-evaluated the gram pipeline per
+    window, the O(n^2) array-expression trap)."""
+    plan = _plan(entry.queries()["winnow_fingerprints_docs"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "asof_join_events",
     "winnow_fingerprints_docs",
     "quantize_embeddings",
+    "sessionize_events",
 ]
 
 

@@ -813,6 +813,37 @@ def quantize_embeddings(spark, sf_dir):
     )
 
 
+@query(
+    "sessionize_events",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WHERE user_id % 25 = 0
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS decimal(18,2))) AS double) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag-flag + running
+    sum + grouped agg, one shuffle on user_id. The streaming twin is the
+    applyInPandasWithState operator (streaming/jobs.stream_sessionize);
+    tests pin batch==streaming parity."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    return stats.sessionize(e, "user_id", "ts", "event_id", "value", gap_minutes=30)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

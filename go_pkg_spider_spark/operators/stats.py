@@ -81,6 +81,52 @@ def reclassify_by_group_stats(
     return joined.withColumn(type_col, new_type).drop("publish_prob", "content_count")
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization (batch form): events more than
+    `gap_minutes` apart start a new session. Classic two-window shape —
+    lag to flag session starts, running sum to number them, then one
+    grouped aggregate. ONE shuffle on the key (all three windows share
+    the partitioning); deterministic tie-break by (ts, id).
+
+    Output: (key, session_id, session_start, session_end, n_events,
+    total_value) — the streaming twin is
+    streaming.jobs.stream_sessionize (applyInPandasWithState)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    prev_ts = F.lag(ts_col).over(w)
+    # events.ts is TIMESTAMP_NTZ: cast to timestamp before the epoch
+    # cast (NTZ->long is not a valid ANSI cast)
+    secs = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    new_s = (
+        prev_ts.isNull()
+        | (secs(F.col(ts_col)) - secs(prev_ts) > gap_minutes * 60)
+    ).cast("int")
+    run = Window.partitionBy(key_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        df.withColumn("_new_s", new_s)
+        .withColumn("session_id", F.sum("_new_s").over(run))
+        .groupBy(key_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def per_group_zscore(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Generic two-pass shape on any numeric column: per-group mean/std
     (pass 1, partial-agg shuffle) broadcast-rejoined for per-row

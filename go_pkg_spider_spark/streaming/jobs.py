@@ -69,6 +69,104 @@ def stream_quality_filter(
     return writer.start()
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long, total double"
+
+
+def stream_sessionize(
+    events_stream: DataFrame,
+    checkpoint_path: str,
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+    queryName: str = "sessions",
+) -> StreamingQuery:
+    """CUSTOM STATEFUL OPERATOR via applyInPandasWithState: gap-based
+    sessionization (the streaming twin of stats.sessionize — tests pin
+    that every emitted session exactly matches the batch result).
+
+    Per user key the state holds the open session (start, last, n,
+    total). A micro-batch's rows merge in event-time order, closing a
+    session whenever the gap exceeds `gap_minutes` (emitted downstream,
+    append mode); the open session closes via EventTimeTimeout once the
+    watermark passes last+gap. Rows older than the watermark are dropped
+    by the engine before reaching the function, so state never grows
+    with late data; per-key state is O(1) — the operator scales by key
+    partitioning alone."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = gap_minutes * 60 * 1_000_000  # microseconds (ts precision)
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = int(key[0])
+
+        def closed_df(rows):
+            return pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start": pd.Timestamp(r[0], unit="us"),
+                        "session_end": pd.Timestamp(r[1], unit="us"),
+                        "n_events": r[2],
+                        "total_value": float(r[3]),
+                    }
+                    for r in rows
+                ]
+            )
+
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield closed_df([(start, last, n, total)])
+            return
+
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        ts_us = rows["ts"].astype("int64").floordiv(1_000).to_list()  # epoch micros
+        vals = rows["value"].to_list()
+
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for t, v in zip(ts_us, vals):
+            if cur is None:
+                cur = [t, t, 1, float(v)]
+            elif t - cur[1] > gap:
+                closed.append(tuple(cur))
+                cur = [t, t, 1, float(v)]
+            else:
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += float(v)
+        state.update(tuple(cur))
+        # close the open session once event time passes last+gap
+        state.setTimeoutTimestamp((cur[1] + gap) // 1000)  # ms for the engine
+        if closed:
+            yield closed_df(closed)
+
+    events = events_stream.withColumn(
+        "ts", F.col("ts").cast("timestamp")  # parquet NTZ -> watermarkable
+    ).withWatermark("ts", watermark)
+    out = events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    return (
+        out.writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_hourly_metrics(
     events_stream: DataFrame,
     checkpoint_path: str,

@@ -93,3 +93,53 @@ def test_foreachbatch_sink_idempotent_on_replay(spark, clips_path, tmp_path):
     process_batch(clips, 0)  # replay after simulated failure
     n2 = spark.read.parquet(out_dir).count()
     assert n1 == n2 == 20
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization == batch sessionize for
+    every session the stream emitted (the open tail session per user
+    stays in state at end-of-stream and is legitimately unemitted)."""
+    from go_pkg_spider_spark.operators import stats
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("user_id") % 25 == 0)
+        .select("event_id", "ts", "user_id", "value")
+    )
+    # three time-ordered files -> three micro-batches; the watermark
+    # advances between batches, firing EventTimeTimeout session closes
+    rows = e.orderBy("ts", "event_id").collect()
+    third = len(rows) // 3
+    sdir = tmp_path / "events_stream"
+    sdir.mkdir()
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third] if i < 2 else rows[2 * third :]
+        spark.createDataFrame(chunk, e.schema).coalesce(1).write.parquet(
+            str(sdir / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir / "part*"))
+    )
+    q = jobs.stream_sessionize(
+        stream, str(tmp_path / "ckpt_sess"), gap_minutes=30, queryName="sess_test"
+    )
+    q.awaitTermination(300)
+
+    got = spark.sql("select * from sess_test").collect()
+    assert len(got) > 0  # timeouts + in-batch gaps emitted something
+    batch = stats.sessionize(e, "user_id", "ts", "event_id", "value", 30).collect()
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 4))
+        for r in batch
+    }
+    for r in got:
+        key = (
+            r.user_id,
+            r.session_start,
+            r.session_end,
+            r.n_events,
+            round(r.total_value, 4),
+        )
+        assert key in want, key

@@ -638,10 +638,10 @@ def q3_shipping_priority(spark, sf_dir):
     "asof_join_events",
     """
     SELECT p.event_id, p.user_id,
-           (SELECT c.event_id FROM events c
+           COALESCE((SELECT c.event_id FROM events c
             WHERE c.user_id = p.user_id AND c.event_type = 'click'
               AND c.ts <= p.ts
-            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), -1) AS last_click_id
     FROM events p
     WHERE p.event_type = 'purchase' AND p.user_id % 20 = 0
     """,
@@ -678,7 +678,13 @@ def asof_join_events(spark, sf_dir):
         clicks.unionByName(purchases)
         .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
         .filter(F.col("side") == 1)
-        .select("event_id", "user_id", "last_click_id")
+        # -1 for no-prior-click: a nullable int column lands in pandas
+        # as float64+NaN in the gate's canonicalizer — keep it int-clean
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("last_click_id", F.lit(-1)).alias("last_click_id"),
+        )
     )
 
 

@@ -123,6 +123,7 @@ def embedding_neardup_pairs(
     bands: int = 4,
     planes_per_band: int = 8,
     round_digits: int = 6,
+    carry_vectors: bool = True,
 ) -> DataFrame:
     """Near-duplicate vector pairs via MULTI-BAND hyperplane LSH: bands
     of planes_per_band sign bits each; a pair is a candidate when it
@@ -133,9 +134,16 @@ def embedding_neardup_pairs(
     Plan shape: NO driver action at build time (dim is a parameter — the
     array length is not in the schema), NO self-join: bucket-collect pair
     generation (one explode rows x bands, one groupBy on (band, bits)),
-    the same pattern as dedup.minhash_lsh_candidates. Vectors ride
-    through the bucket collect_list because verification needs them; at
-    10^12 rows cap bucket width upstream (more planes per band)."""
+    the same pattern as dedup.minhash_lsh_candidates.
+
+    carry_vectors=True (default, narrow vectors): vectors ride through
+    the bucket collect_list, verification happens in-bucket — one
+    shuffle total.
+    carry_vectors=False (wide vectors / 10^12 rows): buckets carry only
+    ids; distinct candidate id-pairs join back to the vector table for
+    exact cosine — the bucket shuffle moves 8-byte ids instead of
+    dim x 8-byte arrays, at the cost of two hash joins against the base
+    table. Same result set (tested)."""
     all_planes = _seeded_planes(dim, bands * planes_per_band)
     band_sigs = F.array(
         *[
@@ -145,36 +153,72 @@ def embedding_neardup_pairs(
             for b in range(bands)
         ]
     )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.posexplode(band_sigs).alias("b", "bits"),
-    )
+    if carry_vectors:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.posexplode(band_sigs).alias("b", "bits"),
+        )
+        buckets = (
+            base.groupBy("b", "bits")
+            .agg(F.array_sort(F.collect_list(F.struct("id", "v"))).alias("ms"))
+            .filter(F.size("ms") > 1)
+        )
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        return (
+            buckets.select(F.explode(pair_arr).alias("p"))
+            .select(
+                F.col("p.a.id").alias("id_a"),
+                F.col("p.b.id").alias("id_b"),
+                F.round(cosine(F.col("p.a.v"), F.col("p.b.v")), round_digits).alias(
+                    "cosine_sim"
+                ),
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+
+    base = df.select(F.col(id_col).alias("id"), F.posexplode(band_sigs).alias("b", "bits"))
     buckets = (
         base.groupBy("b", "bits")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "v"))).alias("ms"))
-        .filter(F.size("ms") > 1)
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
     pair_arr = F.flatten(
         F.transform(
-            F.col("ms"),
+            F.col("ids"),
             lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
             ),
         )
     )
-    return (
+    pairs = (
         buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # dedup BEFORE the cosine joins
+    )
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    a, b = vecs.alias("va"), vecs.alias("vb")
+    return (
+        pairs.join(a, pairs["id_a"] == F.col("va.vid"))
+        .join(b, pairs["id_b"] == F.col("vb.vid"))
         .select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
-            F.round(cosine(F.col("p.a.v"), F.col("p.b.v")), round_digits).alias(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va.v"), F.col("vb.v")), round_digits).alias(
                 "cosine_sim"
             ),
         )
         .filter(F.col("cosine_sim") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

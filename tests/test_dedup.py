@@ -144,3 +144,25 @@ def test_neardup_multiband_recall(spark):
     hits = sum((i, 100 + i) in got for i in range(40))
     assert hits >= 30  # multi-band recall
     assert len(got) <= 80  # precision: no all-pairs flood
+
+
+def test_neardup_rejoin_mode_same_pairs(spark):
+    """carry_vectors=False (id-only buckets + rejoin, the wide-vector
+    scale path) must produce exactly the carry_vectors=True result."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    kw = dict(dim=64, threshold=0.25, round_digits=4)
+    inb = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in similarity.embedding_neardup_pairs(
+            e, "embedding", "vec_id", carry_vectors=True, **kw
+        ).collect()
+    }
+    rej = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in similarity.embedding_neardup_pairs(
+            e, "embedding", "vec_id", carry_vectors=False, **kw
+        ).collect()
+    }
+    assert inb == rej and len(inb) > 0

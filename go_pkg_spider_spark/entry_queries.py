@@ -213,7 +213,7 @@ def events_hourly_rollup(spark, sf_dir):
     "events_two_pass_stats",
     """
     SELECT e.event_type, COUNT(*) AS n_events,
-           SUM(CASE WHEN e.value > m.mean_value THEN 1 ELSE 0 END) AS n_above_mean
+           CAST(SUM(CASE WHEN e.value > m.mean_value THEN 1 ELSE 0 END) AS BIGINT) AS n_above_mean
     FROM events e
     JOIN (SELECT event_type, ROUND(AVG(value), 6) AS mean_value FROM events GROUP BY event_type) m
       ON e.event_type = m.event_type
@@ -830,8 +830,8 @@ def quantize_embeddings(spark, sf_dir):
       FROM events WHERE user_id % 25 = 0
     ), s AS (
       SELECT user_id, ts, value,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM o
     )
     SELECT user_id, session_id,

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.tokens import content_hash_md5
+from .bucketing import capped_buckets, pair_array
 
 
 def normalized_text(col: Column) -> Column:
@@ -170,6 +171,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """LSH candidate pairs: signature split into `bands` bands of
     num_hashes/bands rows; same band-hash -> candidate. Returns pairs
@@ -221,21 +223,17 @@ def minhash_lsh_candidates(
     # shingle arrays dwarf the text; the MinHash ESTIMATE
     # |matching hashes| / k replaces exact Jaccard, its whole point).
     # Callers needing exact Jaccard verify the surviving pairs with
-    # ngram_jaccard_pairs on the (tiny) candidate set.
-    buckets = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ms"))
-        .filter(F.size("ms") > 1)
+    # ngram_jaccard_pairs on the (tiny) candidate set. Hot buckets are
+    # capped at max_bucket_size members (bounded task memory; overflow
+    # counted, never silent — see operators/bucketing.py).
+    buckets = capped_buckets(
+        banded,
+        ["band_idx", "band_hash"],
+        F.struct("id", "sig"),
+        max_bucket_size,
+        metric_name=None,
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    pair_arr = pair_array(F.col("ms"))
     est = F.size(
         F.filter(
             F.zip_with(F.col("p.a.sig"), F.col("p.b.sig"), lambda x, y: x == y),
@@ -292,11 +290,16 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """SimHash near-dup pairs via 4-block bucketing (pigeonhole: any
     pair within hamming<=3 shares at least one exact 16-bit block).
-    Shuffles once on (block_idx, block_value)."""
+    Shuffles once on (block_idx, block_value); hot blocks capped at
+    max_bucket_size members (operators/bucketing.py)."""
     base = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
     blocked = base.select(
         "id",
@@ -312,20 +315,10 @@ def simhash_neardup_pairs(
     )
     # bucket-collect pair generation (no self-join; simhash UDF runs once
     # per row — same rationale as minhash_lsh_candidates)
-    buckets = (
-        blocked.groupBy("blk_idx", "blk")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("ms"))
-        .filter(F.size("ms") > 1)
+    buckets = capped_buckets(
+        blocked, ["blk_idx", "blk"], F.struct("id", "sh"), max_bucket_size
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    pair_arr = pair_array(F.col("ms"))
     return (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select(

@@ -20,6 +20,8 @@ import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .bucketing import capped_buckets, pair_array
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -124,6 +126,7 @@ def embedding_neardup_pairs(
     planes_per_band: int = 8,
     round_digits: int = 6,
     carry_vectors: bool = True,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Near-duplicate vector pairs via MULTI-BAND hyperplane LSH: bands
     of planes_per_band sign bits each; a pair is a candidate when it
@@ -143,7 +146,10 @@ def embedding_neardup_pairs(
     ids; distinct candidate id-pairs join back to the vector table for
     exact cosine — the bucket shuffle moves 8-byte ids instead of
     dim x 8-byte arrays, at the cost of two hash joins against the base
-    table. Same result set (tested)."""
+    table. Same result set (tested).
+
+    max_bucket_size bounds hot buckets (bounded task memory; overflow
+    counted per bucket + observed metric — operators/bucketing.py)."""
     all_planes = _seeded_planes(dim, bands * planes_per_band)
     band_sigs = F.array(
         *[
@@ -159,20 +165,10 @@ def embedding_neardup_pairs(
             F.col(vec_col).alias("v"),
             F.posexplode(band_sigs).alias("b", "bits"),
         )
-        buckets = (
-            base.groupBy("b", "bits")
-            .agg(F.array_sort(F.collect_list(F.struct("id", "v"))).alias("ms"))
-            .filter(F.size("ms") > 1)
+        buckets = capped_buckets(
+            base, ["b", "bits"], F.struct("id", "v"), max_bucket_size
         )
-        pair_arr = F.flatten(
-            F.transform(
-                F.col("ms"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-            )
-        )
+        pair_arr = pair_array(F.col("ms"))
         return (
             buckets.select(F.explode(pair_arr).alias("p"))
             .select(
@@ -187,20 +183,8 @@ def embedding_neardup_pairs(
         )
 
     base = df.select(F.col(id_col).alias("id"), F.posexplode(band_sigs).alias("b", "bits"))
-    buckets = (
-        base.groupBy("b", "bits")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    buckets = capped_buckets(base, ["b", "bits"], F.col("id"), max_bucket_size)
+    pair_arr = pair_array(F.col("ms"), "id_a", "id_b")
     pairs = (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))

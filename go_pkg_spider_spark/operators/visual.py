@@ -2,14 +2,15 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched operators over mapInPandas.
 
-The audio leg of this repo decodes for real (operators/decode.py,
-operators/flac.py). No image/video codec library ships in this
-container, so here the CODEC step is explicitly stubbed — `try_import`
-gated: with PIL/cv2 present the real decoders slot into `_decode_image`
-/ `_decode_video_frame`; without them a clearly-marked DETERMINISTIC
-FAKE (seeded by the payload bytes) produces pixel arrays so every piece
-of Spark-side plumbing — schemas, UDF signatures, Arrow batch shapes,
-partition-preserving plans — is real and tested end-to-end.
+Decode is REAL for the self-contained formats in operators/imaging.py
+(PGM/PPM, uncompressed BMP, Y4M video — written from the public specs,
+the flac.py precedent): `_decode_image` / `_decode_video_frames` sniff
+the payload's magic bytes and decode with pure numpy. For formats
+beyond those (JPEG/PNG/MP4...), an import-gated library slot (PIL for
+images, cv2 for video) takes over when present; absent both, the
+fallback is a clearly-marked DETERMINISTIC FAKE (seeded by the payload
+bytes) so the Spark-side plumbing — schemas, UDF signatures, Arrow
+batch shapes, partition-preserving plans — stays testable end-to-end.
 
 Scale shape mirrors the audio stage: pixels/frames NEVER leave the
 mapInPandas stage (a decoded 1080p frame is ~6 MB — 60x the payload);
@@ -35,10 +36,17 @@ from pyspark.sql.types import (
     StructType,
 )
 
-try:  # real decoder slot (absent in this sandbox)
+from . import imaging
+
+try:  # library slot for formats beyond imaging.py (absent in this sandbox)
     from PIL import Image as _pil_image  # type: ignore
 except Exception:  # noqa: BLE001
     _pil_image = None
+
+try:  # library slot for compressed video (absent in this sandbox)
+    import cv2 as _cv2  # type: ignore
+except Exception:  # noqa: BLE001
+    _cv2 = None
 
 IMAGE_META_SCHEMA = StructType(
     [
@@ -87,13 +95,59 @@ def _fake_pixels(payload: bytes, width: int, height: int, salt: bytes = b"") -> 
 
 
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Grayscale pixels from the payload. Real decode for PGM/PPM/BMP
+    (imaging.py, pure numpy from spec); PIL slot for other formats when
+    importable; deterministic fake otherwise (loudly a stub)."""
+    fmt = imaging.sniff_format(payload)
+    if fmt == "pgm":
+        return imaging.decode_pgm(payload)
+    if fmt == "ppm":
+        return imaging.decode_ppm(payload)
+    if fmt == "bmp":
+        return imaging.decode_bmp(payload)
     if _pil_image is not None:  # pragma: no cover — lib absent here
         import io
 
         img = _pil_image.open(io.BytesIO(payload)).convert("L")
         return np.asarray(img, dtype=np.uint8)
-    # STUB: no image codec in this container
+    # STUB: unknown format and no image codec library in this container
     return _fake_pixels(payload, width, height)
+
+
+def _decode_video_frames(
+    payload: bytes, width: int, height: int, n_frames: int, frame_idxs: list[int]
+):
+    """Yield (frame_idx, grayscale ndarray) for the requested frames.
+    Real decode for Y4M (imaging.Y4MStream — O(1) frame seek); cv2 slot
+    for compressed containers when importable; per-frame deterministic
+    fake otherwise (loudly a stub)."""
+    if imaging.sniff_format(payload) == "y4m":
+        stream = imaging.Y4MStream(payload)
+        for idx in frame_idxs:
+            if idx < stream.n_frames:
+                yield idx, stream.luma(idx)
+        return
+    if _cv2 is not None:  # pragma: no cover — lib absent here
+        import os
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
+            f.write(payload)
+            path = f.name
+        try:
+            cap = _cv2.VideoCapture(path)
+            for idx in frame_idxs:
+                cap.set(_cv2.CAP_PROP_POS_FRAMES, idx)
+                ok, frame = cap.read()
+                if ok:
+                    yield idx, _cv2.cvtColor(frame, _cv2.COLOR_BGR2GRAY)
+            cap.release()
+        finally:
+            os.unlink(path)
+        return
+    # STUB: unknown container and no video codec library in this container
+    for idx in frame_idxs:
+        yield idx, _fake_pixels(payload, width, height, salt=str(idx).encode())
 
 
 def _resize_mean_pool(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -132,7 +186,13 @@ def image_features(
                 if payload is None or pd.isna(w) or pd.isna(h) or w <= 0 or h <= 0:
                     rows.append((rid, False, "bad_meta", 0.0, 0.0, 0.0, 0, 0, 0.0))
                     continue
-                px = _decode_image(bytes(payload), int(w), int(h)).astype(np.float64)
+                try:
+                    px = _decode_image(bytes(payload), int(w), int(h)).astype(
+                        np.float64
+                    )
+                except ValueError as exc:  # corrupt bitstream -> error ROW
+                    rows.append((rid, False, str(exc), 0.0, 0.0, 0.0, 0, 0, 0.0))
+                    continue
                 gx = np.abs(np.diff(px, axis=1)).mean() if px.shape[1] > 1 else 0.0
                 gy = np.abs(np.diff(px, axis=0)).mean() if px.shape[0] > 1 else 0.0
                 tb = _resize_mean_pool(px, tw, th)
@@ -166,12 +226,13 @@ def video_frame_sample(
     fps_col: str = "fps",
     every_nth: int = 10,
 ) -> DataFrame:
-    """Frame sampling: every Nth frame decodes (stub: per-frame seeded
-    fake) and emits per-frame intensity + a motion proxy (mean abs diff
-    vs the previous SAMPLED frame). Output is one row per sampled frame
-    — the row-explosion happens INSIDE the stage, so the operator's
-    output is already the small projection and the full frame tensor
-    never materializes."""
+    """Frame sampling: every Nth frame decodes (REAL for Y4M payloads —
+    imaging.Y4MStream luma planes with O(1) frame seeks; cv2 slot /
+    deterministic fake for other containers) and emits per-frame
+    intensity + a motion proxy (mean abs diff vs the previous SAMPLED
+    frame). Output is one row per sampled frame — the row-explosion
+    happens INSIDE the stage, so the operator's output is already the
+    small projection and the full frame tensor never materializes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -181,28 +242,45 @@ def video_frame_sample(
                 w, h = getattr(r, width_col), getattr(r, height_col)
                 nf, fps = getattr(r, n_frames_col), getattr(r, fps_col)
                 rid = getattr(r, id_col)
-                if payload is None or pd.isna(nf) or nf <= 0 or pd.isna(fps) or fps <= 0:
+                if (
+                    payload is None
+                    or pd.isna(nf)
+                    or nf <= 0
+                    or pd.isna(fps)
+                    or fps <= 0
+                    or pd.isna(w)
+                    or w <= 0
+                    or pd.isna(h)
+                    or h <= 0
+                ):
                     rows.append((rid, -1, -1, False, 0.0, 0.0))
                     continue
+                idxs = list(range(0, int(nf), every_nth))
                 prev = None
-                for idx in range(0, int(nf), every_nth):
-                    px = _fake_pixels(
-                        bytes(payload), int(w), int(h), salt=str(idx).encode()
-                    ).astype(np.float64)
-                    motion = (
-                        float(np.abs(px - prev).mean() / 255.0) if prev is not None else 0.0
+                try:
+                    decoded = _decode_video_frames(
+                        bytes(payload), int(w), int(h), int(nf), idxs
                     )
-                    rows.append(
-                        (
-                            rid,
-                            idx,
-                            int(idx * 1000 / float(fps)),
-                            True,
-                            round(float(px.mean()), 6),
-                            round(motion, 6),
+                    for idx, px in decoded:
+                        px = px.astype(np.float64)
+                        motion = (
+                            float(np.abs(px - prev).mean() / 255.0)
+                            if prev is not None
+                            else 0.0
                         )
-                    )
-                    prev = px
+                        rows.append(
+                            (
+                                rid,
+                                idx,
+                                int(idx * 1000 / float(fps)),
+                                True,
+                                round(float(px.mean()), 6),
+                                round(motion, 6),
+                            )
+                        )
+                        prev = px
+                except ValueError:  # corrupt bitstream -> error ROW
+                    rows.append((rid, -1, -1, False, 0.0, 0.0))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in VIDEO_FRAME_FEATURES_SCHEMA.fields]
             )

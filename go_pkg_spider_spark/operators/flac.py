@@ -274,13 +274,19 @@ def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
     if bps != 16:
         raise ValueError("flac_bps_unsupported")
 
+    # STREAMINFO total_samples == 0 means UNKNOWN length (spec §
+    # METADATA_BLOCK_STREAMINFO), not empty: decode frames until the
+    # blob is exhausted instead of using total as the loop bound.
+    unknown_total = total == 0
     chunks: list[np.ndarray] = []
     got = 0
-    while got < total and r.bytepos < len(blob) - 1:
+    while (unknown_total or got < total) and r.bytepos < len(blob) - 1:
         frame = _decode_frame(r, blob, sr, channels, bps)
         chunks.append(frame)
         got += len(frame)
-    pcm = np.concatenate(chunks)[:total] if chunks else np.zeros(0, dtype=np.int32)
+    pcm = np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int32)
+    if not unknown_total:
+        pcm = pcm[:total]
     return pcm.astype(np.float32) / np.float32(32767.0), sr
 
 

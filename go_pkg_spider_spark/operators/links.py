@@ -257,13 +257,22 @@ def resolve_meta_refresh(
     redirected = df.withColumn(
         "redirect_of", meta_refresh_target(F.col(html_col), F.col(url_col))
     )
-    mapping = redirected.filter(F.col("redirect_of").isNotNull()).select(
-        F.col(url_col).alias("_src_url"), F.col("redirect_of").alias("_target_url")
+    # dropDuplicates on both join keys: a re-crawled URL (duplicate
+    # url_col) or a target matching several rows would otherwise fan the
+    # mapping join out and duplicate base-table rows through the final
+    # broadcast join. First occurrence wins, like the reference's
+    # single-fetch redirect follow.
+    mapping = (
+        redirected.filter(F.col("redirect_of").isNotNull())
+        .select(
+            F.col(url_col).alias("_src_url"), F.col("redirect_of").alias("_target_url")
+        )
+        .dropDuplicates(["_src_url"])
     )
     targets = df.select(
         F.col(url_col).alias("_t_url"),
         *[F.col(c).alias(f"_t_{c}") for c in resolve_cols],
-    )
+    ).dropDuplicates(["_t_url"])
     resolved_map = mapping.join(
         targets, mapping["_target_url"] == targets["_t_url"], "left"
     ).select("_src_url", "_target_url", *[f"_t_{c}" for c in resolve_cols])

@@ -102,12 +102,15 @@ def sessionize(
 
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     prev_ts = F.lag(ts_col).over(w)
-    # events.ts is TIMESTAMP_NTZ: cast to timestamp before the epoch
-    # cast (NTZ->long is not a valid ANSI cast)
-    secs = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    # Gap measured in MICROSECONDS — the same precision as the streaming
+    # twin's state (stream_sessionize) and the DuckDB oracle's INTERVAL
+    # compare, so sub-second timestamps can't split sessions differently
+    # across the three paths. events.ts is TIMESTAMP_NTZ: cast to
+    # timestamp first (NTZ->numeric is not a valid ANSI cast).
+    micros = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     new_s = (
         prev_ts.isNull()
-        | (secs(F.col(ts_col)) - secs(prev_ts) > gap_minutes * 60)
+        | (micros(F.col(ts_col)) - micros(prev_ts) > gap_minutes * 60 * 1_000_000)
     ).cast("int")
     run = Window.partitionBy(key_col).orderBy(ts_col, id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

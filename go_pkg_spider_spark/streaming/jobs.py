@@ -82,10 +82,18 @@ def stream_sessionize(
     gap_minutes: int = 30,
     watermark: str = "1 minute",
     queryName: str = "sessions",
+    output_path: str | None = None,
 ) -> StreamingQuery:
     """CUSTOM STATEFUL OPERATOR via applyInPandasWithState: gap-based
     sessionization (the streaming twin of stats.sessionize — tests pin
     that every emitted session exactly matches the batch result).
+
+    Sink: with `output_path` set (production), closed sessions write to
+    idempotent batch_id=N parquet partitions exactly like
+    stream_quality_filter — fault-tolerant and driver-memory-free. The
+    memory sink (default) is for TESTS only: it accumulates every
+    emitted session on the driver and collides across concurrent
+    queries sharing a queryName.
 
     Per user key the state holds the open session (start, last, n,
     total). A micro-batch's rows merge in event-time order, closing a
@@ -157,6 +165,20 @@ def stream_sessionize(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+    if output_path is not None:
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                f"{output_path}/batch_id={batch_id}"
+            )
+
+        return (
+            out.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
     return (
         out.writeStream.format("memory")
         .queryName(queryName)

@@ -172,3 +172,22 @@ def test_lpc_subframe():
     blob = _stream_header(n) + _finish_frame(header, w)
     out, _ = flac.decode_flac(blob)
     np.testing.assert_array_equal(np.round(out * 32767.0).astype(int), samples)
+
+
+def test_unknown_total_samples_decodes_to_end():
+    """STREAMINFO total_samples == 0 means UNKNOWN length per the spec,
+    not an empty stream: the decoder must consume frames until the blob
+    is exhausted and return the full audio."""
+    pcm = _pcm(5000)
+    blob = bytearray(flac.encode_flac_s16(pcm, 16000))
+    # zero the 36-bit total_samples field: STREAMINFO data starts at
+    # byte 8 (fLaC + 4-byte block header); bits 0..79 are block/frame
+    # sizes, 80..107 are sr/ch/bps, total spans bits 108..143 ->
+    # low nibble of byte 13 plus bytes 14..17
+    base = 8
+    blob[base + 13] &= 0xF0
+    blob[base + 14 : base + 18] = b"\x00" * 4
+    out, sr = flac.decode_flac(bytes(blob))
+    assert sr == 16000 and len(out) == len(pcm)
+    ref, _ = flac.decode_flac(flac.encode_flac_s16(pcm, 16000))
+    assert np.array_equal(out, ref)

@@ -143,3 +143,63 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
             round(r.total_value, 4),
         )
         assert key in want, key
+
+
+def test_sessionize_subsecond_gap_parity(spark, tmp_path):
+    """Sub-second timestamps: the batch gap is measured in MICROSECONDS
+    (second-truncation merged 60.4s gaps under a 60s threshold), and the
+    streaming twin — here driven through the PRODUCTION parquet sink
+    (output_path) — must split sessions identically."""
+    import datetime as dt
+
+    from go_pkg_spider_spark.operators import stats
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0, 100_000)
+    rows = [
+        (1, t0, 7, 1.0),
+        # 60.4s later: > 60s in micros (split), == 60s after second
+        # truncation (the old bug merged these)
+        (2, t0 + dt.timedelta(seconds=60, microseconds=400_000), 7, 2.0),
+        (3, t0 + dt.timedelta(seconds=90), 7, 3.0),
+        # far ahead so the watermark closes the sessions above
+        (4, t0 + dt.timedelta(hours=6), 7, 4.0),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    e = spark.createDataFrame(rows, schema)
+    batch = stats.sessionize(e, "user_id", "ts", "event_id", "value", gap_minutes=1)
+    got = sorted(batch.collect(), key=lambda r: r.session_start)
+    assert [r.n_events for r in got] == [1, 2, 1]
+    assert got[0].session_end.microsecond == 100_000
+
+    sdir = tmp_path / "subsec_stream"
+    sdir.mkdir()
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], schema).coalesce(1).write.parquet(
+            str(sdir / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir / "part*"))
+    )
+    out_dir = str(tmp_path / "sess_parquet_out")
+    q = jobs.stream_sessionize(
+        stream,
+        str(tmp_path / "ckpt_subsec"),
+        gap_minutes=1,
+        output_path=out_dir,
+    )
+    q.awaitTermination(300)
+    streamed = spark.read.parquet(out_dir)
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in got
+    }
+    for r in streamed.select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    ).collect():
+        key = (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        assert key in want, key
+    # both closed sessions emitted through the parquet sink (the
+    # 6h-later event is itself the open tail session left in state)
+    assert streamed.count() == 2

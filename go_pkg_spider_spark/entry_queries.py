@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import oracle_sql_gen
-from .functions import langid, rules, scrub, tokens
+from .functions import dates, langid, rules, scrub, textnorm, tokens
 from .functions.textnorm import JAVA_PUNCT_SYM
 from .operators import dedup, similarity, stats
 
@@ -848,6 +848,63 @@ def sessionize_events(spark, sf_dir):
     tests pin batch==streaming parity."""
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
     return stats.sessionize(e, "user_id", "ts", "event_id", "value", gap_minutes=30)
+
+
+@query(
+    "extract_news_docs",
+    oracle_sql_gen.extract_news_sql(dates.cascade_patterns()),
+)
+def extract_news_docs(spark, sf_dir):
+    """The reference's flagship §3.1 extraction path under the hard gate
+    end-to-end: title clean (F13, web.go:60-162) + publish-date cascade
+    (F10, content.go:23-68/310-373) + date-string normalization (F11,
+    content.go:235-254). The documents corpus carries no titles/dates,
+    so a synthetic page is built per row from a DETERMINISTIC recipe
+    over (doc_id, source, text) — identical string construction in both
+    engines — cycling five date shapes (full / zh-prefixed / en month /
+    US slash / none) and a split-mark-rich title. The REAL operators run
+    on the Spark side; the oracle replays them in DuckDB SQL."""
+    d = _t(spark, sf_dir, "documents")
+    mm = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    v = F.col("doc_id") % 5
+    date_str = (
+        F.when(v == 0, F.concat(F.lit("2023-"), mm, F.lit("-"), dd, F.lit(" 08:30:15")))
+        .when(
+            v == 1,
+            F.concat(F.lit("发布时间: 2023年"), mm, F.lit("月"), dd, F.lit("日 12时34分56秒")),
+        )
+        .when(v == 2, F.concat(F.lit("March "), dd, F.lit(", 2022 10:11")))
+        .when(v == 3, F.concat(mm, F.lit("/"), dd, F.lit("/2021 08:30")))
+        .otherwise(F.lit(""))
+    )
+    raw_title = F.concat(
+        F.lit("首页-"),
+        F.col("source"),
+        F.lit(" - "),
+        F.substring("text", 1, 24),
+        F.lit(" | Example News"),
+    )
+    page = F.concat(
+        raw_title, F.lit("\n"), F.substring("text", 25, 60), F.lit(" "), date_str,
+        F.lit(" end."),
+    )
+    base = d.select("doc_id", "lang", raw_title.alias("rt"), page.alias("pg"))
+    ex = dates.extract_publish_date_raw(F.col("pg"))
+    staged = base.select(
+        "doc_id",
+        "pg",
+        textnorm.web_title_clean(F.col("rt"), F.col("lang")).alias("title"),
+        ex["kind"].alias("time_kind"),
+        dates.normalize_date_string(ex["raw"]).alias("time_raw"),
+    )
+    return staged.select(
+        "doc_id",
+        "title",
+        F.expr("instr(pg, title)").alias("title_pos"),
+        "time_kind",
+        "time_raw",
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -60,6 +60,22 @@ def _first(text: Column, pattern: str, group: int = 0) -> Column:
     return F.when(m != "", m)
 
 
+def cascade_patterns() -> list[tuple[str, str, bool]]:
+    """The ordered (kind, pattern, match_on_lowered) cascade — the single
+    source of truth shared by extract_publish_date_raw and its DuckDB
+    oracle twin (oracle_sql_gen.extract_news_sql); the patterns are in
+    the common Java/RE2 subset by construction."""
+    return [
+        ("zh_prefixed", _D_ZH_PREFIXED, False),
+        ("full", _D_FULL, False),
+        ("short", "[^0-9]" + _D_SHORT, False),
+        ("en_dmy", _D_EN1, True),
+        ("en_mdy", _D_EN2, True),
+        ("en_us", _D_ENUS, True),
+        ("noyear", _D_NOYEAR, False),
+    ]
+
+
 def extract_publish_date_raw(text: Column) -> Column:
     """The ordered cascade (getTime priority, content.go:310-373):
     zh-prefixed beats bare full date beats short beats en shapes beats
@@ -67,13 +83,8 @@ def extract_publish_date_raw(text: Column) -> Column:
     t = F.coalesce(text, F.lit(""))
     tl = F.lower(t)
     cands = [
-        (_first(t, _D_ZH_PREFIXED), "zh_prefixed"),
-        (_first(t, _D_FULL), "full"),
-        (_first(t, "[^0-9]" + _D_SHORT), "short"),
-        (_first(tl, _D_EN1), "en_dmy"),
-        (_first(tl, _D_EN2), "en_mdy"),
-        (_first(tl, _D_ENUS), "en_us"),
-        (_first(t, _D_NOYEAR), "noyear"),
+        (_first(tl if lowered else t, pattern), kind)
+        for kind, pattern, lowered in cascade_patterns()
     ]
     branches = [
         F.when(c.isNotNull(), F.struct(c.alias("raw"), F.lit(kind).alias("kind")))

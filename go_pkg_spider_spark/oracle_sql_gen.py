@@ -250,3 +250,99 @@ def embedding_neardup_sql(
     FROM sig a JOIN sig b ON a.b = b.b AND a.bits = b.bits AND a.id < b.id
     WHERE round(list_cosine_similarity(a.v, b.v), {round_digits}) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# extract_news: title-clean (F13) + publish-date cascade (F10/F11) twin
+# ---------------------------------------------------------------------------
+
+# the zh title split-mark class / en split marks, verbatim from
+# functions/textnorm.py (common Java/RE2 subset)
+_ZH_SPLIT = r"[_|\-－｜—＊：,，:·=]"
+_ZH_NONSPLIT = r"[^_|\-－｜—＊：,，:·=]"
+
+
+def _norm_date_sql(col: str) -> str:
+    """DuckDB twin of dates.normalize_date_string — the same ordered
+    replace chain ('g' where Spark replaces all occurrences)."""
+    c = f"regexp_replace({col}, '^[^0-9]+', '')"
+    c = f"regexp_replace({c}, '[年月]', '-', 'g')"
+    c = f"regexp_replace({c}, '日', ' ', 'g')"
+    c = f"regexp_replace({c}, '[点时]', ':', 'g')"
+    c = f"regexp_replace({c}, '分', ':', 'g')"
+    c = f"regexp_replace({c}, '秒', '', 'g')"
+    c = f"regexp_replace({c}, '\\s*[Tt]\\s*', ' ', 'g')"
+    c = f"regexp_replace({c}, '[:]\\d{{3,4}}$', '')"
+    c = f"regexp_replace({c}, '([+-]\\d{{2}}):?\\d{{2}}$', '')"
+    c = f"regexp_replace({c}, ':\\s*$', '')"
+    return f"trim(regexp_replace({c}, '\\s{{2,}}', ' ', 'g'))"
+
+
+def extract_news_sql(cascade: list[tuple[str, str, bool]]) -> str:
+    """DuckDB twin of the extract_news_docs entry: the synthetic page is
+    built from the SAME deterministic recipe, the title-clean replays
+    web_title_clean (zh + en branches), the date cascade replays
+    dates.cascade_patterns() in priority order, and the raw match goes
+    through the normalize_date_string chain."""
+    cands = [
+        (
+            kind,
+            "nullif(regexp_extract(%s, '%s', 0), '')"
+            % ("lower(pg)" if lowered else "pg", pattern),
+        )
+        for kind, pattern, lowered in cascade
+    ]
+    raw = "COALESCE(" + ", ".join(e for _, e in cands) + ")"
+    kind_case = (
+        "CASE "
+        + " ".join(f"WHEN {e} IS NOT NULL THEN '{k}'" for k, e in cands)
+        + " END"
+    )
+    en_title = (
+        "COALESCE("
+        "trim(nullif(regexp_extract(rt, '^(.*) - ', 1), '')), "
+        "trim(nullif(regexp_extract(rt, '^(.*) \\| ', 1), '')), "
+        "trim(nullif(regexp_extract(rt, '^(.*):', 1), '')), rt)"
+    )
+    zh_pre = (
+        f"trim(regexp_extract(regexp_replace(regexp_replace(rt, "
+        f"'^{_ZH_SPLIT}+', ''), '^首页([ |\\-_－—｜])*', ''), "
+        f"'^({_ZH_NONSPLIT}*)', 1))"
+    )
+    zh_title = (
+        "regexp_replace(CASE WHEN zt != '首页' "
+        "THEN regexp_replace(zt, '首页$', '') ELSE zt END, "
+        "'[\\p{P}\\p{S}]', '', 'g')"
+    )
+    return f"""
+    WITH b AS (
+      SELECT doc_id, lang, source, text,
+             lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS mm,
+             lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd,
+             doc_id % 5 AS v
+      FROM documents
+    ), p AS (
+      SELECT doc_id, lang,
+        '首页-' || source || ' - ' || substr(text, 1, 24) || ' | Example News' AS rt,
+        '首页-' || source || ' - ' || substr(text, 1, 24) || ' | Example News'
+          || chr(10) || substr(text, 25, 60) || ' ' ||
+          CASE v WHEN 0 THEN '2023-' || mm || '-' || dd || ' 08:30:15'
+                 WHEN 1 THEN '发布时间: 2023年' || mm || '月' || dd || '日 12时34分56秒'
+                 WHEN 2 THEN 'March ' || dd || ', 2022 10:11'
+                 WHEN 3 THEN mm || '/' || dd || '/2021 08:30'
+                 ELSE '' END || ' end.' AS pg
+      FROM b
+    ), z AS (
+      SELECT doc_id, lang, rt, pg,
+             CASE WHEN lang = 'zh' THEN {zh_pre} END AS zt
+      FROM p
+    ), t AS (
+      SELECT doc_id, pg,
+             CASE WHEN lang = 'zh' THEN {zh_title} ELSE {en_title} END AS title,
+             {raw} AS raw0, {kind_case} AS time_kind
+      FROM z
+    )
+    SELECT doc_id, title, instr(pg, title) AS title_pos, time_kind,
+           {_norm_date_sql('raw0')} AS time_raw
+    FROM t
+    """

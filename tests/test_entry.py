@@ -11,7 +11,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry_mod
-from tools.check_oracles import TABLES, rows_key
+from tools.check_oracles import TABLES, compare
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -40,16 +40,13 @@ def duck():
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
 def test_oracle_parity(spark, duck, name):
+    """Dtype-faithful parity (tools/check_oracles.compare): int-vs-float
+    kind drift fails here the same way the driver's hash does."""
     fn = entry_mod.queries()[name]
-    sdf = fn(spark, SF_DIR)
-    srows = [tuple(r) for r in sdf.collect()]
+    spdf = fn(spark, SF_DIR).toPandas()
     oracles = entry_mod.oracle_sql()
     if name not in oracles:
-        assert srows is not None  # rows-only contract: runs and returns
+        assert spdf is not None  # rows-only contract: runs and returns
         return
-    res = duck.execute(oracles[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-    assert len(srows) == len(drows), f"rowcount spark={len(srows)} duck={len(drows)}"
-    assert sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in dcols)
-    assert rows_key(srows, sdf.columns) == rows_key(drows, dcols)
+    dpdf = duck.execute(oracles[name]).df()
+    assert compare(spdf, dpdf) == []

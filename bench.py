@@ -27,29 +27,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # clips rows per SF tier (deterministic; generation cached in /tmp)
 CLIPS_BY_SF = {"sf0.001": 500, "sf0.01": 5_000, "sf0.1": 50_000}
 
-BENCH_QUERIES = [
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "broadcast_join_nation",
-    "anti_join_resume",
-    "events_hourly_rollup",
-    "events_two_pass_stats",
-    "events_topk_window",
-    "lang_rules_docs",
-    "keep_drop_docs",
-    "scrub_docs",
-    "token_stats_docs",
-    "dedup_exact_docs",
-    "minhash_lsh_docs",
-    "simhash_docs",
-    "ann_topk_embeddings",
-    "centroid_per_label",
-    "q3_shipping_priority",
-    "asof_join_events",
-    "winnow_fingerprints_docs",
-    "quantize_embeddings",
-    "sessionize_events",
-]
+# the bench covers EVERY queries() entry (registration order) so a
+# regression anywhere the correctness gate looks is visible here too;
+# BENCH_QUERIES is resolved at runtime from the entry surface.
+BENCH_QUERIES: list[str] | None = None  # None = all entry.queries()
 
 
 def _noop_write(df) -> None:
@@ -117,7 +98,7 @@ def main() -> None:
     timings["clips_pipeline"] = round(clips_sec, 3)
 
     qs = entry.queries()
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES if BENCH_QUERIES is not None else list(qs):
         fn = qs[name]
         timings[name] = round(timed(lambda: _noop_write(fn(spark, SF_DIR))), 3)
 

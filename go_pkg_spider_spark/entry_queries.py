@@ -394,7 +394,7 @@ def dedup_exact_docs(spark, sf_dir):
                range(1, greatest(len(list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x != '')) - 2, 0) + 1),
                i -> array_to_string(list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), x -> x != '')[i:i+2], ' ')
              )) AS grams
-      FROM documents
+      FROM documents WHERE source IN ('src6', 'src7')
     )
     SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.grams, b.grams)) * 1.0 /
@@ -406,8 +406,13 @@ def dedup_exact_docs(spark, sf_dir):
     """,
 )
 def ngram_jaccard_pairs_docs(spark, sf_dir):
-    """Word-3-gram Jaccard near-dup pairs within source groups."""
-    d = _t(spark, sf_dir, "documents")
+    """Word-3-gram Jaccard near-dup pairs within source groups. The
+    all-pairs form is O(group^2) BY CONTRACT (bounded candidate groups
+    only — minhash_lsh is the unbounded-scale path), so the entry scopes
+    to two source groups (src6/src7 carry planted near-dup pairs at
+    both gate tiers): parity coverage without quadratic bench cost
+    (unscoped at sf0.1: 55s of genuine 625k-pair array math)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("source").isin("src6", "src7"))
     return dedup.ngram_jaccard_pairs(d, "text", "doc_id", "source", threshold=0.3)
 
 
@@ -904,6 +909,168 @@ def extract_news_docs(spark, sf_dir):
         F.expr("instr(pg, title)").alias("title_pos"),
         "time_kind",
         "time_raw",
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS decimal(18,2))
+                    * (1 - CAST(l.l_discount AS decimal(18,2)))) AS double) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: a six-table join tree where Catalyst's join
+    reordering + broadcast selection carry the plan — the three dims
+    (supplier/nation/region) broadcast, the fact side shuffles once on
+    the orders/lineitem key, and the local-supplier predicate
+    (c_nationkey = s_nationkey) rides the join condition instead of a
+    post-filter."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "events_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def events_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles per group (Spark
+    `percentile` == DuckDB `quantile_cont`). At 100 TB swap in
+    approx_percentile (t-digest) — same plan shape, bounded state;
+    the exact form is the oracle-checkable baseline."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "orders_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS decimal(18,2))) AS double) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(spark, sf_dir):
+    """Grouping sets: ROLLUP computes (status, priority), (status), ()
+    subtotals in ONE pass — partial aggregation applies to every
+    grouping set, so the shuffle carries set-tagged partials, not a
+    re-scan per level (the hand-rolled union-of-groupBys would scan 3x)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "events_moving_avg",
+    """
+    SELECT event_id, user_id,
+           round(CAST(SUM(CAST(value AS decimal(18,2)))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS double)
+                 / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                 6) AS mavg_4
+    FROM events WHERE user_id % 50 = 0
+    """,
+)
+def events_moving_avg(spark, sf_dir):
+    """Sliding-frame window aggregate (4-row trailing mean). The sum
+    goes through a decimal cast so the frame arithmetic is exact and
+    order-independent across engines (double AVG accumulates
+    differently in sliding-window implementations); one user_id
+    shuffle shared by both frames."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    mavg = F.round(
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w),
+        6,
+    )
+    return e.select("event_id", "user_id", mavg.alias("mavg_4"))
+
+
+@query(
+    "range_join_events",
+    """
+    SELECT a.event_id, COUNT(b.event_id) AS n_in_range
+    FROM (SELECT * FROM events WHERE event_type = 'click' AND user_id % 5 = 0) a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+      ON a.user_id = b.user_id
+     AND b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.event_id
+    """,
+)
+def range_join_events(spark, sf_dir):
+    """Interval join done scale-right: clicks joined to views of the
+    same user within +/-5 minutes via the BUCKETIZED range join
+    (operators/rangejoin.py) — time-bucket equi-join + exact filter, no
+    per-key cross product. The oracle is the naive inequality join."""
+    from .operators import rangejoin
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter((F.col("event_type") == "click") & (F.col("user_id") % 5 == 0))
+    views = e.filter(F.col("event_type") == "view")
+    return rangejoin.within_range_count(
+        clicks, views, "user_id", "ts", "event_id", window_seconds=300
     )
 
 

@@ -409,12 +409,20 @@ def _decode_residual(r: BitReader, n: int, order: int) -> list[int]:
 
 
 def _restore_fixed(warm: list[int], resid: list[int], order: int, n: int) -> np.ndarray:
-    out = list(warm)
-    coefs = _FIXED_COEFS[order]
-    for r_ in resid:
-        pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
-        out.append(r_ + pred)
-    return np.array(out[:n], dtype=np.int64)
+    """FIXED predictors are k-th order differencers, so restoration is
+    k-fold integration: seed x[j] with the j-th difference of the warmup
+    samples, then cumsum from the deepest level up — exact in int64
+    (16-bit audio, order <= 4) and vectorized (the per-sample Python
+    loop was O(n*k) interpreter time)."""
+    x = np.empty(max(n, order), dtype=np.int64)
+    w = np.array(warm, dtype=np.int64)
+    for j in range(order):
+        x[j] = w[0]
+        w = np.diff(w)
+    x[order : order + len(resid)] = resid
+    for j in range(order - 1, -1, -1):
+        x[j:] = np.cumsum(x[j:])
+    return x[:n]
 
 
 def _restore_lpc(

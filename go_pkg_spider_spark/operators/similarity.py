@@ -282,15 +282,21 @@ def train_ivf_centroids_distributed(
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid id as a column expression (centroids fold into
     literals; at 100TB this is the bucket column the table is
-    partitioned by)."""
-    best_id = F.lit(0)
-    best_d = _sq_dist(vec, centroids[0])
-    for j in range(1, len(centroids)):
-        d = _sq_dist(vec, centroids[j])
-        cond = d < best_d
-        best_id = F.when(cond, F.lit(j)).otherwise(best_id)
-        best_d = F.when(cond, d).otherwise(best_d)
-    return best_id
+    partitioned by).
+
+    Argmin form: distances land in ONE array, bound once via let_col,
+    and the winner is array_position(min) — first occurrence, i.e. ties
+    break to the lowest cell id, identical to the oracle's ORDER BY
+    dist, cell. The old sequential when-chain nested best_d into itself,
+    duplicating every _sq_dist subtree per step — an exponential
+    expression tree that measured 177s (vs <1s) for k=8, dim=32 at
+    sf0.1 (the CLAUDE.md when-chain landmine)."""
+    from ..functions.expr_utils import let_col
+
+    darr = F.array(*[_sq_dist(vec, c) for c in centroids])
+    return let_col(
+        darr, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int")
+    )
 
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:

@@ -22,14 +22,37 @@ from pyspark.sql import SparkSession
 # amortizing Python/Arrow transfer overhead.
 ARROW_MAX_RECORDS_PER_BATCH = 256
 
+# UDF-heavy stages run ~2 processes per task slot (JVM task thread +
+# python worker): local[N] on N physical cores oversubscribes 2x, and
+# local[24] measured ~2x FASTER than local[32] on this 32-core host
+# (BENCH/BASELINE.md). 0.75x cores is the measured sweet spot.
+UDF_STAGE_CORE_FRACTION = 0.75
+
+
+def udf_stage_cores(total_cores: int | None = None) -> int:
+    """Task-slot count to use for UDF-heavy jobs on a `total_cores` host
+    (default: this machine). Overridable via $SPARK_GRAFT_UDF_CPUS."""
+    env = os.environ.get("SPARK_GRAFT_UDF_CPUS")
+    if env:
+        return int(env)
+    total = total_cores or os.cpu_count() or 8
+    return max(4, int(total * UDF_STAGE_CORE_FRACTION))
+
 
 def get_spark(
     app_name: str = "go-pkg-spider-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    udf_heavy: bool = False,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    """udf_heavy=True sizes an unspecified local master at
+    udf_stage_cores() (0.75x physical cores) instead of local[*] — the
+    measured fix for python-worker oversubscription on UDF-dominated
+    jobs; explicit `master`/$SPARK_GRAFT_MASTER always win."""
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        master = f"local[{udf_stage_cores()}]" if udf_heavy else "local[*]"
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if cpus and master == "local[*]":
         master = f"local[{cpus}]"

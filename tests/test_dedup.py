@@ -166,3 +166,32 @@ def test_neardup_rejoin_mode_same_pairs(spark):
         ).collect()
     }
     assert inb == rej and len(inb) > 0
+
+
+def test_range_join_counts_and_zero_rows(spark):
+    """within_range_count: inclusive +/-window matches, and left rows
+    with NO match survive with count 0 (the left-join rejoin)."""
+    import datetime as dt
+
+    from go_pkg_spider_spark.operators import rangejoin
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    left = spark.createDataFrame(
+        [(1, t0, 7, "click"), (2, t0 + dt.timedelta(hours=3), 7, "click"),
+         (3, t0, 8, "click")],
+        schema,
+    )
+    right = spark.createDataFrame(
+        [(10, t0 + dt.timedelta(seconds=300), 7, "view"),   # exactly +300s: inclusive
+         (11, t0 - dt.timedelta(seconds=301), 7, "view"),   # 1s outside
+         (12, t0, 9, "view")],                               # other user
+        schema,
+    )
+    got = {
+        r.event_id: r.n_in_range
+        for r in rangejoin.within_range_count(
+            left, right, "user_id", "ts", "event_id", window_seconds=300
+        ).collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 0}

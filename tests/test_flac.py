@@ -191,3 +191,28 @@ def test_unknown_total_samples_decodes_to_end():
     assert sr == 16000 and len(out) == len(pcm)
     ref, _ = flac.decode_flac(flac.encode_flac_s16(pcm, 16000))
     assert np.array_equal(out, ref)
+
+
+def test_restore_fixed_cumsum_equals_recurrence():
+    """The k-fold-cumsum FIXED restore must equal the spec's per-sample
+    recurrence for every order 0-4 (exact int64 integration)."""
+    import random
+
+    random.seed(7)
+
+    def naive(warm, resid, order, n):
+        out = list(warm)
+        coefs = flac._FIXED_COEFS[order]
+        for r_ in resid:
+            out.append(r_ + sum(c * out[-1 - j] for j, c in enumerate(coefs)))
+        return np.array(out[:n], dtype=np.int64)
+
+    for order in range(5):
+        for _ in range(10):
+            n = random.randint(max(order, 1), 64)
+            warm = [random.randint(-32768, 32767) for _ in range(order)]
+            resid = [random.randint(-5000, 5000) for _ in range(n - order)]
+            assert np.array_equal(
+                naive(warm, resid, order, n),
+                flac._restore_fixed(warm, resid, order, n),
+            )

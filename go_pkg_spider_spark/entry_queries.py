@@ -1074,6 +1074,69 @@ def range_join_events(spark, sf_dir):
     )
 
 
+@query(
+    "neardup_components_docs",
+    f"""
+    WITH RECURSIVE pairs AS ({oracle_sql_gen.minhash_lsh_sql()}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(n, l) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.n
+    )
+    SELECT n AS doc_id, MIN(l) AS component FROM reach GROUP BY n
+    """,
+)
+def neardup_components_docs(spark, sf_dir):
+    """LSH pairs -> DEDUP GROUPS: connected components over the minhash
+    candidate graph (operators/components.py, iterative min-label
+    propagation, lineage cut per round). Every doc gets a component id =
+    the smallest doc_id it transitively near-duplicates; keeping one row
+    per component is the final dedup step of a training-data pipeline.
+    Oracle: DuckDB recursive CTE over the SAME replayed pair SQL."""
+    from .operators import components
+
+    d = _t(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_candidates(d, "text", "doc_id").filter(
+        F.col("jaccard") >= 0.3
+    )
+    return components.connected_components(
+        edges, "id_a", "id_b", nodes=d.select("doc_id"), id_col="doc_id"
+    ).select("doc_id", F.col("component"))
+
+
+@query(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE md5_number_upper(CAST(doc_id AS VARCHAR))::UHUGEINT % 100 <
+          CASE WHEN source IN ('src0', 'src1') THEN 50
+               WHEN source IN ('src2', 'src3') THEN 25
+               ELSE 10 END
+    """,
+)
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic stratified sampling — the data-mixing primitive:
+    per-stratum keep rates routed by a content-stable hash
+    (tokens.md5_u64_le == DuckDB md5_number_upper, proven bit-equal), so
+    the sample is reproducible across engines, runs, and partitionings —
+    unlike sampleBy()'s RNG, which depends on partition layout. At
+    100 TB this is a pure scan-side filter: no shuffle, prunable, and
+    the keep decision never changes when data moves."""
+    d = _t(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1"), 50)
+        .when(F.col("source").isin("src2", "src3"), 25)
+        .otherwise(10)
+    )
+    keep = tokens.md5_u64_le(F.col("doc_id")) % 100 < rate
+    return d.filter(keep).select("doc_id", "source")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

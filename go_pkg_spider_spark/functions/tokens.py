@@ -134,3 +134,14 @@ def content_hash_md5(text: Column) -> Column:
     DuckDB oracle (md5 exists in both engines)."""
     norm = F.lower(F.trim(F.regexp_replace(F.coalesce(text, F.lit("")), r"\s+", " ")))
     return F.md5(norm)
+
+
+def md5_u64_le(col: Column) -> Column:
+    """First 8 md5-digest bytes as an unsigned little-endian integer —
+    a PURE-COLUMN twin of DuckDB's md5_number_upper() (and of
+    dedup._hash64_bytes), so hash-routed decisions (deterministic
+    sampling, hash partitioning, dedup keys) replay exactly in the
+    oracle. Returns decimal(20,0) (values exceed signed int64)."""
+    h = F.md5(F.encode(col.cast("string"), "UTF-8"))
+    le_hex = F.concat(*[F.substring(h, 15 - 2 * i, 2) for i in range(8)])
+    return F.conv(le_hex, 16, 10).cast("decimal(20,0)")

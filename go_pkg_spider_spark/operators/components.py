@@ -1,0 +1,65 @@
+"""Connected components over near-duplicate candidate pairs — the step
+that turns LSH pair lists into DEDUP GROUPS (keep one doc per
+component), the standard final stage of a training-data dedup pipeline.
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with its own id; each round, labels flow across edges and every node
+keeps the minimum label seen; at a fixed point each component is
+labeled by its smallest member id. Rounds needed = graph diameter —
+near-dup graphs are unions of near-cliques (band buckets), so 2-3
+rounds in practice; `max_iter` bounds adversarial chains and the loop
+exits early via a convergence check (an any-label-changed probe).
+
+Scale shape: each round is ONE equi-join (edges x labels, both hash-
+partitioned on the node id) + a min-aggregate; lineage is cut per round
+with localCheckpoint so the plan doesn't grow with iterations (swap in
+checkpoint(dir) on a cluster for fault tolerance). The alternating
+large-star/small-star variant (Kiveris et al., "Connected Components in
+MapReduce and Beyond") drops in for graphs with large diameters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id_col, component) — component = smallest node id reachable.
+    `nodes` (optional) supplies the full vertex set so isolated nodes
+    appear as singleton components; defaults to edge endpoints only."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if nodes is None:
+        base = sym.select(F.col("u").alias("n")).distinct()
+    else:
+        base = nodes.select(F.col(id_col).alias("n")).distinct()
+    labels = base.select("n", F.col("n").alias("l")).localCheckpoint()
+    for _ in range(max_iter):
+        flowed = sym.join(labels, sym["u"] == labels["n"]).select(
+            F.col("v").alias("n"), F.col("l")
+        )
+        new_labels = (
+            labels.select("n", "l")
+            .union(flowed)
+            .groupBy("n")
+            .agg(F.min("l").alias("l"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "n")
+            .filter(F.col("a.l") != F.col("b.l"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias(id_col), F.col("l").alias("component"))

@@ -189,6 +189,76 @@ def stream_sessionize(
     )
 
 
+def stream_interval_join(
+    events_stream: DataFrame,
+    checkpoint_path: str,
+    window_seconds: int = 300,
+    watermark: str = "10 minutes",
+    left_type: str = "click",
+    right_type: str = "view",
+    queryName: str = "interval_join",
+    output_path: str | None = None,
+) -> StreamingQuery:
+    """Stream-stream INTERVAL join (the streaming twin of
+    operators/rangejoin.within_range_count's batch semantics, emitting
+    the matched pairs): left events join right events of the same user
+    within +/-window_seconds. Watermarks on BOTH sides bound the join
+    state — the engine keeps only rows young enough to still match
+    (watermark + window), so state is O(arrival rate x window), not
+    O(stream length). This is the canonical Spark stream-stream join
+    pattern (time-range condition + two watermarks).
+
+    Sink mirrors stream_sessionize: idempotent batch_id=N parquet
+    partitions with output_path, test-only memory sink otherwise."""
+    base = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    left = (
+        base.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        base.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {window_seconds} SECOND"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {window_seconds} SECOND")),
+    ).select("l_id", "r_id", F.col("l_user").alias("user_id"), "l_ts", "r_ts")
+    if output_path is not None:
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                f"{output_path}/batch_id={batch_id}"
+            )
+
+        return (
+            joined.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+    return (
+        joined.writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_hourly_metrics(
     events_stream: DataFrame,
     checkpoint_path: str,

@@ -203,3 +203,55 @@ def test_sessionize_subsecond_gap_parity(spark, tmp_path):
     # both closed sessions emitted through the parquet sink (the
     # 6h-later event is itself the open tail session left in state)
     assert streamed.count() == 2
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (two watermarks + time-range
+    condition) must emit exactly the batch inner-join pairs when fed in
+    event-time order: every +/-window pair has both sides inside
+    watermark+window when the later side arrives, so none evict early."""
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    rows = e.orderBy("ts", "event_id").collect()
+    third = len(rows) // 3
+    sdir = tmp_path / "ij_stream"
+    sdir.mkdir()
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third] if i < 2 else rows[2 * third :]
+        spark.createDataFrame(chunk, e.schema).coalesce(1).write.parquet(
+            str(sdir / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir / "part*"))
+    )
+    out_dir = str(tmp_path / "ij_out")
+    q = jobs.stream_interval_join(
+        stream, str(tmp_path / "ij_ckpt"), window_seconds=1800, output_path=out_dir
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.l_id, r.r_id)
+        for r in spark.read.parquet(out_dir).select("l_id", "r_id").collect()
+    }
+    b = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = b.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("l_id"), F.col("user_id").alias("u"),
+        F.col("ts").alias("l_ts"),
+    )
+    views = b.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("r_id"), F.col("user_id").alias("u2"),
+        F.col("ts").alias("r_ts"),
+    )
+    want = {
+        (r.l_id, r.r_id)
+        for r in clicks.join(
+            views,
+            (F.col("u") == F.col("u2"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1800 SECOND"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1800 SECOND")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0

@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import oracle_sql_gen
-from .functions import dates, langid, rules, scrub, textnorm, tokens
+from .functions import dates, langid, quality, rules, scrub, textnorm, tokens
 from .functions.textnorm import JAVA_PUNCT_SYM
 from .operators import dedup, similarity, stats
 
@@ -1135,6 +1135,93 @@ def stratified_sample_docs(spark, sf_dir):
     )
     keep = tokens.md5_u64_le(F.col("doc_id")) % 100 < rate
     return d.filter(keep).select("doc_id", "source")
+
+
+_CEPF_SEGS = (
+    "list_filter(list_transform(string_split(pg, chr(10)),"
+    " x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))), x -> x != '')"
+)
+_CEPF_URLS = "regexp_extract_all(pg, '(?i)https?://[^\\s]+')"
+
+
+@query(
+    "cepf_quality_docs",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+        substr(text, 1, 40) || chr(10) ||
+        substr(text, 41, 60) ||
+          CASE WHEN doc_id % 3 = 0 THEN ' see https://example.com/x next' ELSE '' END
+          || chr(10) ||
+        substr(text, 101, 100) AS pg
+      FROM documents
+    ), s AS (
+      SELECT doc_id, pg, {_CEPF_SEGS} AS segs, {_CEPF_URLS} AS urls FROM p
+    ), f AS (
+      SELECT doc_id,
+        len(segs) AS p_count,
+        CAST(list_sum(list_transform(segs, x -> length(x))) AS BIGINT) AS text_count,
+        COALESCE(length(array_to_string(urls, '')), 0) AS link_text,
+        -- (DuckDB array_to_string of an EMPTY list is NULL, unlike
+        --  Spark's array_join which yields '')
+        len(urls) AS link_tag,
+        list_transform(segs, x -> length(x)) AS leaves
+      FROM s
+    ), v AS (
+      SELECT doc_id, p_count, text_count, link_text,
+        CASE WHEN p_count = 0 THEN 0.0
+             WHEN p_count = 1 THEN leaves[1] / 2.0
+             ELSE list_sum(list_transform(leaves,
+                    x -> (x - CAST(text_count AS DOUBLE) / p_count)
+                       * (x - CAST(text_count AS DOUBLE) / p_count))) / p_count
+        END AS leaf_var_raw,
+        CASE WHEN (text_count - link_text) = 0 OR (p_count + 1) = 0 THEN 0.0
+             ELSE CAST(text_count - link_text AS DOUBLE) / (p_count + 1)
+        END AS density_raw
+      FROM f
+    )
+    SELECT doc_id, p_count AS seg_count, text_count,
+           CAST(link_text AS BIGINT) AS link_text_count,
+           round(CASE WHEN text_count > 0 THEN link_text / text_count ELSE 0.0 END, 6)
+             AS link_char_ratio,
+           round(density_raw, 6) AS density,
+           round(leaf_var_raw, 6) AS leaf_var,
+           round(ln(sqrt(leaf_var_raw + 1.0))
+                 * CAST(text_count - link_text AS DOUBLE)
+                 * ln(text_count - link_text + 1.0)
+                 * log10(p_count + 1.0), 6) AS cepf_score
+    FROM v
+    """,
+)
+def cepf_quality_docs(spark, sf_dir):
+    """A2-A4 under the hard gate: the CEPF node statistics + score
+    (content.go:1020-1104 recast, functions/quality.py — incl. the
+    n==1 -> x/2 variance quirk) computed by the REAL quality_features
+    over a deterministic 3-segment page built from each doc (same
+    recipe both engines; doc_id%3 rows carry a URL span so the
+    link-text branch is exercised), replayed stat-for-stat in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.substring("text", 1, 40),
+        F.lit("\n"),
+        F.substring("text", 41, 60),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit(" see https://example.com/x next")
+        ).otherwise(F.lit("")),
+        F.lit("\n"),
+        F.substring("text", 101, 100),
+    )
+    q = quality.quality_features(page)
+    return d.select(
+        "doc_id",
+        q["seg_count"].alias("seg_count"),
+        q["text_count"].alias("text_count"),
+        q["link_text_count"].cast("long").alias("link_text_count"),
+        q["link_char_ratio"].alias("link_char_ratio"),
+        q["density"].alias("density"),
+        q["leaf_var"].alias("leaf_var"),
+        q["cepf_score"].alias("cepf_score"),
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -278,17 +278,17 @@ def _norm_date_sql(col: str) -> str:
     return f"trim(regexp_replace({c}, '\\s{{2,}}', ' ', 'g'))"
 
 
-def extract_news_sql(cascade: list[tuple[str, str, bool]]) -> str:
-    """DuckDB twin of the extract_news_docs entry: the synthetic page is
-    built from the SAME deterministic recipe, the title-clean replays
-    web_title_clean (zh + en branches), the date cascade replays
-    dates.cascade_patterns() in priority order, and the raw match goes
-    through the normalize_date_string chain."""
+def date_cascade_sql(
+    cascade: list[tuple[str, str, bool]], col: str = "pg"
+) -> tuple[str, str]:
+    """(raw_expr, kind_expr) — the ordered date cascade over `col` in
+    DuckDB SQL, priority-identical to dates.extract_publish_date_raw.
+    Shared by extract_news_sql and the hypothesis dialect-parity test."""
     cands = [
         (
             kind,
             "nullif(regexp_extract(%s, '%s', 0), '')"
-            % ("lower(pg)" if lowered else "pg", pattern),
+            % (f"lower({col})" if lowered else col, pattern),
         )
         for kind, pattern, lowered in cascade
     ]
@@ -298,6 +298,21 @@ def extract_news_sql(cascade: list[tuple[str, str, bool]]) -> str:
         + " ".join(f"WHEN {e} IS NOT NULL THEN '{k}'" for k, e in cands)
         + " END"
     )
+    return raw, kind_case
+
+
+def norm_date_sql(col: str) -> str:
+    """Public alias of the normalize_date_string twin."""
+    return _norm_date_sql(col)
+
+
+def extract_news_sql(cascade: list[tuple[str, str, bool]]) -> str:
+    """DuckDB twin of the extract_news_docs entry: the synthetic page is
+    built from the SAME deterministic recipe, the title-clean replays
+    web_title_clean (zh + en branches), the date cascade replays
+    dates.cascade_patterns() in priority order, and the raw match goes
+    through the normalize_date_string chain."""
+    raw, kind_case = date_cascade_sql(cascade, "pg")
     en_title = (
         "COALESCE("
         "trim(nullif(regexp_extract(rt, '^(.*) - ', 1), '')), "

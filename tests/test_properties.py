@@ -78,3 +78,45 @@ def test_lang_rules_parity(spark, texts):
             continue
         want.append("model_other")
     assert got == want
+
+
+# date-ish text: digits, separators, zh date units, month names, noise
+_DATE_TOKENS = st.sampled_from(
+    list("0123456789") + list("-/.:年月日时点分秒 Tt,")
+    + ["march", "jan", "sept", "发布时间", "日期", "pm", "x ", "2023", "05"]
+)
+DATE_TEXT = st.lists(_DATE_TOKENS, max_size=40).map("".join)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(st.lists(DATE_TEXT, min_size=1, max_size=20))
+def test_date_cascade_dialect_parity(spark, texts):
+    """The publish-date cascade + normalize chain must agree between the
+    Spark (Java regex) implementation and the DuckDB (RE2) oracle twin
+    on ARBITRARY date-ish text — pinning the dialect beyond the
+    extract_news_docs entry's fixed synthetic recipe."""
+    import duckdb
+
+    from go_pkg_spider_spark import oracle_sql_gen
+    from go_pkg_spider_spark.functions import dates
+
+    df = spark.createDataFrame([(t,) for t in texts], "pg string")
+    ex = dates.extract_publish_date_raw(F.col("pg"))
+    got = [
+        (r.k, r.n)
+        for r in df.select(
+            ex["kind"].alias("k"),
+            dates.normalize_date_string(ex["raw"]).alias("n"),
+        ).collect()
+    ]
+    raw, kind = oracle_sql_gen.date_cascade_sql(dates.cascade_patterns(), "pg")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, pg VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    want = [
+        (r[0], r[1])
+        for r in con.execute(
+            f"SELECT {kind}, {oracle_sql_gen.norm_date_sql(raw)} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert got == want

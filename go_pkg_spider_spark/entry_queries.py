@@ -1224,6 +1224,72 @@ def cepf_quality_docs(spark, sf_dir):
     )
 
 
+@query(
+    "psl_domains_docs",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             'www' || CAST(doc_id % 3 AS VARCHAR) AS w,
+             'site' || CAST(doc_id % 5 AS VARCHAR) AS sd,
+             doc_id % 6 AS v
+      FROM documents
+    )
+    SELECT doc_id,
+      w || '.' || sd || '.' ||
+        CASE v WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' WHEN 2 THEN 'org'
+               WHEN 3 THEN 'net' WHEN 4 THEN 'kawasaki.jp'
+               ELSE 'city.kawasaki.jp' END AS host,
+      CASE WHEN v <= 3 THEN w WHEN v = 4 THEN '' ELSE w || '.' || sd END
+        AS subdomain,
+      CASE WHEN v <= 3 THEN sd WHEN v = 4 THEN w ELSE 'city' END AS domain,
+      CASE v WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' WHEN 2 THEN 'org'
+             WHEN 3 THEN 'net' WHEN 4 THEN sd || '.kawasaki.jp'
+             ELSE 'kawasaki.jp' END AS tld
+    FROM b
+    """,
+)
+def psl_domains_docs(spark, sf_dir):
+    """F16 under the hard gate: etld+1 parsing against the FULL public
+    suffix list (domain.with_domain_parsed — distinct-host dim, last-k
+    candidate explode, broadcast PSL rule join, exception-beats-longest
+    prevailing rule). Hosts are built deterministically from doc_id
+    cycling six suffix classes incl. the wildcard (*.kawasaki.jp → the
+    site label joins the suffix) and the exception (!city.kawasaki.jp →
+    city is the registrable domain). The oracle is HAND-DERIVED expected
+    truth per publicsuffix.org semantics — the PSL machinery must
+    reproduce it, not a SQL reimplementation of itself."""
+    from .functions import domain
+
+    d = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 6
+    suffix = (
+        F.when(v == 0, "com")
+        .when(v == 1, "co.uk")
+        .when(v == 2, "org")
+        .when(v == 3, "net")
+        .when(v == 4, "kawasaki.jp")
+        .otherwise("city.kawasaki.jp")
+    )
+    host = F.concat(
+        F.lit("www"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".site"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("."),
+        suffix,
+    )
+    base = d.select("doc_id", host.alias("host"))
+    parsed = domain.with_domain_parsed(base, "host")
+    dp = F.col("domain_parsed")
+    return parsed.select(
+        "doc_id",
+        "host",
+        dp["subdomain"].alias("subdomain"),
+        dp["domain"].alias("domain"),
+        dp["tld"].alias("tld"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

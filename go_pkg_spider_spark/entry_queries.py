@@ -1290,6 +1290,105 @@ def psl_domains_docs(spark, sf_dir):
     )
 
 
+_URL_SQL_CASE = """
+      CASE v
+        WHEN 0 THEN 'https://www.site' || s || '.com/news/2023/05/article-' || CAST(doc_id AS VARCHAR) || '.html'
+        WHEN 1 THEN 'https://site' || s || '.com/index.html'
+        WHEN 2 THEN 'https://site' || s || '.com/files/report-' || CAST(doc_id AS VARCHAR) || '.pdf'
+        WHEN 3 THEN 'http://192.168.1.' || CAST(doc_id % 250 + 1 AS VARCHAR) || '/a/b.html'
+        WHEN 4 THEN 'https://site' || s || ':8080/x.html'
+        WHEN 5 THEN 'https://site' || s || '.com/a[' || CAST(doc_id % 9 AS VARCHAR) || '].html'
+        WHEN 6 THEN '/news/local/page' || CAST(doc_id AS VARCHAR) || '.html'
+        ELSE 'https://site' || s || '.com/2023-05-1' || CAST(doc_id % 3 AS VARCHAR) || '/post.html'
+      END
+"""
+
+_URL_PATH_RE = r"^(?:https?://[^/]*)?(/[^?#]*)"
+
+
+@query(
+    "url_rules_docs",
+    f"""
+    WITH b AS (
+      SELECT doc_id, CAST(doc_id % 5 AS VARCHAR) AS s, doc_id % 8 AS v
+      FROM documents
+    ), u AS (
+      SELECT doc_id, {_URL_SQL_CASE} AS url FROM b
+    ), p AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '{_URL_PATH_RE}', 1) AS path
+      FROM u
+    ), pd AS (
+      SELECT doc_id, url, path,
+        CASE WHEN p1 = '' THEN '/' ELSE p1 END AS p2
+      FROM (
+        SELECT *, CASE WHEN trim(path) = '' THEN '.'
+                       ELSE regexp_replace(trim(path), '/+$', '') END AS p1
+        FROM p
+      )
+    )
+    SELECT doc_id, url,
+      CASE
+        WHEN regexp_matches(url, '[{{}}\\[\\]@$<>"]') THEN 'invalid url with illegal characters'
+        WHEN NOT starts_with(lower(url), 'http') THEN 'invalid url with not absolute url'
+        WHEN regexp_matches(url, '^https?://[^/]+:\\d+') THEN 'invalid url with not 80 port'
+        WHEN regexp_matches(regexp_extract(url, '^https?://([^/:?#]+)', 1),
+                            '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}') THEN 'invalid url with ip hostname'
+        WHEN lower(regexp_extract(url, '(\\.[A-Za-z0-9]+)(?:[?#].*)?$', 1)) IN
+             ('.jpg','.jpeg','.png','.gif','.bmp','.txt','.xml','.pdf','.doc','.docx',
+              '.ppt','.pptx','.xls','.xlsx','.zip','.rar','.7z','.gz','.apk','.cgi',
+              '.exe','.bz2','.play','.rss','.sig','.sgf') THEN 'invalid url with suffix'
+        ELSE NULL
+      END AS filter_reason,
+      (trim(path) = '' OR trim(path) = '/'
+       OR regexp_matches(trim(path), '^/index\\.(html|shtml|htm|php|asp|aspx|jsp)$'))
+        AS is_index,
+      CASE WHEN p2 = '.' THEN '.'
+           WHEN NOT contains(p2, '/') THEN '.'
+           WHEN regexp_extract(p2, '^(.*)/[^/]*$', 1) = '' THEN '/'
+           ELSE regexp_extract(p2, '^(.*)/[^/]*$', 1)
+      END AS parent_dir,
+      regexp_matches(regexp_replace(path, '[.\\-_]', '', 'g'),
+        '(20[2-3][0-9][/]?(0[1-9]|1[0-2]|[1-9])[/]?(0[1-9]|[1-2][0-9]|3[0-1]|[1-9])?)')
+        AS has_date_path
+    FROM pd
+    """,
+)
+def url_rules_docs(spark, sf_dir):
+    """P2/P4/F17/F18 + the A5 URL-date feature under the hard gate:
+    url_filter_reason (first-failing-rule order), is_index_path,
+    Go-path.Dir parent dirs, and the publish-date path feature over
+    deterministic URLs cycling eight shapes (clean article / index /
+    binary suffix / IP host / port / illegal chars / relative / dated
+    path). The Spark side runs the REAL rules (incl. parse_url HOST);
+    the oracle replays them in RE2 SQL."""
+    from .operators import links
+
+    d = _t(spark, sf_dir, "documents")
+    s = (F.col("doc_id") % 5).cast("string")
+    v = F.col("doc_id") % 8
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www.site"), s, F.lit(".com/news/2023/05/article-"), F.col("doc_id").cast("string"), F.lit(".html")))
+        .when(v == 1, F.concat(F.lit("https://site"), s, F.lit(".com/index.html")))
+        .when(v == 2, F.concat(F.lit("https://site"), s, F.lit(".com/files/report-"), F.col("doc_id").cast("string"), F.lit(".pdf")))
+        .when(v == 3, F.concat(F.lit("http://192.168.1."), (F.col("doc_id") % 250 + 1).cast("string"), F.lit("/a/b.html")))
+        .when(v == 4, F.concat(F.lit("https://site"), s, F.lit(":8080/x.html")))
+        .when(v == 5, F.concat(F.lit("https://site"), s, F.lit(".com/a["), (F.col("doc_id") % 9).cast("string"), F.lit("].html")))
+        .when(v == 6, F.concat(F.lit("/news/local/page"), F.col("doc_id").cast("string"), F.lit(".html")))
+        .otherwise(F.concat(F.lit("https://site"), s, F.lit(".com/2023-05-1"), (F.col("doc_id") % 3).cast("string"), F.lit("/post.html")))
+    )
+    base = d.select("doc_id", url.alias("url"))
+    path = F.regexp_extract(F.col("url"), _URL_PATH_RE, 1)
+    return base.select(
+        "doc_id",
+        "url",
+        rules.url_filter_reason(F.col("url")).alias("filter_reason"),
+        rules.is_index_path(path).alias("is_index"),
+        links.path_dir(path).alias("parent_dir"),
+        rules.has_publish_date_path(path).alias("has_date_path"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

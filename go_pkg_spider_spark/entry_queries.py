@@ -1389,6 +1389,85 @@ def url_rules_docs(spark, sf_dir):
     )
 
 
+@query(
+    "charset_rules_docs",
+    """
+    WITH b AS (
+      SELECT doc_id, doc_id % 6 AS v, doc_id % 4 = 0 AS valid_utf8
+      FROM documents
+    ), u AS (
+      SELECT doc_id, valid_utf8,
+        CASE v
+          WHEN 0 THEN 'Content-Type: text/html; charset=GB2312 more'
+          WHEN 1 THEN '<meta charset="utf8">'
+          WHEN 2 THEN '<meta content="text/html; charset=' || chr(39) || 'Big5-HKSCS' || chr(39) || '">'
+          WHEN 3 THEN 'charset = Shift_JIS'
+          WHEN 4 THEN 'no declaration here'
+          ELSE 'charset=euc-kr'
+        END AS decl
+      FROM b
+    ), e AS (
+      SELECT doc_id, valid_utf8, decl,
+        regexp_extract(decl,
+          '(?i)charset\\s*=\\s*["' || chr(39) || ']?([a-z][_\\-0-9a-z]*)', 1) AS raw
+      FROM u
+    ), c AS (
+      SELECT doc_id, valid_utf8, decl, raw,
+        CASE WHEN upper(trim(raw)) IN ('UTF8', 'UTF_8') THEN 'UTF-8'
+             WHEN starts_with(upper(trim(raw)), 'GB') THEN 'GBK'
+             WHEN starts_with(upper(trim(raw)), 'BIG5') THEN 'Big5'
+             WHEN starts_with(upper(trim(raw)), 'SHIFT') THEN 'SHIFT_JIS'
+             ELSE upper(trim(raw)) END AS canon
+      FROM e
+    )
+    SELECT doc_id, raw AS declared,
+      CASE WHEN valid_utf8 THEN 'UTF-8' ELSE canon END AS charset,
+      CASE WHEN valid_utf8 THEN 'valid' ELSE 'header' END AS charset_pos,
+      CASE (CASE WHEN valid_utf8 THEN 'UTF-8' ELSE canon END)
+        WHEN 'GBK' THEN 'zh' WHEN 'Big5' THEN 'zh' WHEN 'ISO-2022-CN' THEN 'zh'
+        WHEN 'SHIFT_JIS' THEN 'ja' WHEN 'KOI8-R' THEN 'ru' WHEN 'EUC-JP' THEN 'ja'
+        WHEN 'EUC-KR' THEN 'ko' WHEN 'EUC-CN' THEN 'zh' WHEN 'ISO-2022-JP' THEN 'ja'
+        WHEN 'ISO-2022-KR' THEN 'ko' ELSE NULL END AS charset_lang
+    FROM c
+    """,
+)
+def charset_rules_docs(spark, sf_dir):
+    """F2/F3 + J1 under the hard gate: declaration extraction
+    (RegexCharset), convertCharset alias folding, the Charset() valid-
+    utf8-short-circuit decision, and the CharsetLangMap lookup — over
+    deterministic declaration strings cycling six shapes (Content-Type
+    header / HTML5 meta / quoted HTML4 meta / spaced / absent /
+    lowercase alias), with doc_id%4 rows taking the valid-UTF-8 fast
+    path. REAL functions on the Spark side (functions/charset.py),
+    replayed in SQL."""
+    from .functions import charset as cs
+
+    d = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 6
+    valid = F.col("doc_id") % 4 == 0
+    decl = (
+        F.when(v == 0, "Content-Type: text/html; charset=GB2312 more")
+        .when(v == 1, '<meta charset="utf8">')
+        .when(v == 2, "<meta content=\"text/html; charset='Big5-HKSCS'\">")
+        .when(v == 3, "charset = Shift_JIS")
+        .when(v == 4, "no declaration here")
+        .otherwise("charset=euc-kr")
+    )
+    base = d.select(
+        "doc_id",
+        cs.extract_declared_charset(decl).alias("declared"),
+        valid.alias("_valid"),
+    )
+    st = cs.charset_of(F.col("declared"), F.col("_valid"))
+    return base.select(
+        "doc_id",
+        "declared",
+        st["charset"].alias("charset"),
+        st["charset_pos"].alias("charset_pos"),
+        cs.charset_lang(st["charset"]).alias("charset_lang"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

@@ -1468,6 +1468,36 @@ def charset_rules_docs(spark, sf_dir):
     )
 
 
+@query(
+    "textnorm_docs",
+    f"""
+    SELECT doc_id,
+      {_DUCK_CLEAN} AS cleaned,
+      regexp_replace(text, '[\\pP\\pS]', '', 'g') AS no_sign,
+      trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_space,
+      substr(trim(regexp_replace(regexp_replace(text, '[\\r\\n]+', ' ', 'g'),
+                                 '\\s+', ' ', 'g')), 1, 64) AS title64
+    FROM documents
+    """,
+)
+def textnorm_docs(spark, sf_dir):
+    """F6-F9 + T2/T4 under the hard gate directly over the corpus (no
+    synthesis): the clean_for_lang chain (frozen order), RemoveSign,
+    NormaliseSpace, and the 64-char title truncation — the reference's
+    fun.* normalization family replayed character-for-character in RE2
+    SQL (the Java-vs-RE2 \\pP/\\pS dialect is additionally pinned by the
+    hypothesis property tests)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        textnorm.clean_for_lang(t).alias("cleaned"),
+        textnorm.remove_sign(t).alias("no_sign"),
+        textnorm.normalise_space(t).alias("norm_space"),
+        textnorm.truncate_title(t, 64).alias("title64"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

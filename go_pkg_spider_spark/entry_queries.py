@@ -1498,6 +1498,78 @@ def textnorm_docs(spark, sf_dir):
     )
 
 
+@query(
+    "gov_meta_docs",
+    """
+    WITH b AS (
+      SELECT doc_id, lang, doc_id % 8 AS v FROM documents
+    ), u AS (
+      SELECT doc_id, lang, v,
+        CASE v
+          WHEN 0 THEN 'portal.ministry.gov.cn'
+          WHEN 1 THEN 'city.council.gov.uk'
+          WHEN 2 THEN 'agency.example.gov'
+          WHEN 3 THEN 'news.example.hk'
+          WHEN 4 THEN 'site.example.jp'
+          WHEN 5 THEN 'journal.example.fr'
+          WHEN 6 THEN 'example.gov.hk'
+          ELSE 'plain.example.com'
+        END AS host
+      FROM b
+    )
+    SELECT doc_id, host,
+      CASE v
+        WHEN 0 THEN CASE WHEN lang = 'zh' THEN '中国' ELSE '' END
+        WHEN 1 THEN '英国'
+        WHEN 2 THEN '美国'
+        WHEN 3 THEN CASE WHEN lang = 'zh' THEN '中国' ELSE '' END
+        WHEN 5 THEN CASE WHEN lang = 'fr' THEN '法国' ELSE '' END
+        WHEN 6 THEN '中国'
+        ELSE ''
+      END AS country,
+      CASE v
+        WHEN 3 THEN CASE WHEN lang = 'zh' THEN '中国香港' ELSE '' END
+        WHEN 6 THEN CASE WHEN lang = 'zh' THEN '中国香港' ELSE '' END
+        ELSE ''
+      END AS province,
+      CASE WHEN v IN (1, 2, 6) THEN '政务' ELSE '' END AS category
+    FROM u
+    """,
+)
+def gov_meta_docs(spark, sf_dir):
+    """J4 under the hard gate: MetaFromHost (meta.go:75-183) — gov-TLD
+    country mapping, the plain-.gov US rule, (suffix, lang) conjunction
+    rules, and the gov-province refinement — over eight deterministic
+    host shapes crossed with each doc's real lang label. The oracle is
+    HAND-DERIVED expected truth per rule semantics, including the
+    nuances: 'cn' is absent from the reference's gov map (gov.cn falls
+    through to the .cn+zh suffix rule, category NOT 政务), and
+    gov.hk keeps 政务 while its province still needs lang=zh."""
+    from .functions import domain
+
+    d = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 8
+    host = (
+        F.when(v == 0, "portal.ministry.gov.cn")
+        .when(v == 1, "city.council.gov.uk")
+        .when(v == 2, "agency.example.gov")
+        .when(v == 3, "news.example.hk")
+        .when(v == 4, "site.example.jp")
+        .when(v == 5, "journal.example.fr")
+        .when(v == 6, "example.gov.hk")
+        .otherwise("plain.example.com")
+    )
+    base = d.select("doc_id", "lang", host.alias("host"))
+    m = domain.meta_from_host(F.col("host"), F.col("lang"))
+    return base.select(
+        "doc_id",
+        "host",
+        m["country"].alias("country"),
+        m["province"].alias("province"),
+        m["category"].alias("category"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

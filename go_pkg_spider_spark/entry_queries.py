@@ -1570,6 +1570,78 @@ def gov_meta_docs(spark, sf_dir):
     )
 
 
+def _dates_family_sql() -> str:
+    pat = dates._D_FULL
+    return f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(doc_id % 9 + 1 AS VARCHAR) AS m1,
+             CAST(doc_id % 3 AS VARCHAR) AS h,
+             doc_id % 4 AS v
+      FROM documents
+    ), u AS (
+      SELECT doc_id,
+        CASE v
+          WHEN 0 THEN 'a 2023-0' || m1 || '-11 b 2023-0' || m1 || '-11 0' || h || ':30:45 c'
+          WHEN 1 THEN 'single 2022-12-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || ' only'
+          WHEN 2 THEN 'no dates in here at all'
+          ELSE 'zh 2021年3月9日 vs 2021-03-10 11:12 end'
+        END AS pg
+      FROM b
+    ), c AS (
+      SELECT doc_id, pg, regexp_extract_all(pg, '{pat}') AS cands FROM u
+    )
+    SELECT doc_id,
+      len(cands) AS n_dates,
+      cands[1] AS first_date,
+      CASE WHEN len(cands) > 0 THEN
+        list_reduce(list_prepend('', cands),
+                    (acc, x) -> CASE WHEN length(x) > length(acc) THEN x ELSE acc END)
+      END AS longest_date
+    FROM c
+    """
+
+
+@query("dates_family_docs", _dates_family_sql())
+def dates_family_docs(spark, sf_dir):
+    """A8 (longest-wins date selection) + the F10 full-date extractor's
+    multi-match surface under the hard gate: per-doc synthetic text
+    cycling four shapes (two dates where the timed one is longer /
+    single / none / zh-units vs dashed with time). The Spark side runs
+    the REAL fold (dates.longest_date — first-wins on equal length);
+    DuckDB replays it with the identical list_reduce fold."""
+    d = _t(spark, sf_dir, "documents")
+    m1 = (F.col("doc_id") % 9 + 1).cast("string")
+    h = (F.col("doc_id") % 3).cast("string")
+    v = F.col("doc_id") % 4
+    pg = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("a 2023-0"), m1, F.lit("-11 b 2023-0"), m1,
+                F.lit("-11 0"), h, F.lit(":30:45 c"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("single 2022-12-0"), (F.col("doc_id") % 9 + 1).cast("string"),
+                F.lit(" only"),
+            ),
+        )
+        .when(v == 2, F.lit("no dates in here at all"))
+        .otherwise(F.lit("zh 2021年3月9日 vs 2021-03-10 11:12 end"))
+    )
+    base = d.select("doc_id", pg.alias("pg"))
+    cands = dates.extract_all_full_dates(F.col("pg"))
+    return base.select(
+        "doc_id",
+        F.size(cands).alias("n_dates"),
+        F.try_element_at(cands, F.lit(1)).alias("first_date"),
+        dates.longest_date(F.col("pg")).alias("longest_date"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

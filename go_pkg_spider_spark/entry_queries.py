@@ -1642,6 +1642,30 @@ def dates_family_docs(spark, sf_dir):
     )
 
 
+@query(
+    "events_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id % 7) AS BIGINT) AS n_user_buckets
+    FROM events GROUP BY event_type
+    """,
+)
+def events_distinct_users(spark, sf_dir):
+    """Distinct aggregation shape: exact per-group COUNT(DISTINCT) —
+    Spark expands it to a two-phase partial-distinct aggregate (dedup
+    within partitions before the shuffle). At 100 TB swap in
+    approx_count_distinct (HyperLogLog++, bounded state, one pass);
+    the exact form is the oracle-checkable baseline."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id") % 7).alias("n_user_buckets"),
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

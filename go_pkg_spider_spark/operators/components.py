@@ -2,23 +2,36 @@
 that turns LSH pair lists into DEDUP GROUPS (keep one doc per
 component), the standard final stage of a training-data dedup pipeline.
 
-Algorithm: iterative min-label propagation. Every node starts labeled
-with its own id; each round, labels flow across edges and every node
-keeps the minimum label seen; at a fixed point each component is
-labeled by its smallest member id. Rounds needed = graph diameter —
-near-dup graphs are unions of near-cliques (band buckets), so 2-3
-rounds in practice; `max_iter` bounds adversarial chains and the loop
-exits early via a convergence check (an any-label-changed probe).
+Two algorithms:
 
-Scale shape: each round is ONE equi-join (edges x labels, both hash-
-partitioned on the node id) + a min-aggregate; lineage is cut per round
-with localCheckpoint so the plan doesn't grow with iterations (swap in
-checkpoint(dir) on a cluster for fault tolerance). The alternating
-large-star/small-star variant (Kiveris et al., "Connected Components in
-MapReduce and Beyond") drops in for graphs with large diameters.
+1. `connected_components` — iterative min-label propagation. Every node
+   starts labeled with its own id; each round, labels flow across edges
+   and every node keeps the minimum label seen; at a fixed point each
+   component is labeled by its smallest member id. Rounds needed =
+   graph diameter — near-dup graphs are unions of near-cliques (band
+   buckets), so 2-3 rounds in practice. If `max_iter` rounds pass
+   without the fixed point (an adversarial long chain), the function
+   NEVER returns partial labels silently: it either falls back to the
+   O(log n)-round star algorithm (default) or raises.
+
+2. `connected_components_star` — alternating large-star / small-star
+   (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   SoCC'14): each round rewires every node's neighborhood toward the
+   neighborhood minimum, provably converging to depth-1 stars (one per
+   component, centered on the component min) in O(log n) rounds even on
+   a path graph. The per-round cost is two groupBy-min + join passes
+   over the edge list — heavier per round than min-label, hence
+   fallback rather than default.
+
+Scale shape: each round is equi-joins + min-aggregates over hash-
+partitioned edges; lineage is cut per round with localCheckpoint so the
+plan doesn't grow with iterations (swap in checkpoint(dir) on a cluster
+for fault tolerance).
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -30,10 +43,20 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 20,
+    on_max_iter: str = "star",
 ) -> DataFrame:
     """(id_col, component) — component = smallest node id reachable.
     `nodes` (optional) supplies the full vertex set so isolated nodes
-    appear as singleton components; defaults to edge endpoints only."""
+    appear as singleton components; defaults to edge endpoints only.
+
+    on_max_iter: what to do if `max_iter` rounds pass without reaching
+    the fixed point (graph diameter > max_iter) — "star" (default)
+    hands the ORIGINAL edges to connected_components_star (O(log n)
+    rounds, exact), "raise" raises RuntimeError. Silent partial labels
+    are not an option (round-3 verdict: wrong components with no
+    signal)."""
+    if on_max_iter not in ("star", "raise"):
+        raise ValueError(f"on_max_iter must be 'star' or 'raise', got {on_max_iter!r}")
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # materialize the edge list ONCE: every round joins against it, and
@@ -51,6 +74,7 @@ def connected_components(
     # aggregate per round instead of a join-compare. decimal(38,0) keeps
     # the sum exact at 10^12-scale ids (int64 would overflow).
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         flowed = sym.join(labels, sym["u"] == labels["n"]).select(
             F.col("v").alias("n"), F.col("l")
@@ -67,6 +91,105 @@ def connected_components(
         ).collect()[0].s
         labels = new_labels
         if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        if on_max_iter == "raise":
+            raise RuntimeError(
+                f"connected_components did not converge in max_iter={max_iter} "
+                "rounds (graph diameter exceeds the bound); rerun with a larger "
+                "max_iter or on_max_iter='star'"
+            )
+        warnings.warn(
+            f"connected_components: no fixed point after {max_iter} min-label "
+            "rounds — falling back to large-star/small-star",
+            stacklevel=2,
+        )
+        # hand over the CHECKPOINTED symmetric edges, not the caller's
+        # `edges` (whose lineage — e.g. the minhash UDF — would re-run)
+        return connected_components_star(
+            sym, src="u", dst="v", nodes=nodes, id_col=id_col
+        )
+    return labels.select(F.col("n").alias(id_col), F.col("l").alias("component"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round. Input/output: directed edges (u, v) with
+    u > v. For every node x (over the SYMMETRIC neighborhood), connect
+    each strictly-larger neighbor to m = min(N(x) ∪ {x})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round. Input: directed (u, v), u > v (large-star
+    output). For every node u, m = min of its smaller neighbors; every
+    smaller neighbor (and u itself) connects to m."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        e.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return rewired.union(self_edges).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_rounds: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(id_col, component) via alternating large-star/small-star —
+    O(log n) rounds on ANY graph (Kiveris et al. SoCC'14), the scale
+    path for adversarial diameters. At the fixed point the edge list is
+    exactly {(member, component_min)}; labels read straight off it.
+
+    Fixed-point check per round: edge count equal AND exceptAll empty —
+    exact, two extra passes over the (shrinking) edge list; the probe's
+    cost is bounded by the round's own joins. `stats["rounds"]` records
+    the round count when a dict is supplied (tests assert O(log n))."""
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        same_count = new_e.count() == e.count()
+        if same_count and new_e.exceptAll(e).isEmpty():
+            e = new_e
+            break
+        e = new_e
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    members = e.select(F.col("u").alias("n"), F.col("v").alias("l"))
+    centers = e.select(F.col("v").alias("n"), F.col("v").alias("l")).distinct()
+    labels = members.union(centers).groupBy("n").agg(F.min("l").alias("l"))
+    if nodes is not None:
+        base = nodes.select(F.col(id_col).alias("n")).distinct()
+        labels = base.join(labels, "n", "left").select(
+            "n", F.coalesce("l", F.col("n")).alias("l")
+        )
     return labels.select(F.col("n").alias(id_col), F.col("l").alias("component"))

@@ -281,7 +281,17 @@ def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
     chunks: list[np.ndarray] = []
     got = 0
     while (unknown_total or got < total) and r.bytepos < len(blob) - 1:
-        frame = _decode_frame(r, blob, sr, channels, bps)
+        try:
+            frame = _decode_frame(r, blob, sr, channels, bps)
+        except ValueError:
+            # Unknown-length streams have no sample-count loop bound, so
+            # trailing non-frame bytes (padding, appended tags) would
+            # otherwise discard ALL decoded audio; keep what decoded.
+            # With a known total, a mid-stream decode error is real
+            # corruption (the loop bound would have stopped us cleanly).
+            if unknown_total and chunks:
+                break
+            raise
         chunks.append(frame)
         got += len(frame)
     pcm = np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int32)

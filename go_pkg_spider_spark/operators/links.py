@@ -257,22 +257,30 @@ def resolve_meta_refresh(
     redirected = df.withColumn(
         "redirect_of", meta_refresh_target(F.col(html_col), F.col(url_col))
     )
-    # dropDuplicates on both join keys: a re-crawled URL (duplicate
+    # one row per join key on both sides: a re-crawled URL (duplicate
     # url_col) or a target matching several rows would otherwise fan the
     # mapping join out and duplicate base-table rows through the final
-    # broadcast join. First occurrence wins, like the reference's
-    # single-fetch redirect follow.
+    # broadcast join. The pick is DETERMINISTIC (min over the candidate
+    # values / the full resolve-col struct) — dropDuplicates keeps an
+    # arbitrary row per key, which made conflicting re-crawls resolve
+    # differently across partitionings (round-3 advice).
     mapping = (
         redirected.filter(F.col("redirect_of").isNotNull())
         .select(
             F.col(url_col).alias("_src_url"), F.col("redirect_of").alias("_target_url")
         )
-        .dropDuplicates(["_src_url"])
+        .groupBy("_src_url")
+        .agg(F.min("_target_url").alias("_target_url"))
     )
-    targets = df.select(
-        F.col(url_col).alias("_t_url"),
-        *[F.col(c).alias(f"_t_{c}") for c in resolve_cols],
-    ).dropDuplicates(["_t_url"])
+    targets = (
+        df.select(
+            F.col(url_col).alias("_t_url"),
+            F.struct(*[F.col(c).alias(f"_t_{c}") for c in resolve_cols]).alias("_ts"),
+        )
+        .groupBy("_t_url")
+        .agg(F.min("_ts").alias("_ts"))
+        .select("_t_url", *[F.col(f"_ts._t_{c}").alias(f"_t_{c}") for c in resolve_cols])
+    )
     resolved_map = mapping.join(
         targets, mapping["_target_url"] == targets["_t_url"], "left"
     ).select("_src_url", "_target_url", *[f"_t_{c}" for c in resolve_cols])

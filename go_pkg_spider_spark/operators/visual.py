@@ -8,9 +8,12 @@ the flac.py precedent): `_decode_image` / `_decode_video_frames` sniff
 the payload's magic bytes and decode with pure numpy. For formats
 beyond those (JPEG/PNG/MP4...), an import-gated library slot (PIL for
 images, cv2 for video) takes over when present; absent both, the
-fallback is a clearly-marked DETERMINISTIC FAKE (seeded by the payload
-bytes) so the Spark-side plumbing — schemas, UDF signatures, Arrow
-batch shapes, partition-preserving plans — stays testable end-to-end.
+payload is UNDECODABLE and the operator emits a typed ERROR ROW
+(ok=false, err="no_codec:<fmt>") — it never fabricates features. The
+DETERMINISTIC FAKE decode (seeded by the payload bytes) exists solely
+for plumbing tests (schemas, UDF signatures, Arrow batch shapes,
+partition-preserving plans) and must be requested explicitly with
+`allow_fake=True`; production callers never see fake data marked ok.
 
 Scale shape mirrors the audio stage: pixels/frames NEVER leave the
 mapInPandas stage (a decoded 1080p frame is ~6 MB — 60x the payload);
@@ -94,10 +97,14 @@ def _fake_pixels(payload: bytes, width: int, height: int, salt: bytes = b"") -> 
     return base
 
 
-def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+def _decode_image(
+    payload: bytes, width: int, height: int, allow_fake: bool = False
+) -> np.ndarray:
     """Grayscale pixels from the payload. Real decode for PGM/PPM/BMP
     (imaging.py, pure numpy from spec); PIL slot for other formats when
-    importable; deterministic fake otherwise (loudly a stub)."""
+    importable. An unknown format with no codec library raises (the
+    caller turns it into an ok=false error row) — unless allow_fake,
+    the tests-only plumbing escape hatch."""
     fmt = imaging.sniff_format(payload)
     if fmt == "pgm":
         return imaging.decode_pgm(payload)
@@ -110,17 +117,23 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 
         img = _pil_image.open(io.BytesIO(payload)).convert("L")
         return np.asarray(img, dtype=np.uint8)
-    # STUB: unknown format and no image codec library in this container
-    return _fake_pixels(payload, width, height)
+    if allow_fake:  # tests-only: exercises batch plumbing without codecs
+        return _fake_pixels(payload, width, height)
+    raise ValueError(f"no_codec:{fmt or 'unknown'}")
 
 
 def _decode_video_frames(
-    payload: bytes, width: int, height: int, n_frames: int, frame_idxs: list[int]
+    payload: bytes,
+    width: int,
+    height: int,
+    n_frames: int,
+    frame_idxs: list[int],
+    allow_fake: bool = False,
 ):
     """Yield (frame_idx, grayscale ndarray) for the requested frames.
     Real decode for Y4M (imaging.Y4MStream — O(1) frame seek); cv2 slot
-    for compressed containers when importable; per-frame deterministic
-    fake otherwise (loudly a stub)."""
+    for compressed containers when importable. Unknown container with no
+    codec raises unless allow_fake (tests-only plumbing escape hatch)."""
     if imaging.sniff_format(payload) == "y4m":
         stream = imaging.Y4MStream(payload)
         for idx in frame_idxs:
@@ -145,9 +158,11 @@ def _decode_video_frames(
         finally:
             os.unlink(path)
         return
-    # STUB: unknown container and no video codec library in this container
-    for idx in frame_idxs:
-        yield idx, _fake_pixels(payload, width, height, salt=str(idx).encode())
+    if allow_fake:  # tests-only: exercises batch plumbing without codecs
+        for idx in frame_idxs:
+            yield idx, _fake_pixels(payload, width, height, salt=str(idx).encode())
+        return
+    raise ValueError(f"no_codec:{imaging.sniff_format(payload) or 'unknown'}")
 
 
 def _resize_mean_pool(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -170,10 +185,12 @@ def image_features(
     width_col: str = "width",
     height_col: str = "height",
     thumb: tuple[int, int] = (8, 8),
+    allow_fake: bool = False,
 ) -> DataFrame:
     """Decode -> intensity stats + edge ratio + mean-pooled thumbnail
     stats, one mapInPandas pass. Pixels stay inside the stage; the
-    output is fixed-width scalars."""
+    output is fixed-width scalars. Undecodable payloads become
+    ok=false/err="no_codec:<fmt>" rows unless allow_fake (tests only)."""
     tw, th = thumb
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -187,10 +204,10 @@ def image_features(
                     rows.append((rid, False, "bad_meta", 0.0, 0.0, 0.0, 0, 0, 0.0))
                     continue
                 try:
-                    px = _decode_image(bytes(payload), int(w), int(h)).astype(
-                        np.float64
-                    )
-                except ValueError as exc:  # corrupt bitstream -> error ROW
+                    px = _decode_image(
+                        bytes(payload), int(w), int(h), allow_fake=allow_fake
+                    ).astype(np.float64)
+                except ValueError as exc:  # corrupt/undecodable -> error ROW
                     rows.append((rid, False, str(exc), 0.0, 0.0, 0.0, 0, 0, 0.0))
                     continue
                 gx = np.abs(np.diff(px, axis=1)).mean() if px.shape[1] > 1 else 0.0
@@ -225,10 +242,12 @@ def video_frame_sample(
     n_frames_col: str = "n_frames",
     fps_col: str = "fps",
     every_nth: int = 10,
+    allow_fake: bool = False,
 ) -> DataFrame:
     """Frame sampling: every Nth frame decodes (REAL for Y4M payloads —
-    imaging.Y4MStream luma planes with O(1) frame seeks; cv2 slot /
-    deterministic fake for other containers) and emits per-frame
+    imaging.Y4MStream luma planes with O(1) frame seeks; cv2 slot for
+    other containers; undecodable -> ok=false row unless allow_fake,
+    tests only) and emits per-frame
     intensity + a motion proxy (mean abs diff vs the previous SAMPLED
     frame). Output is one row per sampled frame — the row-explosion
     happens INSIDE the stage, so the operator's output is already the
@@ -259,7 +278,8 @@ def video_frame_sample(
                 prev = None
                 try:
                     decoded = _decode_video_frames(
-                        bytes(payload), int(w), int(h), int(nf), idxs
+                        bytes(payload), int(w), int(h), int(nf), idxs,
+                        allow_fake=allow_fake,
                     )
                     for idx, px in decoded:
                         px = px.astype(np.float64)

@@ -51,10 +51,17 @@ def get_spark(
     measured fix for python-worker oversubscription on UDF-dominated
     jobs; explicit `master`/$SPARK_GRAFT_MASTER always win."""
     master = master or os.environ.get("SPARK_GRAFT_MASTER")
-    if master is None:
-        master = f"local[{udf_stage_cores()}]" if udf_heavy else "local[*]"
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    if cpus and master == "local[*]":
+    if master is None:
+        # precedence for an unspecified master: SPARK_GRAFT_CPUS (the
+        # explicit bench/driver knob — it wins even for udf_heavy
+        # sessions, round-3 advice), then udf_heavy auto-sizing, then
+        # local[*].
+        if cpus:
+            master = f"local[{cpus}]"
+        else:
+            master = f"local[{udf_stage_cores()}]" if udf_heavy else "local[*]"
+    elif cpus and master == "local[*]":
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # match parallelism: one shuffle partition per core locally;

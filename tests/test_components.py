@@ -47,6 +47,60 @@ def test_max_iter_bounds_work(spark):
     assert got == {1: 1, 2: 1, 3: 1}
 
 
+def test_long_chain_beyond_max_iter_falls_back_to_star(spark):
+    """Path graph with diameter > max_iter: min-label alone would stop
+    with WRONG partial labels — the guard must hand off to the star
+    algorithm and still return exact components (round-3 verdict #4)."""
+    import warnings as _w
+
+    edges = [(i, i + 1) for i in range(1, 60)]
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        got = _cc(spark, edges, max_iter=3)
+    assert got == {i: 1 for i in range(1, 61)}
+
+
+def test_long_chain_raises_when_asked(spark):
+    import pytest
+
+    edges = [(i, i + 1) for i in range(1, 60)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, edges, max_iter=3, on_max_iter="raise")
+
+
+def test_star_exact_and_olog_rounds(spark):
+    """large-star/small-star on a 128-node path: exact labels in
+    O(log n) rounds (Kiveris et al.) — round count asserted."""
+    n = 128
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    stats = {}
+    got = {
+        r.id: r.component
+        for r in components.connected_components_star(e, stats=stats).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
+    # diameter 127; min-label would need 127 rounds — star needs ~log n
+    assert stats["rounds"] <= 12
+
+
+def test_star_matches_minlabel_on_mixed_graph(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 1)]
+    nodes = list(range(1, 4)) + [10, 11, 20, 21, 22, 99]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    nd = spark.createDataFrame([(x,) for x in nodes], "id long")
+    a = {
+        r.id: r.component
+        for r in components.connected_components(e, nodes=nd).collect()
+    }
+    b = {
+        r.id: r.component
+        for r in components.connected_components_star(e, nodes=nd).collect()
+    }
+    assert a == b == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 99: 99}
+
+
 def test_md5_u64_le_matches_hashlib(spark):
     df = spark.range(50).select(tokens.md5_u64_le(F.col("id")).alias("h"), "id")
     for r in df.collect():

@@ -193,6 +193,24 @@ def test_unknown_total_samples_decodes_to_end():
     assert np.array_equal(out, ref)
 
 
+def test_unknown_total_tolerates_trailing_bytes():
+    """Unknown-length stream + trailing non-frame bytes (padding/tags
+    appended after the last frame): the decoder must keep the fully
+    decoded audio instead of raising on the garbage tail (round-3
+    advice). A KNOWN-length stream with mid-stream garbage still
+    raises — that's real corruption."""
+    pcm = _pcm(5000)
+    blob = bytearray(flac.encode_flac_s16(pcm, 16000))
+    base = 8
+    blob[base + 13] &= 0xF0
+    blob[base + 14 : base + 18] = b"\x00" * 4
+    blob += b"\x00PADDING-NOT-A-FRAME\x00" * 3
+    out, sr = flac.decode_flac(bytes(blob))
+    assert sr == 16000 and len(out) == len(pcm)
+    ref, _ = flac.decode_flac(flac.encode_flac_s16(pcm, 16000))
+    assert np.array_equal(out, ref)
+
+
 def test_restore_fixed_cumsum_equals_recurrence():
     """The k-fold-cumsum FIXED restore must equal the spec's per-sample
     recurrence for every order 0-4 (exact int64 integration)."""

@@ -1666,6 +1666,52 @@ def events_distinct_users(spark, sf_dir):
     )
 
 
+def _simtext_oracle_sql() -> str:
+    """Literal expected-truth table for the A11 similarity argmax (the
+    psl_domains_docs hand-derived-oracle pattern): DuckDB returns the
+    FROZEN expectations; Spark must reproduce them via the UDF."""
+    from .fixtures.simtext_fixtures import FIXTURES
+
+    def q(s):
+        return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n      ".join(
+        f"({fid}, {q(best)}, {r!r})" for fid, _c, _t_, best, r in FIXTURES
+    )
+    return f"""
+    SELECT fid, CAST(best AS VARCHAR) AS best, CAST(ratio AS DOUBLE) AS ratio
+    FROM (VALUES
+      {rows}
+    ) AS t(fid, best, ratio)
+    """
+
+
+@query("simtext_argmax_docs", _simtext_oracle_sql())
+def simtext_argmax_docs(spark, sf_dir):
+    """A11/F15 under the hard gate: per-row similarity argmax
+    (simtext.best_match_udf — difflib.SequenceMatcher ratio, argmax
+    over the candidate array, first max wins) against 43 frozen fixture
+    rows covering zh/en titles, exact ties, below-threshold noise,
+    empty/single candidate lists, case/punctuation deltas and length
+    extremes (fixtures/simtext_fixtures.py; reference semantics:
+    extract/content.go:956-978 getTitleByEditDistance). The oracle is
+    the frozen expected-truth table — SequenceMatcher is not
+    SQL-expressible, so the gate checks the UDF value-for-value the
+    same way psl_domains_docs gates the PSL machinery.
+
+    sf_dir is unused: the fixture corpus IS the input (same literal
+    rows both engines)."""
+    from .fixtures.simtext_fixtures import FIXTURES
+    from .functions import simtext
+
+    df = spark.createDataFrame(
+        [(fid, cands, target) for fid, cands, target, _b, _r in FIXTURES],
+        "fid long, candidates array<string>, target string",
+    )
+    m = simtext.best_match_udf(F.col("candidates"), F.col("target"))
+    return df.select("fid", m["best"].alias("best"), m["ratio"].alias("ratio"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

@@ -172,6 +172,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket_size: int = 1024,
+    observation=None,
 ) -> DataFrame:
     """LSH candidate pairs: signature split into `bands` bands of
     num_hashes/bands rows; same band-hash -> candidate. Returns pairs
@@ -232,6 +233,7 @@ def minhash_lsh_candidates(
         F.struct("id", "sig"),
         max_bucket_size,
         metric_name=None,
+        observation=observation,
     )
     pair_arr = pair_array(F.col("ms"))
     est = F.size(

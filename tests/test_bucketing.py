@@ -121,3 +121,32 @@ def test_drop_metrics_observable(spark):
     got = obs.get
     assert got["dropped_members"] == 2 * (20 - 5)
     assert got["max_bucket_members"] == 20 and got["n_buckets"] == 2
+
+
+def test_gate_scale_buckets_never_hit_cap(spark):
+    """The DuckDB oracles for minhash_lsh_docs / embedding_neardup_pairs
+    do NOT model the max_bucket_size cap, so hash parity silently
+    depends on every gate-scale bucket staying under it (round-3
+    advice). Assert the headroom directly via the observed metric at
+    both gate tiers: max bucket membership must stay well below 1024."""
+    from pyspark.sql import Observation, functions as F
+
+    from go_pkg_spider_spark.operators import dedup, similarity
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        obs_m = Observation()
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        dedup.minhash_lsh_candidates(
+            d, "text", "doc_id", observation=obs_m
+        ).write.format("noop").mode("overwrite").save()
+        assert obs_m.get["max_bucket_members"] < 1024, sf_dir
+
+        obs_e = Observation()
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        )
+        similarity.embedding_neardup_pairs(
+            e, "embedding", "vec_id", dim=64, threshold=0.25,
+            round_digits=4, observation=obs_e,
+        ).write.format("noop").mode("overwrite").save()
+        assert obs_e.get["max_bucket_members"] < 1024, sf_dir

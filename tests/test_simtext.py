@@ -55,3 +55,25 @@ def test_classify_links_by_rules(spark):
     assert out[rows[4][0]].link_type == "none"
     assert out[rows[5][0]].link_type == "none"
     assert out[rows[5][0]].reject_reason == "invalid url with suffix"
+
+
+def test_simtext_fixtures_match_difflib():
+    """The frozen A11 oracle expectations must stay exactly what
+    difflib.SequenceMatcher produces (argmax, first max wins, round 6)
+    — guards fixture drift vs the UDF's definition."""
+    from difflib import SequenceMatcher
+
+    from go_pkg_spider_spark.fixtures.simtext_fixtures import FIXTURES
+
+    assert len(FIXTURES) >= 40
+    for fid, cands, target, exp_best, exp_ratio in FIXTURES:
+        best, best_r = None, 0.0
+        for c in cands:
+            r = (
+                SequenceMatcher(None, c, target).ratio()
+                if c and target
+                else 0.0
+            )
+            if r > best_r:
+                best, best_r = c, r
+        assert (best, round(best_r, 6)) == (exp_best, exp_ratio), fid

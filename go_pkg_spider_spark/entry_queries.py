@@ -1666,6 +1666,206 @@ def events_distinct_users(spark, sf_dir):
     )
 
 
+_LINK_TYPES_SQL = r"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 3 AS si, (doc_id // 3) % 10 AS w,
+             CAST(doc_id AS VARCHAR) AS ds
+      FROM documents
+    ), built AS (
+      SELECT doc_id, si, w,
+        CASE
+          WHEN w <= 2 THEN CASE si WHEN 0 THEN '/news/2023/05/a' || ds || '.html'
+                                   WHEN 1 THEN '/news/part/a' || ds || '.html'
+                                   ELSE '/zone' || CAST(doc_id % 40 AS VARCHAR) || '/a' || ds || '.html' END
+          WHEN w = 3 THEN CASE si WHEN 0 THEN '/news/2023/06/u' || ds || '.html'
+                                  WHEN 1 THEN '/news/other/u' || ds || '.html'
+                                  ELSE '/misc/u' || ds || '.html' END
+          WHEN w = 4 THEN CASE si WHEN 0 THEN '/news/2023/07/l' || ds || '.html'
+                                  WHEN 1 THEN '/news/x/l' || ds || '.html'
+                                  ELSE '/l/l' || ds || '.html' END
+          WHEN w = 5 THEN CASE si WHEN 0 THEN '/news/2023/08/p' || ds || '.html'
+                                  WHEN 1 THEN '/news/y/p' || ds || '.html'
+                                  ELSE '/m/p' || ds || '.html' END
+          WHEN w = 6 THEN CASE si WHEN 0 THEN '/news/2023/09/lic' || ds || '.html'
+                                  WHEN 1 THEN '/news/lic/lic' || ds || '.html'
+                                  ELSE '/lic/lic' || ds || '.html' END
+          WHEN w = 7 THEN '/c' || ds || '.html'
+          WHEN w = 8 THEN '/files/f' || ds || '.pdf'
+          ELSE '/index.html'
+        END AS pth,
+        CASE WHEN w = 3 THEN '新闻发布会现场'
+             WHEN w = 4 THEN '火'
+             WHEN w = 5 THEN '栏目'
+             WHEN w = 6 THEN '广播电视节目制作经营许可证'
+             WHEN w = 8 THEN '相关文件下载'
+             ELSE '进口博览会开幕式在国家会展中心隆重举行' END AS title
+      FROM d
+    ), urls AS (
+      SELECT *, 'https://www.site' || CAST(si AS VARCHAR) || '.com' || pth AS url
+      FROM built
+    ), feat AS (
+      SELECT *,
+        CASE
+          WHEN regexp_matches(url, '[{}\[\]@$<>"]') THEN 'invalid url with illegal characters'
+          WHEN NOT starts_with(lower(url), 'http') THEN 'invalid url with not absolute url'
+          WHEN regexp_matches(url, '^https?://[^/]+:\d+') THEN 'invalid url with not 80 port'
+          WHEN regexp_matches(regexp_extract(url, '^https?://([^/:?#]+)', 1),
+                              '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}') THEN 'invalid url with ip hostname'
+          WHEN lower(regexp_extract(url, '(\.[A-Za-z0-9]+)(?:[?#].*)?$', 1)) IN
+               ('.jpg','.jpeg','.png','.gif','.bmp','.txt','.xml','.pdf','.doc','.docx',
+                '.ppt','.pptx','.xls','.xlsx','.zip','.rar','.7z','.gz','.apk','.cgi',
+                '.exe','.bz2','.play','.rss','.sig','.sgf') THEN 'invalid url with suffix'
+          ELSE NULL
+        END AS reject_reason,
+        (trim(pth) = '' OR trim(pth) = '/'
+         OR regexp_matches(trim(pth), '^/index\.(html|shtml|htm|php|asp|aspx|jsp)$')) AS is_index,
+        CASE WHEN regexp_replace(pth, '/[^/]*$', '') = '' THEN '/'
+             ELSE regexp_replace(pth, '/[^/]*$', '') END AS dir
+      FROM urls
+    ), feat2 AS (
+      SELECT *,
+        list_filter(string_split(dir, '/'), x -> x != '')[1] AS seg,
+        regexp_matches(regexp_replace(dir, '[.\-_]', '', 'g'),
+          '(20[2-3][0-9][/]?(0[1-9]|1[0-2]|[1-9])[/]?(0[1-9]|[1-2][0-9]|3[0-1]|[1-9])?)') AS has_date
+      FROM feat
+    ), pass1 AS (
+      SELECT *,
+        CASE
+          WHEN reject_reason IS NOT NULL OR is_index THEN 'none'
+          WHEN length(url) > 255 THEN 'none'
+          WHEN length(regexp_replace(title, '[^\p{Han}]', '', 'g')) > 5 THEN
+            CASE WHEN length(replace(title, ' ', '')) >= 8 THEN 'content'
+                 WHEN regexp_matches(replace(title, ' ', ''), '[，。；：？！（）“”]') THEN 'content'
+                 ELSE 'unknown' END
+          WHEN length(regexp_replace(title, '[^\p{Han}]', '', 'g')) > 0 THEN 'list'
+          WHEN lower(title) IN ('nba','cba','5g','ai','it','ipo') THEN 'list'
+          ELSE 'none'
+        END AS t1
+      FROM feat2
+    ), stats AS (
+      SELECT si,
+             avg(CASE WHEN has_date THEN 1.0 ELSE 0.0 END) AS publish_prob,
+             count(*) AS content_count
+      FROM pass1 WHERE t1 = 'content' GROUP BY si
+    ), segc AS (
+      SELECT si, seg, count(*) AS c
+      FROM pass1 WHERE t1 = 'content' AND seg IS NOT NULL GROUP BY si, seg
+    ), tops AS (
+      SELECT segc.si, list(seg) AS top_paths
+      FROM segc JOIN stats USING (si)
+      WHERE content_count >= 8 AND c > 1 AND CAST(c AS DOUBLE) / content_count > 0.4
+      GROUP BY segc.si
+    ), joined AS (
+      SELECT p.*, coalesce(s.publish_prob > 0.7, false) AS strong,
+             coalesce(len(t.top_paths) > 0, false) AS has_tops,
+             coalesce(t.top_paths, []) AS top_paths
+      FROM pass1 p LEFT JOIN stats s USING (si) LEFT JOIN tops t USING (si)
+    ), pass2 AS (
+      SELECT *,
+        CASE
+          WHEN strong AND t1 = 'list' AND has_date AND length(title) >= 2 THEN 'content'
+          WHEN strong AND t1 = 'unknown' AND has_date AND length(title) >= 2 THEN 'content'
+          WHEN strong AND t1 = 'unknown' THEN 'list'
+          WHEN NOT strong AND has_tops AND t1 = 'unknown' AND seg IS NOT NULL
+               AND list_contains(top_paths, seg) AND length(title) >= 2 THEN 'content'
+          WHEN NOT strong AND has_tops AND t1 = 'unknown' AND seg IS NOT NULL THEN 'list'
+          WHEN t1 = 'content' AND (strong OR has_tops)
+               AND (trim(pth) = '' OR trim(pth) = '/' OR seg IS NULL) THEN 'unknown'
+          ELSE t1
+        END AS t2
+      FROM joined
+    )
+    SELECT doc_id, url, reject_reason,
+      CASE WHEN t2 = 'content' AND regexp_matches(title,
+             '(经营|制作|信息服务|出版|出版服务|演出|视听节目|新闻|视听|新网)许可证')
+           THEN 'none' ELSE t2 END AS link_type
+    FROM pass2
+"""
+
+
+@query("link_types_docs", _LINK_TYPES_SQL)
+def link_types_docs(spark, sf_dir):
+    """The reference's second flagship trace — DetectDomain → LinkTypes
+    (extract/link.go:62-253) — END-TO-END under the hard gate: per-link
+    classification (LinkIsContentByTitle :276-364) → per-site stats
+    (publishProb A5, topPaths A6) → linkTypePathProcess two-pass
+    reclassification (:155-253: strong-date branch, topPaths branch,
+    no-path content cleanup) → zh licence-blacklist demotion (linkClean
+    :139-153), jointly covering A5/A6/P2-P4/P8/U1.
+
+    The synthetic link table derives deterministically from doc_id:
+    three SITES with distinct statistical profiles — site0's content
+    URLs carry date dirs (publishProb 0.8 > 0.7 → branch A: dated list/
+    unknown rows with title>=2 runes promote, short-title list rows
+    stay), site1's cluster under /news/ without dates (topPaths branch:
+    unknown rows under a top path promote), site2 scatters across
+    /zoneN/ (no signature — nothing reclassifies) — crossed with ten
+    row variants (long-zh content titles, 7-han unknown, 1/2-char list
+    titles straddling the titleLen>=2 promote gate, licence-blacklist
+    title, root-path content that the cleanup demotes, .pdf reject,
+    /index.html). The oracle replays every stage in RE2 SQL including
+    the site-level aggregates."""
+    from .operators import links as links_ops
+
+    d = _t(spark, sf_dir, "documents")
+    si = F.col("doc_id") % 3
+    w = F.expr("doc_id div 3") % 10
+    did = F.col("doc_id").cast("string")
+
+    def _cat(*parts):
+        return F.concat(*[F.lit(x) if isinstance(x, str) else x for x in parts])
+
+    title = (
+        F.when(w == 3, F.lit("新闻发布会现场"))
+        .when(w == 4, F.lit("火"))
+        .when(w == 5, F.lit("栏目"))
+        .when(w == 6, F.lit("广播电视节目制作经营许可证"))
+        .when(w == 8, F.lit("相关文件下载"))
+        .otherwise(F.lit("进口博览会开幕式在国家会展中心隆重举行"))
+    )
+    p = (
+        F.when(
+            w <= 2,
+            F.when(si == 0, _cat("/news/2023/05/a", did, ".html"))
+            .when(si == 1, _cat("/news/part/a", did, ".html"))
+            .otherwise(
+                _cat("/zone", (F.col("doc_id") % 40).cast("string"), "/a", did, ".html")
+            ),
+        )
+        .when(
+            w == 3,
+            F.when(si == 0, _cat("/news/2023/06/u", did, ".html"))
+            .when(si == 1, _cat("/news/other/u", did, ".html"))
+            .otherwise(_cat("/misc/u", did, ".html")),
+        )
+        .when(
+            w == 4,
+            F.when(si == 0, _cat("/news/2023/07/l", did, ".html"))
+            .when(si == 1, _cat("/news/x/l", did, ".html"))
+            .otherwise(_cat("/l/l", did, ".html")),
+        )
+        .when(
+            w == 5,
+            F.when(si == 0, _cat("/news/2023/08/p", did, ".html"))
+            .when(si == 1, _cat("/news/y/p", did, ".html"))
+            .otherwise(_cat("/m/p", did, ".html")),
+        )
+        .when(
+            w == 6,
+            F.when(si == 0, _cat("/news/2023/09/lic", did, ".html"))
+            .when(si == 1, _cat("/news/lic/lic", did, ".html"))
+            .otherwise(_cat("/lic/lic", did, ".html")),
+        )
+        .when(w == 7, _cat("/c", did, ".html"))
+        .when(w == 8, _cat("/files/f", did, ".pdf"))
+        .otherwise(F.lit("/index.html"))
+    )
+    url = _cat("https://www.site", si.cast("string"), ".com", p)
+    base = d.select("doc_id", url.alias("url"), title.alias("anchor_title"))
+    out = links_ops.classify_links(base, lang="zh")
+    return out.select("doc_id", "url", "reject_reason", "link_type")
+
+
 def _simtext_oracle_sql() -> str:
     """Literal expected-truth table for the A11 similarity argmax (the
     psl_domains_docs hand-derived-oracle pattern): DuckDB returns the

@@ -1,0 +1,287 @@
+"""Composed dedup job: exact dedup -> MinHash+LSH candidates (capped
+buckets) -> connected components -> deterministic keep-one + stratified
+mix — the full training-data dedup pass as ONE spark-submit artifact
+(round-3 verdict #7: the operators were individually oracled; this is
+what a user actually runs at 100 TB).
+
+    zip -qr /tmp/pkg.zip go_pkg_spider_spark
+    spark-submit --driver-memory 24g --py-files /tmp/pkg.zip \
+        jobs/run_dedup.py --input /data/documents --output-root /data/dedup \
+        --run-id nightly --threshold 0.5 --sample-rate 0.9
+
+Scale/resume design:
+- The chain is STAGE-manifested, not bucket-manifested: near-dup
+  candidate pairs cross any bucketing of the input, so each stage runs
+  as one distributed job and commits its output table + a manifest row;
+  resume skips committed stages and reads their tables back (which also
+  cuts lineage — the components loop joins against materialized pairs,
+  never re-executing the minhash UDF).
+- Stage outputs are the small derived tables (hash groups, pairs,
+  labels, decisions) — never a copy of the corpus.
+- The LSH bucket cap's drop accounting (operators/bucketing.py) is
+  surfaced through a pyspark Observation into the manifest metrics, so
+  a production run can see exactly how many candidate-pair members a
+  hot bucket dropped (the honesty requirement: capped never means
+  silently discarded).
+- Decisions are deterministic and layout-independent: exact losers by
+  min-id per content hash, near-dup losers by min-id per component,
+  stratified mix by md5_u64_le(id) (the same hash the stratified-
+  sample oracle entry replays in DuckDB).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+DEDUP_STAGES = ("exact", "pairs", "components", "decisions")
+DEDUP_MANIFEST_TABLE = "dedup_manifest"
+
+
+def _manifest_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("stage", StringType(), False),
+            StructField("status", StringType(), False),
+            StructField("rows", LongType()),
+            StructField("metrics", MapType(StringType(), StringType())),
+            StructField("wall_sec", DoubleType()),
+            StructField("run_id", StringType()),
+            StructField("committed_at_unix", LongType()),
+        ]
+    )
+
+
+def run_dedup(
+    spark,
+    docs,
+    output_root: str,
+    run_id: str = "adhoc",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    sample_rate: float = 1.0,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int = 1024,
+) -> dict:
+    """Run (or resume) the dedup chain. Returns a summary dict with
+    per-stage rows/metrics and stages_run/stages_skipped counts."""
+    from pyspark.sql import Observation, functions as F
+
+    from go_pkg_spider_spark.functions.tokens import content_hash_md5, md5_u64_le
+    from go_pkg_spider_spark.io.catalog import Catalog
+    from go_pkg_spider_spark.operators import components as cc_ops
+    from go_pkg_spider_spark.operators import dedup
+
+    cat = Catalog(spark, output_root)
+
+    def done_stages() -> set[str]:
+        if not cat.exists(DEDUP_MANIFEST_TABLE):
+            return set()
+        return {
+            r.stage
+            for r in cat.read(DEDUP_MANIFEST_TABLE)
+            .filter(F.col("status") == "done")
+            .select("stage")
+            .distinct()
+            .collect()
+        }
+
+    done = done_stages()
+    summary: dict = {
+        "stages_run": 0,
+        "stages_skipped": 0,
+        "stage_rows": {},
+        "metrics": {},
+    }
+
+    def commit(stage: str, df, metrics: dict[str, str]) -> None:
+        t0 = time.monotonic()
+        cat.write(df, stage, mode="overwrite")
+        rows = cat.read(stage).count()
+        mdf = spark.createDataFrame(
+            [
+                (
+                    stage,
+                    "done",
+                    rows,
+                    metrics,
+                    round(time.monotonic() - t0, 3),
+                    run_id,
+                    int(time.time()),
+                )
+            ],
+            _manifest_schema(),
+        )
+        cat.append(mdf, DEDUP_MANIFEST_TABLE)
+        summary["stages_run"] += 1
+        summary["stage_rows"][stage] = rows
+        if metrics:
+            summary["metrics"][stage] = metrics
+
+    def skipped(stage: str) -> None:
+        summary["stages_skipped"] += 1
+        summary["stage_rows"][stage] = cat.read(stage).count()
+
+    # stage 1: exact dedup — one row per distinct normalized text
+    if "exact" in done:
+        skipped("exact")
+    else:
+        commit("exact", dedup.exact_dedup(docs, text_col, id_col), {})
+    groups = cat.read("exact")
+
+    # survivors of exact dedup (id == kept_id), re-derived from the
+    # committed groups: a hash semi-join on the id column only
+    survivors = docs.join(
+        groups.select(F.col("kept_id").alias(id_col)), id_col, "semi"
+    )
+
+    # stage 2: LSH candidate pairs over the survivors (capped buckets,
+    # drop accounting observed into the manifest)
+    if "pairs" in done:
+        skipped("pairs")
+    else:
+        obs = Observation()
+        pairs = dedup.minhash_lsh_candidates(
+            survivors,
+            text_col,
+            id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            max_bucket_size=max_bucket_size,
+            observation=obs,
+        ).filter(F.col("jaccard") >= threshold)
+        t0 = time.monotonic()
+        cat.write(pairs, "pairs", mode="overwrite")
+        got = obs.get
+        metrics = {
+            "dropped_members": str(got.get("dropped_members") or 0),
+            "max_bucket_members": str(got.get("max_bucket_members") or 0),
+            "n_buckets": str(got.get("n_buckets") or 0),
+            "threshold": str(threshold),
+        }
+        rows = cat.read("pairs").count()
+        mdf = spark.createDataFrame(
+            [
+                (
+                    "pairs",
+                    "done",
+                    rows,
+                    metrics,
+                    round(time.monotonic() - t0, 3),
+                    run_id,
+                    int(time.time()),
+                )
+            ],
+            _manifest_schema(),
+        )
+        cat.append(mdf, DEDUP_MANIFEST_TABLE)
+        summary["stages_run"] += 1
+        summary["stage_rows"]["pairs"] = rows
+        summary["metrics"]["pairs"] = metrics
+
+    # stage 3: connected components over the COMMITTED pairs (reading
+    # the parquet back cuts the minhash lineage — the iteration joins a
+    # materialized table, round-3 lesson) with the survivor ids as the
+    # node set so singletons label themselves
+    if "components" in done:
+        skipped("components")
+    else:
+        labels = cc_ops.connected_components(
+            cat.read("pairs"),
+            src="id_a",
+            dst="id_b",
+            nodes=survivors.select(id_col),
+            id_col=id_col,
+        )
+        commit("components", labels, {})
+
+    # stage 4: one decision row per INPUT doc. Deterministic precedence:
+    # exact loser -> near-dup loser -> stratified-sample miss -> keep.
+    if "decisions" in done:
+        skipped("decisions")
+    else:
+        labels = cat.read("components")
+        with_hash = docs.select(
+            F.col(id_col), content_hash_md5(F.col(text_col)).alias("content_md5")
+        )
+        enriched = with_hash.join(
+            groups.select("content_md5", "kept_id"), "content_md5", "left"
+        ).join(labels, id_col, "left")
+        # the u64 threshold exceeds int64 — route the literal through a
+        # string cast to decimal(20,0) (same dtype md5_u64_le returns)
+        in_sample = (
+            F.lit(True)
+            if sample_rate >= 1.0
+            else md5_u64_le(F.col(id_col))
+            < F.lit(str(int(sample_rate * (1 << 64)))).cast("decimal(20,0)")
+        )
+        decision = (
+            F.when(F.col(id_col) != F.col("kept_id"), "drop_exact_dup")
+            .when(F.col("component") != F.col(id_col), "drop_near_dup")
+            .when(~in_sample, "drop_sample_miss")
+            .otherwise("keep")
+        )
+        commit(
+            "decisions",
+            enriched.select(
+                id_col,
+                "content_md5",
+                F.col("component"),
+                decision.alias("decision"),
+            ),
+            {"sample_rate": str(sample_rate)},
+        )
+
+    dec = cat.read("decisions")
+    summary["decision_histogram"] = {
+        r.decision: r["count"] for r in dec.groupBy("decision").count().collect()
+    }
+    return summary
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="composed dedup job")
+    p.add_argument("--input", required=True, help="documents table path")
+    p.add_argument("--output-root", required=True)
+    p.add_argument("--run-id", default="adhoc")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--sample-rate", type=float, default=1.0)
+    p.add_argument("--max-bucket-size", type=int, default=1024)
+    args = p.parse_args()
+
+    from go_pkg_spider_spark.session import get_spark
+
+    spark = get_spark(app_name=f"dedup-{args.run_id}")
+    docs = spark.read.parquet(args.input)
+    summary = run_dedup(
+        spark,
+        docs,
+        args.output_root,
+        run_id=args.run_id,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        threshold=args.threshold,
+        sample_rate=args.sample_rate,
+        max_bucket_size=args.max_bucket_size,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

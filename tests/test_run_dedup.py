@@ -1,0 +1,80 @@
+"""Composed dedup job (jobs/run_dedup.py): end-to-end decisions on a
+corpus with KNOWN exact/near duplicates, stage-manifest resume
+idempotence, and the bucket-cap drop accounting surfacing in the
+manifest metrics."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from jobs.run_dedup import run_dedup
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to find some food for its hungry cubs "
+    "before the cold winter arrives in the northern mountains"
+)
+
+
+def _corpus(spark):
+    rows = []
+    # exact-dup family: ids 0,1,2 share identical text (0 survives)
+    for i in range(3):
+        rows.append((i, BASE))
+    # near-dup family on a DIFFERENT base text (so it doesn't also
+    # near-match the exact family): 10,11 differ by one word (10 keeps)
+    other = (
+        "completely different story about seven sailors crossing the "
+        "stormy southern ocean on a small wooden boat while singing old "
+        "songs about their distant homes and long lost friends at night"
+    )
+    rows.append((10, other + " extra"))
+    rows.append((11, other + " added"))
+    # unique docs
+    for i in range(20, 26):
+        rows.append((i, f"document number {i} " + " ".join(f"w{i}x{j}" for j in range(40))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_job_decisions_and_resume(spark, tmp_path):
+    docs = _corpus(spark)
+    root = str(tmp_path / "dedup")
+
+    s1 = run_dedup(spark, docs, root, run_id="t1", threshold=0.5)
+    assert s1["stages_run"] == 4 and s1["stages_skipped"] == 0
+    hist = s1["decision_histogram"]
+    # 3 exact copies -> 2 exact losers; near-dup pair -> 1 near-dup loser
+    assert hist["drop_exact_dup"] == 2
+    assert hist["drop_near_dup"] == 1
+    assert hist["keep"] == 11 - 3  # 11 rows, 2 exact + 1 near lost
+    dec = {
+        r.doc_id: r
+        for r in spark.read.parquet(f"{root}/decisions").collect()
+    }
+    assert dec[0].decision == "keep" and dec[1].decision == "drop_exact_dup"
+    # near-dup component labeled by its min member; min id kept
+    assert dec[10].decision == "keep" and dec[11].decision == "drop_near_dup"
+    assert dec[11].component == 10
+    # bucket-cap accounting surfaced in the manifest metrics
+    m = s1["metrics"]["pairs"]
+    assert set(m) >= {"dropped_members", "max_bucket_members", "n_buckets"}
+    assert int(m["dropped_members"]) == 0
+
+    # resume: every stage skipped, decisions byte-identical
+    s2 = run_dedup(spark, docs, root, run_id="t1", threshold=0.5)
+    assert s2["stages_run"] == 0 and s2["stages_skipped"] == 4
+    assert s2["decision_histogram"] == hist
+
+
+def test_dedup_job_stratified_mix(spark, tmp_path):
+    docs = _corpus(spark)
+    root = str(tmp_path / "dedup_mix")
+    s = run_dedup(spark, docs, root, run_id="t2", threshold=0.5, sample_rate=0.5)
+    hist = s["decision_histogram"]
+    # the mix only thins the KEEP set, deterministically by md5(id)
+    assert hist["drop_exact_dup"] == 2 and hist["drop_near_dup"] == 1
+    assert hist.get("keep", 0) + hist.get("drop_sample_miss", 0) == 8
+    assert hist.get("drop_sample_miss", 0) > 0

@@ -148,3 +148,21 @@ def test_ivf_assign_expression_is_linear(spark):
     # nested when-chain form printed megabytes for k=8
     assert len(analyzed) < 50_000
     assert out.collect()[0].cell == 1  # [1,2] is exactly centroid 1
+
+
+def test_link_types_stats_rejoin_broadcasts(spark):
+    """LinkTypes two-pass: the one-row-per-site stats must come back via
+    BroadcastHashJoin (the link table never shuffles for the rejoin)
+    and the whole flow stays JVM-side (no Python nodes)."""
+    plan = _plan(entry.queries()["link_types_docs"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simtext_argmax_single_python_hop(spark):
+    """A11 argmax: the struct UDF evaluates ONCE — best/ratio are field
+    reads of the same ArrowEvalPython call, not two UDF evaluations."""
+    plan = _plan(entry.queries()["simtext_argmax_docs"](spark, SF))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan

@@ -112,6 +112,22 @@ REPORT = [
         "stage, all regex JVM-side, zero Exchange, zero Python.",
         "extract_news_docs",
     ),
+    (
+        "link_types_docs",
+        "LinkTypes two-pass (§3.2): per-link classification feeds two "
+        "site-level aggregations (publishProb, topPaths) whose one-row-"
+        "per-site outputs rejoin via BroadcastHashJoin — the link table "
+        "itself never shuffles for the rejoin; all classification regex "
+        "JVM-side, zero Python.",
+        "link_types_docs",
+    ),
+    (
+        "simtext_argmax_docs",
+        "A11 similarity argmax: exactly one ArrowEvalPython (the struct "
+        "UDF evaluates once; best/ratio are field reads of the same "
+        "call), no shuffle.",
+        "simtext_argmax_docs",
+    ),
 ]
 
 

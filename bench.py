@@ -68,8 +68,11 @@ def _kill_leftover_jvms() -> None:
         ancestors.add(pid)
         try:
             with open(f"/proc/{pid}/stat") as f:
-                pid = int(f.read().split()[3])
-        except OSError:
+                # field 4 (ppid) counted AFTER the comm field, which is
+                # parenthesized and may itself contain spaces/parens
+                # ("tmux: server") — split after the LAST ')'
+                pid = int(f.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, ValueError, IndexError):
             break
     for line in out.split():
         try:

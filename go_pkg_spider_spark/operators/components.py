@@ -160,6 +160,13 @@ def connected_components_star(
     exact, two extra passes over the (shrinking) edge list; the probe's
     cost is bounded by the round's own joins. `stats["rounds"]` records
     the round count when a dict is supplied (tests assert O(log n))."""
+    # the node universe comes from the RAW endpoints (before dropping
+    # self-loops) so a node appearing only in a self-loop still gets a
+    # singleton label, matching the min-label path's row set
+    if nodes is None:
+        nodes = edges.select(F.col(src).alias(id_col)).union(
+            edges.select(F.col(dst).alias(id_col))
+        )
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),

@@ -272,13 +272,23 @@ def resolve_meta_refresh(
         .groupBy("_src_url")
         .agg(F.min("_target_url").alias("_target_url"))
     )
+    # most-populated row wins, then a deterministic value tiebreak:
+    # max over struct(non-null count, fields...). A bare min(struct)
+    # would prefer rows whose LEADING field is NULL (nulls sort first
+    # ascending), letting a failed re-crawl beat a populated one.
+    nn = sum(
+        (F.col(c).isNotNull().cast("int") for c in resolve_cols), F.lit(0)
+    )
     targets = (
         df.select(
             F.col(url_col).alias("_t_url"),
-            F.struct(*[F.col(c).alias(f"_t_{c}") for c in resolve_cols]).alias("_ts"),
+            F.struct(
+                nn.alias("_nn"),
+                *[F.col(c).alias(f"_t_{c}") for c in resolve_cols],
+            ).alias("_ts"),
         )
         .groupBy("_t_url")
-        .agg(F.min("_ts").alias("_ts"))
+        .agg(F.max("_ts").alias("_ts"))
         .select("_t_url", *[F.col(f"_ts._t_{c}").alias(f"_t_{c}") for c in resolve_cols])
     )
     resolved_map = mapping.join(

@@ -223,13 +223,15 @@ def train_ivf_centroids(
 
     # ordered take, NOT bare limit(): limit-without-order returns
     # whichever partitions answer first, so the "deterministic" claim
-    # would only hold per physical layout (round-3 verdict nit). Arrays
-    # are lexicographically orderable in Spark SQL, so sorting on the
-    # vector itself gives a layout-independent sample with no id column
-    # required (TakeOrderedAndProject — each partition keeps sample*4).
+    # would only hold per physical layout (round-3 verdict nit). The
+    # order key is a HASH of the vector, not the vector itself —
+    # ordering by value would take the lexicographically smallest
+    # corner of the embedding space and train every centroid there;
+    # hash order is layout-independent AND uniform over the corpus
+    # (TakeOrderedAndProject — each partition keeps sample*4).
     rows = (
         df.select(F.col(vec_col).alias("v"))
-        .orderBy("v")
+        .orderBy(F.xxhash64(F.col("v").cast("string")), F.col("v"))
         .limit(sample * 4)
         .collect()
     )
@@ -307,7 +309,11 @@ def ivf_assign(
 ) -> Column:
     """Nearest-centroid id (at 100TB this is the bucket column the
     table is partitioned by). Ties break to the lowest cell id in both
-    forms, identical to the oracle's ORDER BY dist, cell.
+    forms. The literal form computes the per-pair squared-distance sum
+    exactly as the oracle does (ORDER BY dist, cell parity); the Arrow
+    form's expanded GEMM can round a within-float-epsilon NEAR-tie the
+    other way — callers needing bit-stable assignments across the k
+    threshold should pin one form via max_literal_k.
 
     Two forms, auto-selected on k (round-3 verdict: the literal form's
     plan is O(k x dim) expression nodes — fine at k=8, the plan ITSELF
@@ -338,7 +344,10 @@ def _ivf_assign_arrow(vec: Column, centroids: list[list[float]]) -> Column:
     ||x||^2 - 2xC^T + ||c||^2 so each Arrow batch costs one (n x dim) x
     (dim x k) matmul instead of n*k*dim elementwise temporaries.
     np.argmin keeps the FIRST minimum — ties to the lowest cell id,
-    matching the literal form."""
+    like the literal form (though the expanded GEMM can round a
+    within-epsilon near-tie the other way — see ivf_assign). NULL
+    vectors yield NULL cells, matching the literal form (np.stack over
+    a batch containing None would otherwise kill the task)."""
     from pyspark.sql.types import IntegerType
 
     C = np.asarray(centroids, dtype=np.float64)
@@ -346,11 +355,13 @@ def _ivf_assign_arrow(vec: Column, centroids: list[list[float]]) -> Column:
 
     @F.pandas_udf(IntegerType())
     def assign(batch: pd.Series) -> pd.Series:
-        if len(batch) == 0:
-            return pd.Series([], dtype="int32")
-        X = np.stack(batch.to_numpy()).astype(np.float64)
-        d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
-        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+        mask = batch.notna()
+        out = pd.array([None] * len(batch), dtype="Int32")
+        if mask.any():
+            X = np.stack(batch[mask].to_numpy()).astype(np.float64)
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+            out[mask.to_numpy()] = np.argmin(d, axis=1).astype(np.int32)
+        return pd.Series(out)
 
     return assign(vec)
 

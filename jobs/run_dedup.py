@@ -15,7 +15,13 @@ Scale/resume design:
   as one distributed job and commits its output table + a manifest row;
   resume skips committed stages and reads their tables back (which also
   cuts lineage — the components loop joins against materialized pairs,
-  never re-executing the minhash UDF).
+  never re-executing the minhash UDF). A committed stage is reusable
+  ONLY if its manifest row carries the same parameter fingerprint
+  (params_sig) as the current invocation — rerunning the same
+  output-root with a different threshold reruns the chain instead of
+  silently returning stale results — and once any stage reruns, all
+  downstream stages rerun. (The input PATH is the caller's
+  responsibility: point different inputs at different output roots.)
 - Stage outputs are the small derived tables (hash groups, pairs,
   labels, decisions) — never a copy of the corpus.
 - The LSH bucket cap's drop accounting (operators/bucketing.py) is
@@ -87,6 +93,24 @@ def run_dedup(
 
     cat = Catalog(spark, output_root)
 
+    # Resume gate: a committed stage is reusable only if it was built
+    # with the SAME parameters — otherwise rerunning with a new
+    # threshold would silently return stale results. The sig covers
+    # every knob that changes stage outputs; once any stage reruns,
+    # every DOWNSTREAM stage reruns too (their inputs changed).
+    params_sig = json.dumps(
+        {
+            "id_col": id_col,
+            "text_col": text_col,
+            "threshold": threshold,
+            "sample_rate": sample_rate,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "max_bucket_size": max_bucket_size,
+        },
+        sort_keys=True,
+    )
+
     def done_stages() -> set[str]:
         if not cat.exists(DEDUP_MANIFEST_TABLE):
             return set()
@@ -94,12 +118,13 @@ def run_dedup(
             r.stage
             for r in cat.read(DEDUP_MANIFEST_TABLE)
             .filter(F.col("status") == "done")
-            .select("stage")
-            .distinct()
+            .select("stage", "metrics")
             .collect()
+            if (r.metrics or {}).get("params_sig") == params_sig
         }
 
     done = done_stages()
+    upstream_reran = False
     summary: dict = {
         "stages_run": 0,
         "stages_skipped": 0,
@@ -107,9 +132,15 @@ def run_dedup(
         "metrics": {},
     }
 
-    def commit(stage: str, df, metrics: dict[str, str]) -> None:
+    def commit(stage: str, df, metrics_after=None) -> None:
+        """Write the stage table, then the manifest row. metrics_after
+        (optional callable) runs AFTER the write — for metrics only
+        observable once the plan executed (the bucket-cap Observation)."""
+        nonlocal upstream_reran
         t0 = time.monotonic()
         cat.write(df, stage, mode="overwrite")
+        metrics = dict(metrics_after() if metrics_after else {})
+        metrics["params_sig"] = params_sig
         rows = cat.read(stage).count()
         mdf = spark.createDataFrame(
             [
@@ -126,20 +157,21 @@ def run_dedup(
             _manifest_schema(),
         )
         cat.append(mdf, DEDUP_MANIFEST_TABLE)
+        upstream_reran = True
         summary["stages_run"] += 1
         summary["stage_rows"][stage] = rows
-        if metrics:
-            summary["metrics"][stage] = metrics
+        summary["metrics"][stage] = metrics
 
-    def skipped(stage: str) -> None:
-        summary["stages_skipped"] += 1
-        summary["stage_rows"][stage] = cat.read(stage).count()
+    def resumable(stage: str) -> bool:
+        if stage in done and not upstream_reran:
+            summary["stages_skipped"] += 1
+            summary["stage_rows"][stage] = cat.read(stage).count()
+            return True
+        return False
 
     # stage 1: exact dedup — one row per distinct normalized text
-    if "exact" in done:
-        skipped("exact")
-    else:
-        commit("exact", dedup.exact_dedup(docs, text_col, id_col), {})
+    if not resumable("exact"):
+        commit("exact", dedup.exact_dedup(docs, text_col, id_col))
     groups = cat.read("exact")
 
     # survivors of exact dedup (id == kept_id), re-derived from the
@@ -150,9 +182,7 @@ def run_dedup(
 
     # stage 2: LSH candidate pairs over the survivors (capped buckets,
     # drop accounting observed into the manifest)
-    if "pairs" in done:
-        skipped("pairs")
-    else:
+    if not resumable("pairs"):
         obs = Observation()
         pairs = dedup.minhash_lsh_candidates(
             survivors,
@@ -163,42 +193,23 @@ def run_dedup(
             max_bucket_size=max_bucket_size,
             observation=obs,
         ).filter(F.col("jaccard") >= threshold)
-        t0 = time.monotonic()
-        cat.write(pairs, "pairs", mode="overwrite")
-        got = obs.get
-        metrics = {
-            "dropped_members": str(got.get("dropped_members") or 0),
-            "max_bucket_members": str(got.get("max_bucket_members") or 0),
-            "n_buckets": str(got.get("n_buckets") or 0),
-            "threshold": str(threshold),
-        }
-        rows = cat.read("pairs").count()
-        mdf = spark.createDataFrame(
-            [
-                (
-                    "pairs",
-                    "done",
-                    rows,
-                    metrics,
-                    round(time.monotonic() - t0, 3),
-                    run_id,
-                    int(time.time()),
-                )
-            ],
-            _manifest_schema(),
-        )
-        cat.append(mdf, DEDUP_MANIFEST_TABLE)
-        summary["stages_run"] += 1
-        summary["stage_rows"]["pairs"] = rows
-        summary["metrics"]["pairs"] = metrics
+
+        def _bucket_metrics():
+            got = obs.get
+            return {
+                "dropped_members": str(got.get("dropped_members") or 0),
+                "max_bucket_members": str(got.get("max_bucket_members") or 0),
+                "n_buckets": str(got.get("n_buckets") or 0),
+                "threshold": str(threshold),
+            }
+
+        commit("pairs", pairs, metrics_after=_bucket_metrics)
 
     # stage 3: connected components over the COMMITTED pairs (reading
     # the parquet back cuts the minhash lineage — the iteration joins a
     # materialized table, round-3 lesson) with the survivor ids as the
     # node set so singletons label themselves
-    if "components" in done:
-        skipped("components")
-    else:
+    if not resumable("components"):
         labels = cc_ops.connected_components(
             cat.read("pairs"),
             src="id_a",
@@ -206,13 +217,11 @@ def run_dedup(
             nodes=survivors.select(id_col),
             id_col=id_col,
         )
-        commit("components", labels, {})
+        commit("components", labels)
 
     # stage 4: one decision row per INPUT doc. Deterministic precedence:
     # exact loser -> near-dup loser -> stratified-sample miss -> keep.
-    if "decisions" in done:
-        skipped("decisions")
-    else:
+    if not resumable("decisions"):
         labels = cat.read("components")
         with_hash = docs.select(
             F.col(id_col), content_hash_md5(F.col(text_col)).alias("content_md5")
@@ -242,7 +251,7 @@ def run_dedup(
                 F.col("component"),
                 decision.alias("decision"),
             ),
-            {"sample_rate": str(sample_rate)},
+            metrics_after=lambda: {"sample_rate": str(sample_rate)},
         )
 
     dec = cat.read("decisions")

@@ -108,3 +108,18 @@ def test_md5_u64_le_matches_hashlib(spark):
             hashlib.md5(str(r.id).encode()).digest()[:8], "little"
         )
         assert int(r.h) == want
+
+
+def test_star_keeps_self_loop_only_nodes(spark):
+    """A node appearing only in a self-loop must still get a singleton
+    label from the star path (parity with the min-label path)."""
+    e = spark.createDataFrame([(5, 5), (1, 2)], "id_a long, id_b long")
+    a = {
+        r.id: r.component
+        for r in components.connected_components(e, max_iter=5).collect()
+    }
+    b = {
+        r.id: r.component
+        for r in components.connected_components_star(e).collect()
+    }
+    assert a == b == {1: 1, 2: 1, 5: 5}

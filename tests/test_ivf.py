@@ -75,3 +75,25 @@ def test_ivf_recall_vs_brute_force(spark):
         for r in similarity.ivf_topk(e, "embedding", "vec_id", q, cents, 10, n_probe=4).collect()
     }
     assert len(exact & approx) >= 5  # half the probe budget recovers most
+
+
+def test_ivf_assign_arrow_null_vector_yields_null_cell(spark):
+    """A NULL embedding must produce a NULL cell in BOTH forms (the
+    Arrow path previously crashed the task on np.stack over None)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [5.0, 5.0])],
+        "id long, v array<double>",
+    )
+    cents = [[0.0, 0.0], [5.0, 5.0]]
+    for max_k in (64, 0):  # literal form, then arrow form
+        got = {
+            r.id: r.c
+            for r in df.select(
+                "id",
+                similarity.ivf_assign(F.col("v"), cents, max_literal_k=max_k).alias("c"),
+            ).collect()
+        }
+        assert got[2] is None, max_k
+        assert got[1] == 0 and got[3] == 1, max_k

@@ -148,3 +148,25 @@ def test_meta_refresh_one_hop(spark):
     # one hop only: chain takes hop2's RAW row (itself a refresh stub)
     assert "second hop stub" in out["http://site.cn/chain.html"].html
     assert out["http://site.cn/plain.html"].redirect_of is None
+
+
+def test_meta_refresh_prefers_populated_target_row(spark):
+    """A re-crawled target URL with one failed fetch (NULL html) and one
+    good row: the resolve must pick the populated row deterministically
+    (max over struct(non-null count, fields) — a bare min(struct) chose
+    the NULL-leading row because nulls sort first ascending)."""
+    refresh = '<meta http-equiv="refresh" content="0; url=http://www.site.cn/real.html">'
+    rows = [
+        ("http://site.cn/entry.html", refresh + "stub body", "t0"),
+        ("http://www.site.cn/real.html", None, None),        # failed fetch
+        ("http://www.site.cn/real.html", "good content", "good title"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string, title string")
+    out = {
+        r.url: r
+        for r in links.resolve_meta_refresh(
+            df, "url", "html", ("html", "title")
+        ).collect()
+    }
+    assert out["http://site.cn/entry.html"].html == "good content"
+    assert out["http://site.cn/entry.html"].title == "good title"

@@ -69,6 +69,22 @@ def test_dedup_job_decisions_and_resume(spark, tmp_path):
     assert s2["decision_histogram"] == hist
 
 
+def test_dedup_job_param_change_invalidates_resume(spark, tmp_path):
+    """Rerunning the same output-root with a DIFFERENT threshold must
+    rerun the chain, not skip to stale results (params_sig gate)."""
+    docs = _corpus(spark)
+    root = str(tmp_path / "dedup_params")
+    s1 = run_dedup(spark, docs, root, run_id="a", threshold=0.5)
+    assert s1["stages_run"] == 4
+    # much higher threshold -> the near-dup pair no longer qualifies
+    s2 = run_dedup(spark, docs, root, run_id="b", threshold=0.99)
+    assert s2["stages_run"] == 4 and s2["stages_skipped"] == 0
+    assert "drop_near_dup" not in s2["decision_histogram"]
+    # and the matching invocation resumes again
+    s3 = run_dedup(spark, docs, root, run_id="c", threshold=0.99)
+    assert s3["stages_run"] == 0 and s3["stages_skipped"] == 4
+
+
 def test_dedup_job_stratified_mix(spark, tmp_path):
     docs = _corpus(spark)
     root = str(tmp_path / "dedup_mix")

@@ -94,3 +94,37 @@ def test_dedup_job_stratified_mix(spark, tmp_path):
     assert hist["drop_exact_dup"] == 2 and hist["drop_near_dup"] == 1
     assert hist.get("keep", 0) + hist.get("drop_sample_miss", 0) == 8
     assert hist.get("drop_sample_miss", 0) > 0
+
+
+def test_dedup_job_invariants_on_testdata(spark, tmp_path):
+    """Structural invariants of the composed chain over the REAL
+    documents corpus: every near-dup component keeps exactly its min
+    member; exact losers point at their group's keeper; keep/drop
+    decisions partition the corpus."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    root = str(tmp_path / "dedup_inv")
+    s = run_dedup(spark, docs, root, run_id="inv", threshold=0.5)
+    dec = spark.read.parquet(f"{root}/decisions")
+    assert dec.count() == docs.count()
+    # exact losers: same content hash as keeper, id > keeper
+    groups = spark.read.parquet(f"{root}/exact")
+    losers = dec.filter(F.col("decision") == "drop_exact_dup").join(
+        groups, "content_md5"
+    )
+    assert losers.filter(F.col("doc_id") <= F.col("kept_id")).count() == 0
+    # near-dup components: the kept row IS the component min; every
+    # non-min member of a multi-doc component is dropped
+    surv = dec.filter(F.col("decision") != "drop_exact_dup")
+    comp_stats = surv.groupBy("component").agg(
+        F.min("doc_id").alias("mn"),
+        F.sum((F.col("decision") == "drop_near_dup").cast("int")).alias("n_drop"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert comp_stats.filter(F.col("n_drop") != F.col("n") - 1).count() == 0
+    kept = surv.filter(F.col("decision") == "keep")
+    bad_keeper = kept.join(comp_stats, "component").filter(
+        F.col("doc_id") != F.col("mn")
+    )
+    assert bad_keeper.count() == 0

@@ -123,3 +123,30 @@ def test_star_keeps_self_loop_only_nodes(spark):
         for r in components.connected_components_star(e).collect()
     }
     assert a == b == {1: 1, 2: 1, 5: 5}
+
+
+def test_star_matches_minlabel_on_random_graphs(spark):
+    """Seeded random graphs (mixed cliques, chains, isolated nodes,
+    self-loops): large-star/small-star must produce EXACTLY the
+    min-label labeling — the two algorithms cross-validate each other."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(6):
+        n = rng.randint(5, 40)
+        m = rng.randint(0, n * 2)
+        edges = [
+            (rng.randint(1, n), rng.randint(1, n)) for _ in range(m)
+        ] or [(1, 1)]
+        nodes = list(range(1, n + 1))
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        nd = spark.createDataFrame([(x,) for x in nodes], "id long")
+        a = {
+            r.id: r.component
+            for r in components.connected_components(e, nodes=nd, max_iter=50).collect()
+        }
+        b = {
+            r.id: r.component
+            for r in components.connected_components_star(e, nodes=nd).collect()
+        }
+        assert a == b, (trial, edges)

@@ -73,9 +73,21 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
-    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    """Exact Jaccard over DISTINCT element arrays (word_shingles output
+    is array_distinct'd): |a ∪ b| = |a| + |b| - |a ∩ b|, so only the
+    INTERSECT set is built per pair — array_union built a second hash
+    set for information the sizes already carry (measured ~35% of the
+    all-pairs entry's cost). The intersect size is let-bound: naming it
+    twice (numerator + union arithmetic) would run array_intersect
+    twice."""
+    from ..functions.expr_utils import let_col
+
+    return let_col(
+        F.size(F.array_intersect(a, b)).cast("double"),
+        lambda i: F.when(
+            F.size(a) + F.size(b) - i > 0, i / (F.size(a) + F.size(b) - i)
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def ngram_jaccard_pairs(

@@ -163,24 +163,31 @@ def embedding_neardup_pairs(
         ]
     )
     if carry_vectors:
+        # norms ride the member struct: computed ONCE per (row, band)
+        # below the bucket collect, instead of once per PAIR (a member
+        # of an m-bucket appears in m-1 pairs — per-pair norms were
+        # ~35% of this entry's cost). Same doubles: the norm expression
+        # is unchanged, only where it evaluates.
         base = df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             F.posexplode(band_sigs).alias("b", "bits"),
-        )
+        ).withColumn("nv", norm(F.col("v")))
         buckets = capped_buckets(
-            base, ["b", "bits"], F.struct("id", "v"), max_bucket_size,
+            base, ["b", "bits"], F.struct("id", "v", "nv"), max_bucket_size,
             observation=observation,
         )
         pair_arr = pair_array(F.col("ms"))
+        d = F.col("p.a.nv") * F.col("p.b.nv")
+        cos = F.when(d > 0, dot(F.col("p.a.v"), F.col("p.b.v")) / d).otherwise(
+            F.lit(0.0)
+        )
         return (
             buckets.select(F.explode(pair_arr).alias("p"))
             .select(
                 F.col("p.a.id").alias("id_a"),
                 F.col("p.b.id").alias("id_b"),
-                F.round(cosine(F.col("p.a.v"), F.col("p.b.v")), round_digits).alias(
-                    "cosine_sim"
-                ),
+                F.round(cos, round_digits).alias("cosine_sim"),
             )
             .filter(F.col("cosine_sim") >= threshold)
             .dropDuplicates(["id_a", "id_b"])
@@ -196,17 +203,23 @@ def embedding_neardup_pairs(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])  # dedup BEFORE the cosine joins
     )
-    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    # norms computed in the projection BELOW the joins — once per row,
+    # not once per pair (same hoist as the carry_vectors branch)
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
+    )
     a, b = vecs.alias("va"), vecs.alias("vb")
+    d = F.col("va.nv") * F.col("vb.nv")
+    cos = F.when(d > 0, dot(F.col("va.v"), F.col("vb.v")) / d).otherwise(F.lit(0.0))
     return (
         pairs.join(a, pairs["id_a"] == F.col("va.vid"))
         .join(b, pairs["id_b"] == F.col("vb.vid"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va.v"), F.col("vb.v")), round_digits).alias(
-                "cosine_sim"
-            ),
+            F.round(cos, round_digits).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -754,14 +754,36 @@ def winnow_fingerprints_docs(spark, sf_dir):
         ).otherwise(F.array().cast("array<decimal(20,0)>"))
 
     def mins_of(hs: Column) -> Column:
+        # sliding min of width 4 by doubling: pair[j] = min(h[j],
+        # h[j+1]), quad[j] = min(pair[j], pair[j+2]) — two O(n)
+        # zip_with passes instead of n slice-copies of width 4 (the
+        # transform(sequence, j -> array_min(slice(hs, j, 4))) form
+        # allocates a 4-element decimal array per window). zip_with
+        # pads the shorter side with NULL and least() skips NULLs, so
+        # trailing entries hold partial-window mins — the final slice
+        # keeps only the n-3 full windows. pair is let-bound (quad
+        # references it twice); hs is already a lambda var (free).
         # empty (not null) on short docs: explode of [] emits no rows,
         # so no Filter is needed and _fps stays single-referenced
+        pair = F.zip_with(
+            hs,
+            F.slice(hs, 2, F.greatest(F.size(hs) - 1, F.lit(0))),
+            lambda x, y: F.least(x, y),
+        )
         return F.when(
             F.size(hs) >= _WINNOW_W,
             F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(hs) - (_WINNOW_W - 1)),
-                    lambda j: F.array_min(F.slice(hs, j, _WINNOW_W)),
+                let_col(
+                    pair,
+                    lambda a: F.slice(
+                        F.zip_with(
+                            a,
+                            F.slice(a, 3, F.greatest(F.size(a) - 2, F.lit(0))),
+                            lambda x, y: F.least(x, y),
+                        ),
+                        1,
+                        F.size(hs) - (_WINNOW_W - 1),
+                    ),
                 )
             ),
         ).otherwise(F.array().cast("array<decimal(20,0)>"))
@@ -1211,8 +1233,13 @@ def cepf_quality_docs(spark, sf_dir):
         F.lit("\n"),
         F.substring("text", 101, 100),
     )
-    q = quality.quality_features(page)
-    return d.select(
+    # struct selected ONCE, fields read in a second projection: q is a
+    # non-cheap multi-referenced alias, so CollapseProject keeps the
+    # two projections separate and the feature tree evaluates once per
+    # row instead of once per output column
+    staged = d.select("doc_id", quality.quality_features(page).alias("q"))
+    q = F.col("q")
+    return staged.select(
         "doc_id",
         q["seg_count"].alias("seg_count"),
         q["text_count"].alias("text_count"),

@@ -52,12 +52,20 @@ def leaf_variance(leaves: Column) -> Column:
     """computeVar (/root/reference/extract/content.go:1079-1104):
     population variance of leaf lengths; n==0 -> 0; n==1 -> x/2 (quirk
     preserved — it biases single-segment docs low, as the reference
-    does)."""
+    does).
+
+    The mean is LET-BOUND before the squared-deviation fold: inlined,
+    the mean's own O(n) sum re-evaluates once PER ELEMENT inside the
+    fold lambda (the Generate/HOF re-eval trap) — O(n^2) per doc."""
+    from .expr_utils import let_col
+
     n = F.size(leaves)
     total = F.aggregate(leaves, F.lit(0.0), lambda acc, x: acc + x)
-    mean = total / F.when(n > 0, n)
-    sqdev = F.aggregate(
-        leaves, F.lit(0.0), lambda acc, x: acc + (x - mean) * (x - mean)
+    sqdev = let_col(
+        total / F.when(n > 0, n),
+        lambda mean: F.aggregate(
+            leaves, F.lit(0.0), lambda acc, x: acc + (x - mean) * (x - mean)
+        ),
     )
     return (
         F.when(n == 0, F.lit(0.0))
@@ -95,32 +103,65 @@ def quality_features(text: Column) -> Column:
     """All CEPF-derived features for one transcript in one struct
     (single shared computation — the Spark analog of the reference's
     single-pass computeInfo recursion computing every stat at once,
-    SURVEY.md §4 'shared subexpression')."""
-    segs = segments(text)
-    leaves = leaf_lengths(segs)
-    p_count = F.size(segs)
-    text_count = F.aggregate(leaves, F.lit(0), lambda a, x: a + x)
-    link_text = link_char_count(text)
-    # Flat segment tree: root <body> holds P <p> children, one text leaf
-    # each; URL spans act as <a> children. A <p> without links has
-    # density = len/1 = len; with links, (len-linkChars)/1. The root's
-    # DensitySum (content.go:1030 accumulation) therefore reduces
-    # EXACTLY to text_count - link_text_count.
-    link_tag = F.size(
-        F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(URL_SPAN_RE), F.lit(0))
+    SURVEY.md §4 'shared subexpression').
+
+    Every shared subtree is LET-BOUND (expr_utils.let_col): inlined,
+    the segs split/regex chain re-embedded in each struct field and the
+    text_count fold re-ran per reference — with the var fold's inlined
+    mean the worst case was O(n^2) per doc. Lambda-bound values
+    evaluate once by construction. NOTE: a caller selecting several
+    FIELDS of this struct still copies the whole (now-cheap-inside)
+    expression per field — select the struct as ONE column first and
+    read fields in a second projection (CollapseProject keeps
+    non-cheap multi-referenced aliases)."""
+    from .expr_utils import let_col
+
+    links_arr = F.regexp_extract_all(
+        F.coalesce(text, F.lit("")), F.lit(URL_SPAN_RE), F.lit(0)
     )
-    tag_count = p_count + 1 + link_tag
-    root_density = density(text_count, link_text, tag_count, link_tag)
-    density_sum = (text_count - link_text).cast("double")
-    var = leaf_variance(leaves)
-    score = cepf_score(var, density_sum, text_count, link_text, p_count)
-    link_ratio = F.when(text_count > 0, link_text / text_count).otherwise(F.lit(0.0))
-    return F.struct(
-        p_count.alias("seg_count"),
-        text_count.alias("text_count"),
-        link_text.alias("link_text_count"),
-        F.round(link_ratio, 6).alias("link_char_ratio"),
-        F.round(root_density, 6).alias("density"),
-        F.round(var, 6).alias("leaf_var"),
-        F.round(score, 6).alias("cepf_score"),
+
+    def build(segs: Column, link_text: Column, link_tag: Column) -> Column:
+        def with_counts(leaves: Column) -> Column:
+            p_count = F.size(segs)
+
+            def finish(text_count: Column, var: Column) -> Column:
+                # Flat segment tree: root <body> holds P <p> children,
+                # one text leaf each; URL spans act as <a> children. A
+                # <p> without links has density = len/1 = len; with
+                # links, (len-linkChars)/1. The root's DensitySum
+                # (content.go:1030 accumulation) therefore reduces
+                # EXACTLY to text_count - link_text_count.
+                tag_count = p_count + 1 + link_tag
+                root_density = density(text_count, link_text, tag_count, link_tag)
+                density_sum = (text_count - link_text).cast("double")
+                score = cepf_score(var, density_sum, text_count, link_text, p_count)
+                link_ratio = F.when(
+                    text_count > 0, link_text / text_count
+                ).otherwise(F.lit(0.0))
+                return F.struct(
+                    p_count.alias("seg_count"),
+                    text_count.alias("text_count"),
+                    link_text.alias("link_text_count"),
+                    F.round(link_ratio, 6).alias("link_char_ratio"),
+                    F.round(root_density, 6).alias("density"),
+                    F.round(var, 6).alias("leaf_var"),
+                    F.round(score, 6).alias("cepf_score"),
+                )
+
+            text_count = F.aggregate(leaves, F.lit(0), lambda a, x: a + x)
+            return let_col(
+                text_count,
+                lambda tc: let_col(leaf_variance(leaves), lambda v: finish(tc, v)),
+            )
+
+        return let_col(leaf_lengths(segs), with_counts)
+
+    return let_col(
+        segments(text),
+        lambda segs: let_col(
+            F.length(F.array_join(links_arr, "")),
+            lambda link_text: let_col(
+                F.size(links_arr), lambda link_tag: build(segs, link_text, link_tag)
+            ),
+        ),
     )

@@ -277,12 +277,18 @@ def lang_rules_docs(spark, sf_dir):
     """A1: the char-class threshold cascade (cheap branches only,
     /root/reference/lang.go:274-345) with model handoffs surfaced as
     'model_latin'/'model_other'."""
+    from .functions.expr_utils import let_col
+
     d = _t(spark, sf_dir, "documents")
-    r = langid.body_lang_rules(F.col("text"))["lang"]
-    lang_rule = (
-        F.when(r == langid.NEEDS_MODEL_LATIN, "model_latin")
-        .when(r == langid.NEEDS_MODEL_OTHER, "model_other")
-        .otherwise(r)
+    # let-bound: the marker remap references the rule result 3x, which
+    # would re-embed the whole char-class cascade per reference
+    lang_rule = let_col(
+        langid.body_lang_rules(F.col("text"))["lang"],
+        lambda r: (
+            F.when(r == langid.NEEDS_MODEL_LATIN, "model_latin")
+            .when(r == langid.NEEDS_MODEL_OTHER, "model_other")
+            .otherwise(r)
+        ),
     )
     return d.select("doc_id", lang_rule.alias("lang_rule"))
 

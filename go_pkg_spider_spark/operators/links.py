@@ -164,22 +164,29 @@ def _reclassify_by_publish_prob(df: DataFrame, threshold: float) -> DataFrame:
     seg = _first_seg(dir_col)
 
     content = df.filter(F.col("link_type") == "content")
-    base = content.groupBy("site").agg(
-        F.avg(has_date.cast("int")).alias("publish_prob"),
-        F.count(F.lit(1)).alias("content_count"),
+    # ONE corpus-grain aggregation at (site, seg) — null segs keep
+    # their own group so row-level stats stay exact — then the site
+    # totals derive from the (tiny) seg-grain rows. The previous shape
+    # aggregated the content rows TWICE (row-grain publishProb + seg-
+    # grain counts): two full scans of the classified corpus where one
+    # suffices — at 10^12 links that is a third of the job's IO.
+    seg_grain = content.groupBy("site", seg.alias("seg")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(has_date.cast("int")).alias("hd"),
     )
-    seg_counts = (
-        content.select(F.col("site"), seg.alias("seg"))
-        .filter(F.col("seg").isNotNull())
-        .groupBy("site", "seg")
-        .count()
+    base = seg_grain.groupBy("site").agg(
+        # == avg(has_date) over rows: sum of per-seg date counts over
+        # the row count (exact same double division)
+        (F.sum("hd") / F.sum("c")).alias("publish_prob"),
+        F.sum("c").alias("content_count"),
     )
     tops = (
-        seg_counts.join(F.broadcast(base), "site")
+        seg_grain.filter(F.col("seg").isNotNull())
+        .join(F.broadcast(base), "site")
         .filter(
             (F.col("content_count") >= 8)
-            & (F.col("count") > 1)
-            & (F.col("count") / F.col("content_count") > 0.4)
+            & (F.col("c") > 1)
+            & (F.col("c") / F.col("content_count") > 0.4)
         )
         .groupBy("site")
         .agg(F.collect_set("seg").alias("top_paths"))

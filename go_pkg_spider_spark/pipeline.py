@@ -122,21 +122,28 @@ def run_pipeline(
     # NOT rerun on content_text: oracle_decide guards the raw transcript
     # only, and a raw>=64 / content<64 row would diverge ('too_short' vs
     # classified) — the frozen-oracle lockstep invariant.
-    link_type = rules.classify_title(
-        F.trim(F.col("content_text")), F.col("lang_res")["lang"], full_len=None
+    # link_type materializes FIRST and everything downstream references
+    # the column: the classify_title tree is non-cheap and
+    # multi-referenced (class_reason + reason + keep + output), so
+    # inlining it re-embedded the whole cascade ~4x in the plan;
+    # referencing the aliased column keeps one copy (CollapseProject
+    # preserves non-cheap multi-referenced aliases).
+    df = df.withColumn(
+        "link_type",
+        rules.classify_title(
+            F.trim(F.col("content_text")), F.col("lang_res")["lang"], full_len=None
+        ),
     )
+    lt = F.col("link_type")
     class_reason = F.when(
-        link_type != rules.TYPE_CONTENT, F.concat(F.lit("class_"), link_type)
+        lt != rules.TYPE_CONTENT, F.concat(F.lit("class_"), lt)
     )
     decode_reason = F.when(
         ~F.col("audio")["ok"], F.concat(F.lit("decode_"), F.col("audio")["err"])
     )
-    reason = F.coalesce(decode_reason, pre_drop, class_reason)
-    df = (
-        df.withColumn("drop_reason", reason)
-        .withColumn("keep", reason.isNull())
-        .withColumn("link_type", link_type)
-    )
+    df = df.withColumn(
+        "drop_reason", F.coalesce(decode_reason, pre_drop, class_reason)
+    ).withColumn("keep", F.col("drop_reason").isNull())
 
     # scrub + surface ppl for kept rows only
     df = df.withColumn(

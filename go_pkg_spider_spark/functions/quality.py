@@ -40,14 +40,6 @@ def leaf_lengths(segs: Column) -> Column:
     return F.transform(segs, lambda s: F.length(s))
 
 
-def link_char_count(text: Column) -> Column:
-    """Total characters covered by URL spans (the <a>-text analog)."""
-    joined = F.array_join(
-        F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(URL_SPAN_RE), F.lit(0)), ""
-    )
-    return F.length(joined)
-
-
 def leaf_variance(leaves: Column) -> Column:
     """computeVar (/root/reference/extract/content.go:1079-1104):
     population variance of leaf lengths; n==0 -> 0; n==1 -> x/2 (quirk
@@ -116,10 +108,6 @@ def quality_features(text: Column) -> Column:
     non-cheap multi-referenced aliases)."""
     from .expr_utils import let_col
 
-    links_arr = F.regexp_extract_all(
-        F.coalesce(text, F.lit("")), F.lit(URL_SPAN_RE), F.lit(0)
-    )
-
     def build(segs: Column, link_text: Column, link_tag: Column) -> Column:
         def with_counts(leaves: Column) -> Column:
             p_count = F.size(segs)
@@ -156,12 +144,20 @@ def quality_features(text: Column) -> Column:
 
         return let_col(leaf_lengths(segs), with_counts)
 
+    # the URL-span extract_all (a full-text regex scan) is itself
+    # let-bound: link_text and link_tag both read it
+    links_arr = F.regexp_extract_all(
+        F.coalesce(text, F.lit("")), F.lit(URL_SPAN_RE), F.lit(0)
+    )
     return let_col(
         segments(text),
         lambda segs: let_col(
-            F.length(F.array_join(links_arr, "")),
-            lambda link_text: let_col(
-                F.size(links_arr), lambda link_tag: build(segs, link_text, link_tag)
+            links_arr,
+            lambda la: let_col(
+                F.length(F.array_join(la, "")),
+                lambda link_text: let_col(
+                    F.size(la), lambda link_tag: build(segs, link_text, link_tag)
+                ),
             ),
         ),
     )

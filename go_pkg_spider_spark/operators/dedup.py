@@ -2,8 +2,9 @@
 
 - exact_dedup: hash-groupBy on normalized content (the `seen`-map analog
   made distributed, /root/reference/spider_news.go:15 ≙ J6).
-- ngram_jaccard_pairs: word n-gram shingles + array_intersect/union
-  Jaccard over bounded candidate groups (no UDF).
+- ngram_jaccard_pairs: word n-gram shingles + exact distinct-set
+  Jaccard (one intersect + size arithmetic) over bounded candidate
+  groups (no UDF).
 - minhash_lsh: shingle -> k minhashes via xxhash64(shingle, seed_k) ->
   band buckets -> self-join candidates. Pure built-ins; the classic
   MinHash/LSH construction (Broder 1997; MMDS ch.3).
@@ -72,14 +73,16 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
 
 
-def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over DISTINCT element arrays (word_shingles output
-    is array_distinct'd): |a ∪ b| = |a| + |b| - |a ∩ b|, so only the
-    INTERSECT set is built per pair — array_union built a second hash
-    set for information the sizes already carry (measured ~35% of the
-    all-pairs entry's cost). The intersect size is let-bound: naming it
-    twice (numerator + union arithmetic) would run array_intersect
-    twice."""
+def jaccard_distinct(a: Column, b: Column) -> Column:
+    """Exact Jaccard for arrays of DISTINCT elements ONLY — the name is
+    the precondition (word_shingles output is array_distinct'd; a
+    caller passing raw token arrays would get an inflated union since
+    array_intersect dedups but the sizes don't). |a ∪ b| = |a| + |b| -
+    |a ∩ b|, so only the INTERSECT set is built per pair — array_union
+    built a second hash set for information the sizes already carry
+    (measured ~35% of the all-pairs entry's cost). The intersect size
+    is let-bound: naming it twice (numerator + union arithmetic) would
+    run array_intersect twice."""
     from ..functions.expr_utils import let_col
 
     return let_col(
@@ -113,7 +116,7 @@ def ngram_jaccard_pairs(
             F.col("a.g").alias(group_col),
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+            F.round(jaccard_distinct(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -141,9 +141,14 @@ def test_star_matches_minlabel_on_random_graphs(spark):
         nodes = list(range(1, n + 1))
         e = spark.createDataFrame(edges, "id_a long, id_b long")
         nd = spark.createDataFrame([(x,) for x in nodes], "id long")
+        # on_max_iter='raise': the default star FALLBACK would otherwise
+        # make this compare star against itself if min-label ever failed
+        # to converge — keep the two algorithms genuinely independent
         a = {
             r.id: r.component
-            for r in components.connected_components(e, nodes=nd, max_iter=50).collect()
+            for r in components.connected_components(
+                e, nodes=nd, max_iter=50, on_max_iter="raise"
+            ).collect()
         }
         b = {
             r.id: r.component

@@ -49,10 +49,15 @@ def clips_path(sf_name: str, spark) -> str:
     return path
 
 
+_JVM_OWNER_MARKER = "SPARK_GRAFT_JVM_OWNER"
+
+
 def _kill_leftover_jvms() -> None:
     """Timed-out background runs leave SparkSubmit JVMs that steal cores
-    from the bench (measured 2x walls). Kill any that aren't ancestors of
-    this process before timing anything."""
+    from the bench (measured 2x walls). Kill only JVMs that carry this
+    project's bench marker in their inherited environment (set below
+    before the session launches) — a concurrent check_oracles or test
+    session of the same user is NOT fair game (ADVICE r4). Log kills."""
     import signal
     import subprocess
 
@@ -62,6 +67,13 @@ def _kill_leftover_jvms() -> None:
         ).stdout
     except OSError:
         return
+
+    def _ours(p: int) -> bool:
+        try:
+            with open(f"/proc/{p}/environ", "rb") as f:
+                return f"{_JVM_OWNER_MARKER}=".encode() in f.read()
+        except OSError:
+            return False
     ancestors = set()
     pid = os.getpid()
     while pid > 1:
@@ -79,14 +91,18 @@ def _kill_leftover_jvms() -> None:
             p = int(line)
         except ValueError:
             continue
-        if p not in ancestors and p != os.getpid():
+        if p not in ancestors and p != os.getpid() and _ours(p):
             try:
                 os.kill(p, signal.SIGKILL)
+                print(f"bench: killed leftover marked JVM pid={p}", file=sys.stderr)
             except OSError:
                 pass
 
 
 def main() -> None:
+    # mark every JVM this process (and its spark workers) spawns so a
+    # future bench can tell our leftovers from unrelated spark sessions
+    os.environ[_JVM_OWNER_MARKER] = "bench"
     _kill_leftover_jvms()
     from go_pkg_spider_spark.session import get_spark
     from go_pkg_spider_spark import pipeline

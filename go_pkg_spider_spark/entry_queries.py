@@ -771,6 +771,11 @@ def winnow_fingerprints_docs(spark, sf_dir):
         # references it twice); hs is already a lambda var (free).
         # empty (not null) on short docs: explode of [] emits no rows,
         # so no Filter is needed and _fps stays single-referenced
+        # The doubling offsets below (pair stride 2, quad stride 3) are
+        # hardwired to window width 4 — fail loudly if the constant ever
+        # moves, since the size/slice arithmetic would still "work"
+        # while producing wrong fingerprints (ADVICE r4).
+        assert _WINNOW_W == 4, "doubling offsets below assume width 4"
         pair = F.zip_with(
             hs,
             F.slice(hs, 2, F.greatest(F.size(hs) - 1, F.lit(0))),

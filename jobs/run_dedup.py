@@ -65,6 +65,9 @@ def _manifest_schema():
             StructField("wall_sec", DoubleType()),
             StructField("run_id", StringType()),
             StructField("committed_at_unix", LongType()),
+            # strictly increasing across a process: breaks same-second
+            # committed_at ties when picking the latest row per stage
+            StructField("seq", LongType()),
         ]
     )
 
@@ -112,15 +115,32 @@ def run_dedup(
     )
 
     def done_stages() -> set[str]:
+        """Stages whose LATEST manifest row is done with the current
+        params_sig. Older rows never count: stage tables are overwritten
+        in place, so a historical same-sig row from before an
+        intervening different-sig run describes a table that no longer
+        exists (the A -> B -> A resume-staleness hole). commit() also
+        purges a stage's rows before rewriting its table, so duplicates
+        cannot accumulate — the max-seq pick here is belt and braces
+        for manifests written by older versions of this job."""
         if not cat.exists(DEDUP_MANIFEST_TABLE):
             return set()
+        mdf = cat.read(DEDUP_MANIFEST_TABLE)
+        if "seq" not in mdf.columns:  # manifests from older job versions
+            mdf = mdf.withColumn("seq", F.lit(None).cast("long"))
+        rows = mdf.select(
+            "stage", "status", "metrics", "committed_at_unix", "seq"
+        ).collect()
+        latest: dict = {}
+        for r in rows:
+            key = (r.committed_at_unix, r.seq if r.seq is not None else -1)
+            if r.stage not in latest or key > latest[r.stage][0]:
+                latest[r.stage] = (key, r)
         return {
-            r.stage
-            for r in cat.read(DEDUP_MANIFEST_TABLE)
-            .filter(F.col("status") == "done")
-            .select("stage", "metrics")
-            .collect()
-            if (r.metrics or {}).get("params_sig") == params_sig
+            s
+            for s, (_, r) in latest.items()
+            if r.status == "done"
+            and (r.metrics or {}).get("params_sig") == params_sig
         }
 
     done = done_stages()
@@ -132,12 +152,38 @@ def run_dedup(
         "metrics": {},
     }
 
+    seq_counter = iter(range(1 << 62))
+
+    def _invalidate(stage: str) -> None:
+        """Remove a stage's manifest rows BEFORE its table is rewritten:
+        a crash mid-overwrite then leaves no row marking the half-written
+        table done, so resume reruns the stage. The manifest is tiny —
+        collect to the driver, then overwrite (Spark can't overwrite a
+        path it is concurrently reading)."""
+        if not cat.exists(DEDUP_MANIFEST_TABLE):
+            return
+        mdf = cat.read(DEDUP_MANIFEST_TABLE)
+        if "seq" not in mdf.columns:
+            mdf = mdf.withColumn("seq", F.lit(None).cast("long"))
+        kept = (
+            mdf.select(*[f.name for f in _manifest_schema().fields])
+            .filter(F.col("stage") != stage)
+            .collect()
+        )
+        cat.write(
+            spark.createDataFrame(kept, _manifest_schema()),
+            DEDUP_MANIFEST_TABLE,
+            mode="overwrite",
+        )
+
     def commit(stage: str, df, metrics_after=None) -> None:
-        """Write the stage table, then the manifest row. metrics_after
-        (optional callable) runs AFTER the write — for metrics only
-        observable once the plan executed (the bucket-cap Observation)."""
+        """Invalidate the stage's manifest rows, write the stage table,
+        then append the fresh manifest row. metrics_after (optional
+        callable) runs AFTER the write — for metrics only observable
+        once the plan executed (the bucket-cap Observation)."""
         nonlocal upstream_reran
         t0 = time.monotonic()
+        _invalidate(stage)
         cat.write(df, stage, mode="overwrite")
         metrics = dict(metrics_after() if metrics_after else {})
         metrics["params_sig"] = params_sig
@@ -152,6 +198,7 @@ def run_dedup(
                     round(time.monotonic() - t0, 3),
                     run_id,
                     int(time.time()),
+                    next(seq_counter),
                 )
             ],
             _manifest_schema(),

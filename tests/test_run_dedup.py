@@ -83,6 +83,19 @@ def test_dedup_job_param_change_invalidates_resume(spark, tmp_path):
     # and the matching invocation resumes again
     s3 = run_dedup(spark, docs, root, run_id="c", threshold=0.99)
     assert s3["stages_run"] == 0 and s3["stages_skipped"] == 4
+    # A -> B -> A staleness hole (ADVICE r5 high): the ORIGINAL sig's
+    # historical manifest rows must NOT satisfy resume — the stage
+    # tables on disk were overwritten by the 0.99 run, so a third run
+    # back at 0.5 has to rerun the chain, not silently return B tables
+    s4 = run_dedup(spark, docs, root, run_id="d", threshold=0.5)
+    assert s4["stages_run"] == 4 and s4["stages_skipped"] == 0
+    assert s4["decision_histogram"] == s1["decision_histogram"]
+    # the manifest holds exactly one row per stage (invalidate-before-
+    # write purges superseded rows)
+    mrows = spark.read.parquet(f"{root}/dedup_manifest").collect()
+    assert sorted(r.stage for r in mrows) == [
+        "components", "decisions", "exact", "pairs",
+    ]
 
 
 def test_dedup_job_stratified_mix(spark, tmp_path):

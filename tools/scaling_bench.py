@@ -124,6 +124,9 @@ def measure_pair(lo: int, hi: int, path: str, rounds: int, n_clips: int) -> dict
 
 
 def main():
+    # mark spawned JVMs as ours so bench.py's leftover-kill can scope to
+    # this project's processes (ADVICE r4: never SIGKILL unrelated spark)
+    os.environ["SPARK_GRAFT_JVM_OWNER"] = "scaling_bench"
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     path = ensure_clips(n_clips)

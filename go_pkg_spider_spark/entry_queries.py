@@ -1950,6 +1950,98 @@ def simtext_argmax_docs(spark, sf_dir):
     return df.select("fid", m["best"].alias("best"), m["ratio"].alias("ratio"))
 
 
+def _audio_oracle_sql() -> str:
+    """Literal expected-truth table for the audio decode/features leg
+    (fixtures/audio_fixtures.py EXPECTED — raw doubles frozen via repr,
+    so the DuckDB literal parses to the bit-identical float64 the
+    operators emit)."""
+    from .fixtures.audio_fixtures import EXPECTED
+
+    def q(s):
+        return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n      ".join(
+        f"({fid}, {'TRUE' if ok else 'FALSE'}, {q(err)}, {n}, {sr}, {rms!r},"
+        f" {peak!r}, {clip!r}, {dc!r}, {zcr!r}, {nf}, {cent!r}, {roll!r},"
+        f" {sil!r}, {rn})"
+        for (fid, ok, err, n, sr, rms, peak, clip, dc, zcr, nf, cent, roll, sil, rn)
+        in EXPECTED
+    )
+    return f"""
+    SELECT CAST(fid AS BIGINT) AS fid, ok, CAST(err AS VARCHAR) AS err,
+           CAST(n_samples AS INTEGER) AS n_samples,
+           CAST(sr_decoded AS INTEGER) AS sr_decoded,
+           CAST(rms AS DOUBLE) AS rms, CAST(peak AS DOUBLE) AS peak,
+           CAST(clip_ratio AS DOUBLE) AS clip_ratio,
+           CAST(dc_offset AS DOUBLE) AS dc_offset,
+           CAST(zcr AS DOUBLE) AS zcr,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(centroid_hz AS DOUBLE) AS centroid_hz,
+           CAST(rolloff_hz AS DOUBLE) AS rolloff_hz,
+           CAST(silence_ratio AS DOUBLE) AS silence_ratio,
+           CAST(resampled_n AS INTEGER) AS resampled_n
+    FROM (VALUES
+      {rows}
+    ) AS t(fid, ok, err, n_samples, sr_decoded, rms, peak, clip_ratio,
+           dc_offset, zcr, n_frames, centroid_hz, rolloff_hz,
+           silence_ratio, resampled_n)
+    """
+
+
+@query("audio_decode_docs", _audio_oracle_sql())
+def audio_decode_docs(spark, sf_dir):
+    """The north-star audio leg under the hard gate (round-4 verdict
+    #1): 45 deterministic WAV/PCM/FLAC byte fixtures — including
+    stereo downmix, odd-chunk RIFF walks, sub-frame clips, and the
+    full typed-error family (empty/oversize/non-whitelisted/corrupt
+    container/truncated FLAC) — pushed through the REAL production
+    operators (decode.decode_features_udf pandas UDF + audio_features.
+    extract_audio_features mapInPandas) and compared value-for-value
+    against the frozen expected-truth table. Reference analog: the
+    transcode stage http.go:157-170 whose charset half is gated by
+    charset_rules_docs; decode is not SQL-expressible, so the oracle
+    is the frozen-literal pattern (simtext_argmax_docs).
+
+    sf_dir is unused: the fixture corpus IS the input."""
+    from .fixtures.audio_fixtures import build_rows
+    from .operators import audio_features as af
+    from .operators.decode import decode_features_udf
+
+    df = spark.createDataFrame(
+        build_rows(), "fid long, bytes binary, codec string, sr_hz int"
+    )
+    dec = df.select(
+        "fid",
+        decode_features_udf(F.col("bytes"), F.col("codec"), F.col("sr_hz")).alias(
+            "d"
+        ),
+    ).select(
+        "fid",
+        F.col("d.ok").alias("ok"),
+        F.col("d.err").alias("err"),
+        F.col("d.n_samples").alias("n_samples"),
+        F.col("d.sr_decoded").alias("sr_decoded"),
+        F.col("d.rms").alias("rms"),
+        F.col("d.peak").alias("peak"),
+        F.col("d.clip_ratio").alias("clip_ratio"),
+        F.col("d.dc_offset").alias("dc_offset"),
+        F.col("d.zero_cross_rate").alias("zcr"),
+    )
+    feats = af.extract_audio_features(
+        df.select(
+            F.col("fid").cast("string").alias("clip_id"), "bytes", "codec", "sr_hz"
+        )
+    ).select(
+        F.col("clip_id").cast("long").alias("fid"),
+        "n_frames",
+        F.col("spectral_centroid_hz").alias("centroid_hz"),
+        F.col("spectral_rolloff_hz").alias("rolloff_hz"),
+        "silence_ratio",
+        "resampled_n",
+    )
+    return dec.join(feats, "fid")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

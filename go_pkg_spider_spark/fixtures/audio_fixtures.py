@@ -1,0 +1,364 @@
+"""Frozen fixture corpus for the audio decode/features value oracle
+(`audio_decode_docs`): deterministic WAV/PCM/FLAC byte blobs plus
+corrupt/oversize/unknown-codec rows, with FROZEN expected outputs of
+the production decode+features path (operators/decode.decode_blob +
+_features, operators/audio_features.features_for_clip).
+
+This is the simtext_argmax_docs pattern applied to the north-star's
+audio leg (reference analog: the transcode stage http.go:157-170,
+whose charset half is already value-gated via charset_rules_docs):
+the DuckDB oracle returns EXPECTED as a literal truth table and the
+Spark query must reproduce it through the real pandas-UDF /
+mapInPandas operators, so the driver hash now gates the decode
+invariant that was previously pytest-only.
+
+Determinism rules:
+- Every signal is CLOSED-FORM (sine / square / const / ramp /
+  shader-hash noise) — no np.random, so the blobs cannot drift with
+  numpy's generator streams.
+- EXPECTED holds RAW float64 values exactly as the operators emit
+  them (repr round-trips bit-exactly through the DuckDB literal, so
+  any canonicalization of identical doubles agrees); the only
+  rounding is what the operators themselves do (centroid/rolloff to
+  3, silence to 6).
+- HAND_CHECKED pins a handful of rows to arithmetic done BY HAND in
+  the comments (breaking the decode<->decode circularity the same
+  way the round-5 simtext hand-ratio rows do for difflib).
+
+tests/test_audio_fixtures.py re-derives EXPECTED from the live
+operators at test time — a silent decode-semantics change trips the
+test AND the driver gate.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+# ---------------------------------------------------------------- signals
+
+
+def _sine(n: int, sr: int, freq: float, amp: float = 0.6) -> np.ndarray:
+    t = np.arange(n, dtype=np.float64) / sr
+    return amp * np.sin(2 * np.pi * freq * t)
+
+
+def _square(n: int, amp: float = 0.5) -> np.ndarray:
+    # strict per-sample alternation +amp, -amp, +amp, ...
+    return amp * (1.0 - 2.0 * (np.arange(n) % 2))
+
+
+def _const(n: int, v: float) -> np.ndarray:
+    return np.full(n, v, dtype=np.float64)
+
+
+def _ramp(n: int) -> np.ndarray:
+    return np.linspace(-0.9, 0.9, n)
+
+
+def _hashnoise(n: int, amp: float = 0.3) -> np.ndarray:
+    """Shader-style deterministic 'noise': frac(sin(k)*43758.5453)."""
+    k = (np.arange(n, dtype=np.float64) + 1.0) * 12.9898
+    frac = np.modf(np.sin(k) * 43758.5453123)[0]
+    return amp * (2.0 * frac - 1.0)
+
+
+def _i16(pcm: np.ndarray) -> np.ndarray:
+    return (pcm * 32767.0).astype("<i2")
+
+
+# ------------------------------------------------------------ containers
+
+
+def _wav(pcm: np.ndarray, sr: int, channels: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(_i16(pcm).tobytes())
+    return buf.getvalue()
+
+
+def _riff(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    """Hand-rolled RIFF container (for odd-size / extra-chunk cases the
+    stdlib writer can't produce)."""
+    body = b"WAVE"
+    for cid, payload in chunks:
+        body += cid + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            body += b"\x00"  # RIFF word alignment pad
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _fmt_chunk(sr: int, channels: int = 1, bps: int = 16, fmt: int = 1) -> bytes:
+    block = channels * bps // 8
+    return struct.pack("<HHIIHH", fmt, channels, sr, sr * block, block, bps)
+
+
+def _flac(pcm: np.ndarray, sr: int) -> bytes:
+    from ..operators.flac import encode_flac_s16
+
+    return encode_flac_s16(_i16(pcm), sr)
+
+
+# ------------------------------------------------------------- the corpus
+
+
+def build_rows() -> list[tuple[int, bytes | None, str | None, int | None]]:
+    """(fid, bytes, codec, sr_hz) — pure function, no RNG."""
+    from ..operators.decode import MAX_CONTENT_LENGTH
+
+    rows: list[tuple[int, bytes | None, str | None, int | None]] = []
+    fid = 0
+
+    def add(blob, codec, sr_hz):
+        nonlocal fid
+        rows.append((fid, blob, codec, sr_hz))
+        fid += 1
+
+    # -- A: wav sines across sample rates / frequencies (centroid tracks
+    #    the tone; resample up + down both exercised) -- fids 0..7
+    for sr, freq in [
+        (8000, 110.0),
+        (8000, 440.0),
+        (16000, 440.0),
+        (16000, 1000.0),
+        (22050, 523.25),
+        (44100, 1000.0),
+        (44100, 3000.0),
+        (48000, 997.0),
+    ]:
+        add(_wav(_sine(sr // 4, sr, freq), sr), "wav", sr)
+
+    # -- B: hand-checkable wav specials -- fids 8..18
+    # 8: silence — rms=peak=dc=zcr=0, every frame silent (silence_ratio 1)
+    add(_wav(_const(4000, 0.0), 16000), "wav", 16000)
+    # 9: const +0.5 — int16 trunc(0.5*32767)=16383, so every sample is
+    #    16383/32767; rms=dc=peak=16383/32767=0.4999847...; zcr=0
+    add(_wav(_const(2000, 0.5), 8000), "wav", 8000)
+    # 10: per-sample square ±0.5 — |sample| = 16383/32767 everywhere so
+    #     rms=peak=0.4999847...; signbit flips at EVERY step → zcr=1.0;
+    #     even count of (+,-) pairs → dc=0 exactly
+    add(_wav(_square(4000, 0.5), 16000), "wav", 16000)
+    # 11: full-scale const 1.0 — int16 32767 → float 1.0: peak=1,
+    #     clip_ratio=1 (|x|≥0.999), rms=1, dc=1
+    add(_wav(_const(4000, 1.0), 16000), "wav", 16000)
+    # 12: ramp, 13: deterministic noise
+    add(_wav(_ramp(8000), 16000), "wav", 16000)
+    add(_wav(_hashnoise(4000), 16000), "wav", 16000)
+    # 14: shorter than one 25ms frame (320 samples @16k < 400) —
+    #     n_frames=0, silence_ratio=1.0 (the sub-frame-clip fix)
+    add(_wav(_sine(320, 16000, 440.0), 16000), "wav", 16000)
+    # 15: single sample — n>1 zcr branch off, spectral under 16 samples → 0
+    add(_wav(_const(1, 0.25), 16000), "wav", 16000)
+    # 16: stereo downmix — L=440Hz, R=880Hz sines averaged per frame
+    L, R = _sine(4000, 16000, 440.0), _sine(4000, 16000, 880.0)
+    add(_wav(np.stack([L, R], axis=1).reshape(-1), 16000, channels=2), "wav", 16000)
+    # 17: hand-rolled RIFF with an ODD data-chunk size (1001 bytes =
+    #     500 samples + 1 trailing byte dropped) followed by another
+    #     chunk — exercises the word-alignment pad walk
+    odd_data = _i16(_sine(500, 8000, 220.0)).tobytes() + b"\x7f"
+    add(
+        _riff([(b"fmt ", _fmt_chunk(8000)), (b"data", odd_data), (b"cue ", b"\x00" * 4)]),
+        "wav",
+        8000,
+    )
+    # 18: LIST metadata chunk BEFORE fmt/data (parser must skip it)
+    add(
+        _riff(
+            [
+                (b"LIST", b"INFOIART" + struct.pack("<I", 4) + b"anon"),
+                (b"fmt ", _fmt_chunk(16000)),
+                (b"data", _i16(_sine(2000, 16000, 440.0)).tobytes()),
+            ]
+        ),
+        "wav",
+        16000,
+    )
+
+    # -- C: raw pcm_s16le -- fids 19..24
+    add(_i16(_sine(4000, 16000, 440.0)).tobytes(), "pcm_s16le", 16000)
+    add(_i16(_hashnoise(2000)).tobytes(), "pcm_s16le", 8000)
+    add(_i16(_square(8000, 0.5)).tobytes(), "pcm_s16le", 44100)
+    # 22: odd byte count — trailing byte dropped
+    add(_i16(_sine(1000, 16000, 440.0)).tobytes() + b"\x01", "pcm_s16le", 16000)
+    # 23: single byte — zero full samples → empty_pcm error
+    add(b"\x01", "pcm_s16le", 16000)
+    # 24: NULL sr_hz → decoder defaults to 16000
+    add(_i16(_sine(2000, 16000, 440.0)).tobytes(), "pcm_s16le", None)
+
+    # -- D: real FLAC (own verbatim encoder, own bitstream decoder) --
+    #    fids 25..29
+    add(_flac(_sine(2000, 8000, 220.0), 8000), "flac", 8000)
+    add(_flac(_square(4000, 0.5), 16000), "flac", 16000)
+    add(_flac(_hashnoise(2205), 22050), "flac", 22050)
+    add(_flac(_const(4410, 0.0), 44100), "flac", 44100)
+    add(_flac(_const(2000, 0.25), 16000), "flac", 16000)
+
+    # -- E: error rows (the typed-error contract) -- fids 30..44
+    add(b"", "wav", 16000)  # 30 empty_bytes
+    add(None, "wav", 16000)  # 31 empty_bytes (NULL blob)
+    add(_wav(_sine(400, 8000, 110.0), 8000), "mp3", 8000)  # 32 not whitelisted
+    add(_wav(_sine(400, 8000, 110.0), 8000), None, 8000)  # 33 NULL codec
+    # 34: over the 10 MiB cap (content-length guard, http.go:61)
+    add(b"\x00" * (MAX_CONTENT_LENGTH + 2), "pcm_s16le", 16000)
+    add(b"JUNKJUNKJUNKJUNK" * 4, "wav", 16000)  # 35 bad_riff_header
+    # 36: RIFF but not WAVE
+    add(b"RIFF" + struct.pack("<I", 36) + b"AVI " + b"\x00" * 32, "wav", 16000)
+    # 37: fmt only, data chunk missing
+    add(_riff([(b"fmt ", _fmt_chunk(16000))]), "wav", 16000)
+    # 38: data only, fmt chunk missing
+    add(_riff([(b"data", b"\x00" * 64)]), "wav", 16000)
+    # 39: 8-bit wav → unsupported_wav_format
+    add(
+        _riff([(b"fmt ", _fmt_chunk(16000, bps=8)), (b"data", b"\x80" * 64)]),
+        "wav",
+        16000,
+    )
+    # 40: IEEE-float wav (fmt tag 3) → unsupported_wav_format
+    add(
+        _riff([(b"fmt ", _fmt_chunk(16000, fmt=3)), (b"data", b"\x00" * 64)]),
+        "wav",
+        16000,
+    )
+    # 41: truncated flac (first third of a valid stream)
+    good = _flac(_sine(2000, 16000, 440.0), 16000)
+    add(good[: len(good) // 3], "flac", 16000)
+    # 42: flac magic + garbage
+    add(b"fLaC" + b"\xde\xad\xbe\xef" * 16, "flac", 16000)
+    # 43: wav bytes labelled flac (magic mismatch)
+    add(_wav(_sine(400, 8000, 110.0), 8000), "flac", 8000)
+    # 44: flac bytes labelled wav (bad_riff_header)
+    add(_flac(_sine(400, 8000, 110.0), 8000), "wav", 8000)
+
+    return rows
+
+
+# ------------------------------------------------------------ derivation
+
+EXPECTED_COLUMNS = (
+    "fid",
+    "ok",
+    "err",
+    "n_samples",
+    "sr_decoded",
+    "rms",
+    "peak",
+    "clip_ratio",
+    "dc_offset",
+    "zcr",
+    "n_frames",
+    "centroid_hz",
+    "rolloff_hz",
+    "silence_ratio",
+    "resampled_n",
+)
+
+
+def derive_expected() -> list[tuple]:
+    """Recompute the expectation table from the LIVE operators (the
+    drift alarm; EXPECTED below is this output frozen)."""
+    from ..operators import audio_features as af
+    from ..operators.decode import _features, decode_blob
+
+    out = []
+    for fid, blob, codec, sr_hz in build_rows():
+        pcm, srd, err = decode_blob(blob, codec, sr_hz)
+        if pcm is None:
+            dec = (False, err, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        else:
+            n, sr, rms, peak, clip, dc, zcr = _features(pcm, srd)
+            dec = (True, None, n, sr, rms, peak, clip, dc, zcr)
+        (_cid, _ok, n_frames, _rms_a, _zcr_a, cent, roll, sil, _rs, rn) = (
+            af.features_for_clip(str(fid), blob, codec, sr_hz)
+        )
+        out.append((fid, *dec, n_frames, cent, roll, sil, rn))
+    return out
+
+
+# Hand-derived values (documented arithmetic; see build_rows comments).
+# q15: int16 truncation of 0.5*32767 = 16383.5 -> 16383, then the
+# decode normalization DIVIDES IN FLOAT32 (decode.py:79), so the exact
+# constant is the float32-rounded quotient 16383/32767 =
+# 0.4999847412109375 (float64 division would give ...740745262 — one
+# float32 ulp away; the float32 rounding is part of the contract).
+_Q15 = float(np.float32(16383.0) / np.float32(32767.0))
+_Q25 = float(np.float32(8191.0) / np.float32(32767.0))  # trunc(0.25*32767)=8191
+HAND_CHECKED: dict[int, dict[str, float | int | bool]] = {
+    # silence: all-zero samples
+    8: {"ok": True, "rms": 0.0, "peak": 0.0, "dc_offset": 0.0, "zcr": 0.0,
+        "clip_ratio": 0.0, "n_samples": 4000, "silence_ratio": 1.0},
+    # const +0.5: every sample exactly 16383/32767 (float32-exact: 16383
+    # and 32767 are both < 2^24); mean/rms/peak all equal it
+    9: {"ok": True, "rms": _Q15, "peak": _Q15, "dc_offset": _Q15, "zcr": 0.0,
+        "n_samples": 2000},
+    # ±0.5 square: |x| = 16383/32767 everywhere → rms=peak=q15; sign
+    # flips every adjacent pair → zcr = 1.0; 2000 (+,-) pairs → dc = 0
+    10: {"ok": True, "rms": _Q15, "peak": _Q15, "dc_offset": 0.0, "zcr": 1.0,
+         "n_samples": 4000},
+    # full-scale: 1.0*32767 → 32767 → 1.0 exactly
+    11: {"ok": True, "rms": 1.0, "peak": 1.0, "clip_ratio": 1.0,
+         "dc_offset": 1.0, "zcr": 0.0, "n_samples": 4000},
+    # sub-frame clip: decodes fine but yields zero 25ms frames
+    14: {"ok": True, "n_samples": 320, "n_frames": 0, "silence_ratio": 1.0},
+    # single sample 0.25 → trunc(8191.75)=8191, float32 quotient
+    15: {"ok": True, "n_samples": 1, "peak": _Q25, "zcr": 0.0},
+    # odd data chunk: 1001 bytes → 500 samples
+    17: {"ok": True, "n_samples": 500},
+    # raw pcm odd byte count: 2001 bytes → 1000 samples
+    22: {"ok": True, "n_samples": 1000},
+}
+
+# FROZEN expectations (derive_expected() output; regenerate ONLY on an
+# intentional semantics change via tools/regen_audio_fixtures.py).
+EXPECTED: list[tuple] = [
+    (0, True, None, 2000, 8000, 0.42424999894035936, 0.599993884563446, 0.0, 0.006940427699126304, 0.027013506753376687, 23, 200.741, 156.0, 0.0, 4000),
+    (1, True, None, 2000, 8000, 0.4242491691363337, 0.599993884563446, 0.0, 0.0, 0.10955477738869435, 23, 1000.626, 440.0, 0.0, 4000),
+    (2, True, None, 4000, 16000, 0.4242500966620093, 0.599993884563446, 0.0, 0.0, 0.05476369092273068, 23, 440.576, 440.0, 0.0, 4000),
+    (3, True, None, 4000, 16000, 0.4242472646685879, 0.599993884563446, 0.0, 0.0, 0.12478119529882471, 23, 1000.082, 1000.0, 0.0, 4000),
+    (4, True, None, 5512, 22050, 0.4242916686756972, 0.599993884563446, 0.0, 0.0005522786505474386, 0.04735982580293958, 23, 1085.706, 1540.0, 0.0, 4000),
+    (5, True, None, 11025, 44100, 0.4242509950024384, 0.599993884563446, 0.0, 0.0, 0.04526487663280116, 23, 1005.63, 1000.0, 0.0, 4000),
+    (6, True, None, 11025, 44100, 0.4242511800888743, 0.599963366985321, 0.0, 0.0, 0.13597605224963716, 23, 3019.548, 3000.0, 0.0, 4000),
+    (7, True, None, 12000, 48000, 0.4242326373091016, 0.599993884563446, 0.0, 0.0003576768465961019, 0.041503458621551796, 23, 1522.896, 2040.0, 0.0, 4000),
+    (8, True, None, 4000, 16000, 0.0, 0.0, 0.0, 0.0, 0.0, 23, 0.0, 0.0, 1.0, 4000),
+    (9, True, None, 2000, 8000, 0.4999847412109375, 0.4999847412109375, 0.0, 0.4999847412109375, 0.0, 23, 0.0, 0.0, 0.0, 4000),
+    (10, True, None, 4000, 16000, 0.4999847412109375, 0.4999847412109375, 0.0, 0.0, 1.0, 23, 8000.0, 8000.0, 0.0, 4000),
+    (11, True, None, 4000, 16000, 1.0, 1.0, 1.0, 1.0, 0.0, 23, 0.0, 0.0, 0.0, 4000),
+    (12, True, None, 8000, 16000, 0.5196669459487417, 0.8999908566474915, 0.0, 0.0, 0.00012501562695336918, 48, 1023.876, 2542.0, 0.0, 8000),
+    (13, True, None, 4000, 16000, 0.45798508005110355, 0.8999298214912415, 0.0, -0.2992561341102701, 0.2948237059264816, 23, 3540.419, 6596.0, 0.0, 4000),
+    (14, True, None, 320, 16000, 0.42476657604285156, 0.599993884563446, 0.0, 0.008370558638125658, 0.05329153605015674, 0, 1216.087, 2350.0, 1.0, 320),
+    (15, True, None, 1, 16000, 0.24997711181640625, 0.24997711181640625, 0.0, 0.24997711181640625, 0.0, 0, 0.0, 0.0, 1.0, 1),
+    (16, True, None, 4000, 16000, 0.2999897923639925, 0.5280007123947144, 0.0, 0.0, 0.10977744436109027, 23, 660.475, 880.0, 0.0, 4000),
+    (17, True, None, 500, 8000, 0.4238256149127972, 0.599993884563446, 0.0, 0.007527389787137509, 0.05410821643286573, 4, 947.861, 1840.0, 0.0, 1000),
+    (18, True, None, 2000, 16000, 0.4242500966620093, 0.599993884563446, 0.0, 0.0, 0.054527263631815905, 11, 440.576, 440.0, 0.0, 2000),
+    (19, True, None, 4000, 16000, 0.4242500966620093, 0.599993884563446, 0.0, 0.0, 0.05476369092273068, 23, 440.576, 440.0, 0.0, 4000),
+    (20, True, None, 2000, 8000, 0.45896828877187273, 0.8998077511787415, 0.0, -0.2973673969199881, 0.29964982491245623, 23, 2103.685, 4104.0, 0.0, 4000),
+    (21, True, None, 8000, 44100, 0.4999847412109375, 0.4999847412109375, 0.0, 0.0, 1.0, 16, 5361.525, 6108.89, 0.0, 2902),
+    (22, True, None, 1000, 16000, 0.4242500966620093, 0.599993884563446, 0.0, 0.006927395902574063, 0.05405405405405406, 4, 590.602, 608.0, 0.0, 1000),
+    (23, False, 'empty_pcm', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (24, True, None, 2000, 16000, 0.4242500966620093, 0.599993884563446, 0.0, 0.0, 0.054527263631815905, 11, 440.576, 440.0, 0.0, 2000),
+    (25, True, None, 2000, 8000, 0.4242500966620093, 0.599993884563446, 0.0, 0.0, 0.054527263631815905, 23, 532.046, 220.0, 0.0, 4000),
+    (26, True, None, 4000, 16000, 0.4999847412109375, 0.4999847412109375, 0.0, 0.0, 1.0, 23, 8000.0, 8000.0, 0.0, 4000),
+    (27, True, None, 2205, 22050, 0.45772826422361373, 0.8998077511787415, 0.0, -0.2971544220878863, 0.3017241379310345, 8, 3303.811, 6410.0, 0.0, 1600),
+    (28, True, None, 4410, 44100, 0.0, 0.0, 0.0, 0.0, 0.0, 8, 0.0, 0.0, 1.0, 1600),
+    (29, True, None, 2000, 16000, 0.24997711181640625, 0.24997711181640625, 0.0, 0.24997711181640625, 0.0, 11, 0.0, 0.0, 0.0, 2000),
+    (30, False, 'empty_bytes', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (31, False, 'empty_bytes', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (32, False, 'codec_not_whitelisted', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (33, False, 'codec_not_whitelisted', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (34, False, 'max_content_length', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (35, False, 'bad_riff_header', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (36, False, 'bad_riff_header', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (37, False, 'bad_riff_header', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (38, False, 'missing_wav_chunk', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (39, False, 'unsupported_wav_format', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (40, False, 'unsupported_wav_format', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (41, False, 'decode_error', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (42, False, 'flac_truncated', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (43, False, 'bad_flac_header', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (44, False, 'bad_riff_header', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+]

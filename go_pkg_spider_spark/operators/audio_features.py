@@ -53,9 +53,12 @@ AUDIO_FEATURES_SCHEMA = StructType(
 def _frames(pcm: np.ndarray, sr: int) -> np.ndarray:
     flen = max(int(sr * FRAME_MS / 1000), 1)
     hop = max(int(sr * HOP_MS / 1000), 1)
-    n = 1 + max(0, (pcm.size - flen)) // hop
-    if n <= 0:
+    # a clip shorter than one full frame has ZERO frames — the old
+    # `1 + max(0, ...)` form emitted one frame whose index matrix ran
+    # past the buffer (IndexError on sub-25ms clips)
+    if pcm.size < flen:
         return np.empty((0, flen))
+    n = 1 + (pcm.size - flen) // hop
     idx = np.arange(flen)[None, :] + hop * np.arange(n)[:, None]
     return pcm[idx]
 
@@ -87,6 +90,46 @@ def _spectral(pcm: np.ndarray, sr: int) -> tuple[float, float]:
     return centroid, rolloff
 
 
+def features_for_clip(
+    cid,
+    blob,
+    codec,
+    sr_hz,
+    target_sr: int = 16_000,
+    max_frames: int = 512,
+    silence_rms: float = 0.01,
+) -> tuple:
+    """One AUDIO_FEATURES_SCHEMA row for one clip — the pure per-row
+    kernel shared by the mapInPandas operator and the frozen-truth
+    audio oracle fixtures (fixtures/audio_fixtures.py), so the gate
+    exercises the exact production code path."""
+    pcm, sr_dec, err = decode_blob(blob, codec, sr_hz)
+    if pcm is None:
+        return (cid, err, 0, [], [], 0.0, 0.0, 0.0, 0, 0)
+    res = linear_resample(pcm, sr_dec, target_sr)
+    fr = _frames(res, target_sr)[:max_frames]
+    rms = np.sqrt((fr**2).mean(axis=1)) if fr.size else np.empty(0)
+    zcr = (
+        np.abs(np.diff(np.signbit(fr), axis=1)).mean(axis=1)
+        if fr.size
+        else np.empty(0)
+    )
+    centroid, rolloff = _spectral(res, target_sr)
+    silence = float((rms < silence_rms).mean()) if rms.size else 1.0
+    return (
+        cid,
+        None,
+        int(rms.size),
+        [round(float(x), 6) for x in rms],
+        [round(float(x), 6) for x in zcr],
+        round(centroid, 3),
+        round(rolloff, 3),
+        round(silence, 6),
+        target_sr,
+        int(res.size),
+    )
+
+
 def extract_audio_features(
     df: DataFrame,
     target_sr: int = 16_000,
@@ -99,40 +142,20 @@ def extract_audio_features(
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = []
-            for cid, blob, codec, sr in zip(
-                b["clip_id"], b["bytes"], b["codec"], b["sr_hz"]
-            ):
-                pcm, sr_dec, err = decode_blob(
-                    blob, codec, int(sr) if not pd.isna(sr) else None
+            rows = [
+                features_for_clip(
+                    cid,
+                    blob,
+                    codec,
+                    int(sr) if not pd.isna(sr) else None,
+                    target_sr=target_sr,
+                    max_frames=max_frames,
+                    silence_rms=silence_rms,
                 )
-                if pcm is None:
-                    rows.append((cid, err, 0, [], [], 0.0, 0.0, 0.0, 0, 0))
-                    continue
-                res = linear_resample(pcm, sr_dec, target_sr)
-                fr = _frames(res, target_sr)[:max_frames]
-                rms = np.sqrt((fr**2).mean(axis=1)) if fr.size else np.empty(0)
-                zcr = (
-                    np.abs(np.diff(np.signbit(fr), axis=1)).mean(axis=1)
-                    if fr.size
-                    else np.empty(0)
+                for cid, blob, codec, sr in zip(
+                    b["clip_id"], b["bytes"], b["codec"], b["sr_hz"]
                 )
-                centroid, rolloff = _spectral(res, target_sr)
-                silence = float((rms < silence_rms).mean()) if rms.size else 1.0
-                rows.append(
-                    (
-                        cid,
-                        None,
-                        int(rms.size),
-                        [round(float(x), 6) for x in rms],
-                        [round(float(x), 6) for x in zcr],
-                        round(centroid, 3),
-                        round(rolloff, 3),
-                        round(silence, 6),
-                        target_sr,
-                        int(res.size),
-                    )
-                )
+            ]
             yield pd.DataFrame(
                 rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
             )

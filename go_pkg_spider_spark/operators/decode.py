@@ -103,7 +103,11 @@ def decode_blob(blob: bytes | None, codec: str | None, sr_hz: int | None) -> tup
             pcm, sr = _flac.decode_flac(blob)
         return pcm, sr, None
     except ValueError as e:
-        return None, 0, str(e)
+        # our parsers raise snake_case tokens; a ValueError bubbling up
+        # from numpy/struct carries a prose message — normalize it so a
+        # library-version string never lands in the typed-error column
+        msg = str(e)
+        return None, 0, msg if msg and " " not in msg else "decode_error"
     except Exception:  # noqa: BLE001 — malformed container
         return None, 0, "decode_error"
 

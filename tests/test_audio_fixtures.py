@@ -1,0 +1,81 @@
+"""audio_decode_docs fixture integrity: the frozen EXPECTED table must
+match (a) a live re-derivation through the production operators — so a
+silent decode/features semantics change trips here before the driver
+gate — and (b) the HAND_CHECKED arithmetic done independently of the
+decode code (breaking decode<->decode circularity)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from go_pkg_spider_spark.fixtures import audio_fixtures as ax
+
+
+def test_expected_matches_live_derivation():
+    derived = ax.derive_expected()
+    assert len(derived) == len(ax.EXPECTED) == 45
+    for got, frozen in zip(derived, ax.EXPECTED):
+        assert got == frozen, f"fid {frozen[0]} drifted: {got} != {frozen}"
+
+
+def test_hand_checked_rows():
+    cols = ax.EXPECTED_COLUMNS
+    by_fid = {r[0]: dict(zip(cols, r)) for r in ax.EXPECTED}
+    for fid, checks in ax.HAND_CHECKED.items():
+        for col, want in checks.items():
+            got = by_fid[fid][col]
+            assert got == want, f"fid {fid} {col}: {got} != hand-derived {want}"
+
+
+def test_error_rows_are_typed():
+    cols = ax.EXPECTED_COLUMNS
+    by_fid = {r[0]: dict(zip(cols, r)) for r in ax.EXPECTED}
+    want_errs = {
+        30: "empty_bytes",
+        31: "empty_bytes",
+        32: "codec_not_whitelisted",
+        33: "codec_not_whitelisted",
+        34: "max_content_length",
+        35: "bad_riff_header",
+        36: "bad_riff_header",
+        # 37's fmt-only container is 36 bytes — under the 44-byte RIFF
+        # minimum, so the size guard fires before chunk traversal
+        37: "bad_riff_header",
+        38: "missing_wav_chunk",
+        39: "unsupported_wav_format",
+        40: "unsupported_wav_format",
+        44: "bad_riff_header",
+    }
+    for fid, err in want_errs.items():
+        assert by_fid[fid]["ok"] is False and by_fid[fid]["err"] == err
+    # the flac corruption family must be typed errors too (exact string
+    # is decoder-internal; ok=false + nonempty err is the contract)
+    for fid in (41, 42, 43):
+        assert by_fid[fid]["ok"] is False and by_fid[fid]["err"]
+    # every non-error row decoded (45 total, 16 error rows: fid 23
+    # empty_pcm + fids 30-44)
+    n_ok = sum(1 for r in ax.EXPECTED if r[1])
+    assert n_ok == 29
+
+
+def test_blobs_are_deterministic():
+    a = ax.build_rows()
+    b = ax.build_rows()
+    assert [(f, bl, c, s) for f, bl, c, s in a] == [
+        (f, bl, c, s) for f, bl, c, s in b
+    ]
+
+
+def test_sub_frame_clip_has_zero_frames():
+    """Regression for the _frames IndexError on clips shorter than one
+    25ms frame (found building these fixtures)."""
+    import numpy as np
+
+    from go_pkg_spider_spark.operators.audio_features import _frames
+
+    assert _frames(np.zeros(32), 16000).shape[0] == 0
+    assert _frames(np.zeros(399), 16000).shape[0] == 0
+    assert _frames(np.zeros(400), 16000).shape[0] == 1
+    assert _frames(np.zeros(0), 16000).shape[0] == 0

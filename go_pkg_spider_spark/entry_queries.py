@@ -1988,6 +1988,57 @@ def _audio_oracle_sql() -> str:
     """
 
 
+def _charset_guess_oracle_sql() -> str:
+    """By-construction truth table for the charset statistical guess:
+    each fixture payload is a known text encoded with a known codec, so
+    the expectations are ground truth independent of the sniffer."""
+    from .fixtures.charset_fixtures import expected_rows
+
+    def q(s):
+        return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n      ".join(
+        f"({fid}, {q(c)}, {q(p)}, {q(t)})" for fid, c, p, t in expected_rows()
+    )
+    return f"""
+    SELECT CAST(fid AS BIGINT) AS fid, CAST(charset AS VARCHAR) AS charset,
+           CAST(charset_pos AS VARCHAR) AS charset_pos,
+           CAST(decoded_text AS VARCHAR) AS decoded_text
+    FROM (VALUES
+      {rows}
+    ) AS t(fid, charset, charset_pos, decoded_text)
+    """
+
+
+@query("charset_guess_docs", _charset_guess_oracle_sql())
+def charset_guess_docs(spark, sf_dir):
+    """F4/X5 under the hard gate (round-4 verdict #6): the charset
+    statistical guesser (charset_bytes._guess — BOM shortcut +
+    frequency-weighted try-decode cascade over the CharsetLangMap
+    encodings, lang.go:27-38) plus the header/html alias folds
+    (charset.go:196-222) and conflict rules (charset.go:70-106),
+    through the production sniff_charset_udf pandas UDF against 26
+    by-construction truth rows (fixtures/charset_fixtures.py). Every
+    row resolves deterministically — none may reach the version-
+    dependent charset_normalizer fallback (pinned by
+    tests/test_charset_fixtures.py).
+
+    sf_dir is unused: the fixture corpus IS the input."""
+    from .fixtures.charset_fixtures import build_rows
+    from .functions.charset_bytes import sniff_charset_udf
+
+    df = spark.createDataFrame(
+        build_rows(), "fid long, data binary, declared string"
+    )
+    s = sniff_charset_udf(F.col("data"), F.col("declared"))
+    return df.select("fid", s.alias("s")).select(
+        "fid",
+        F.col("s.charset").alias("charset"),
+        F.col("s.charset_pos").alias("charset_pos"),
+        F.col("s.decoded_text").alias("decoded_text"),
+    )
+
+
 @query("audio_decode_docs", _audio_oracle_sql())
 def audio_decode_docs(spark, sf_dir):
     """The north-star audio leg under the hard gate (round-4 verdict

@@ -37,8 +37,14 @@ _RE_HTML4 = re.compile(
 _RE_CHARSET = re.compile(rb"(?i)charset=\s*[\"']?([a-z][_\-0-9a-z]*)")
 
 # try-decode guess order: strict CJK/cyrillic codecs, most-restrictive
-# first; scored by the share of decoded chars in the codec's target
-# script (deterministic — no ML model needed for the fixture families)
+# first; scored per-codec by FREQUENCY-WEIGHTED evidence over the
+# non-ASCII chars (the chardet technique, deterministic): a wrong-codec
+# decode that happens to be byte-valid lands nearly uniformly over its
+# script block, so it scores ~0 against a common-character table, while
+# real text concentrates there. Raw script-share scoring is NOT enough:
+# GB-encoded Chinese frequently decodes VALIDLY as EUC-JP (pure-Han
+# garbage, share 1.0), and the single-byte koi8_r codec decodes any
+# byte string to 100% cyrillic (found building charset_guess_docs).
 _GUESS_ORDER = (
     ("SHIFT_JIS", "shift_jis"),
     ("EUC-KR", "euc_kr"),
@@ -48,14 +54,76 @@ _GUESS_ORDER = (
     ("KOI8-R", "koi8_r"),
 )
 
-_SCRIPT_RANGES = {
-    "SHIFT_JIS": ((0x3040, 0x30FF), (0x4E00, 0x9FFF)),
-    "EUC-JP": ((0x3040, 0x30FF), (0x4E00, 0x9FFF)),
-    "EUC-KR": ((0xAC00, 0xD7AF),),
-    "Big5": ((0x4E00, 0x9FFF),),
-    "GBK": ((0x4E00, 0x9FFF),),
-    "KOI8-R": ((0x0400, 0x04FF),),
-}
+# top-frequency characters per language (public corpus rankings);
+# membership share over non-ASCII chars is the evidence signal
+_COMMON_ZH_SIMP = frozenset(
+    "的一是了我不人在他有这上们来到时大地为子中你说生国年着就那和要她"
+    "出也得里后自以会家可下而过天去能对小多然于心学么之都好看起发当没"
+    "成只如事把还用第样道想作种开美总从无情己面最女但现前些所同日手又"
+    "行意动方期它头经长儿回位分爱老因很给名法间斯知世什两次使身者被高"
+    "已亲其进此话常与活正感文数据标准编码字符集测试内容系统程序设计处理"
+)
+_COMMON_ZH_TRAD = frozenset(
+    "的一是了我不人在他有這上們來到時大地為子中你說生國年著就那和要她"
+    "出也得裡後自以會家可下而過天去能對小多然於心學麼之都好看起發當沒"
+    "成只如事把還用第樣道想作種開美總從無情己面最女但現前些所同日手又"
+    "行意動方期它頭經長兒回位分愛老因很給名法間斯知世什兩次使身者被高"
+    "已親其進此話常與活正感文數據標準編碼字符集測試內容系統網頁瀏覽器應用程式"
+)
+# top-12 letters only (~72% of Russian letter mass): a full-alphabet
+# set scores koi8 garbage nearly as well as real text, since GB/Big5
+# byte pairs land all over the koi8 letter region
+_COMMON_RU = frozenset("оеаинтсрвлкм")
+
+_KANA = ((0x3040, 0x309F), (0x30A0, 0x30FF))
+_HAN = ((0x4E00, 0x9FFF),)
+_HANGUL = ((0xAC00, 0xD7AF),)
+# koi8_r maps half its table to box-drawing/technical glyphs — garbage
+# decodes are full of them, real Russian text has none
+_BOXDRAW = ((0x2300, 0x25FF),)
+
+
+def _shares(text: str):
+    """Per-signal shares over the NON-ASCII chars (ascii digits/punct/
+    markup would otherwise dilute every candidate equally)."""
+    chars = [ch for ch in text if ord(ch) > 127]
+    if not chars:
+        return None
+    n = len(chars)
+
+    def in_ranges(ranges):
+        return sum(1 for ch in chars if any(a <= ord(ch) <= b for a, b in ranges)) / n
+
+    def in_set(s):
+        return sum(1 for ch in chars if ch.lower() in s) / n
+
+    return {
+        "kana": in_ranges(_KANA),
+        "han": in_ranges(_HAN),
+        "hangul": in_ranges(_HANGUL),
+        "zh_simp": in_set(_COMMON_ZH_SIMP),
+        "zh_trad": in_set(_COMMON_ZH_TRAD),
+        "ru": in_set(_COMMON_RU) - in_ranges(_BOXDRAW),
+    }
+
+
+def _guess_score(name: str, text: str) -> float:
+    s = _shares(text)
+    if s is None:
+        return 0.0
+    if name in ("SHIFT_JIS", "EUC-JP"):
+        # kana is the distinctive Japanese signal; garbage Han from a
+        # misread GB/Big5 stream has (almost) none
+        return s["kana"] + 0.3 * s["han"] * (1.0 if s["kana"] > 0.05 else 0.3)
+    if name == "GBK":
+        return s["zh_simp"] + 0.25 * s["han"]
+    if name == "Big5":
+        return s["zh_trad"] + 0.25 * s["han"]
+    if name == "EUC-KR":
+        return s["hangul"]
+    if name == "KOI8-R":
+        return s["ru"]
+    return 0.0
 
 _PY_CODEC = {
     "UTF-8": "utf-8",
@@ -96,26 +164,19 @@ def convert_charset_py(c: str) -> str:
     return ms.get(c, c)
 
 
-def _script_share(text: str, ranges) -> float:
-    if not text:
-        return 0.0
-    hits = sum(1 for ch in text if any(a <= ord(ch) <= b for a, b in ranges))
-    return hits / len(text)
-
-
 def _guess(data: bytes) -> str:
     """chardet slot (charset.go:183-193)."""
     if data.startswith(b"\xff\xfe") or data.startswith(b"\xfe\xff"):
         return "UTF-16"
     # deterministic try-decode cascade first (known CJK/cyrillic
-    # families, scored by target-script share)
+    # families, frequency-weighted scores — see _guess_score)
     best_name, best_score = "", 0.0
     for name, codec in _GUESS_ORDER:
         try:
             text = data.decode(codec)
         except Exception:  # noqa: BLE001
             continue
-        score = _script_share(text, _SCRIPT_RANGES[name])
+        score = _guess_score(name, text)
         if score > best_score + 1e-9:
             best_name, best_score = name, score
     if best_name and best_score >= 0.2:

@@ -1928,8 +1928,9 @@ def _simtext_oracle_sql() -> str:
 def simtext_argmax_docs(spark, sf_dir):
     """A11/F15 under the hard gate: per-row similarity argmax
     (simtext.best_match_udf — difflib.SequenceMatcher ratio, argmax
-    over the candidate array, first max wins) against 43 frozen fixture
+    over the candidate array, first max wins) against 53 frozen fixture
     rows covering zh/en titles, exact ties, below-threshold noise,
+    hand-computed LCS-arithmetic ratios (fids 43-52, difflib-independent),
     empty/single candidate lists, case/punctuation deltas and length
     extremes (fixtures/simtext_fixtures.py; reference semantics:
     extract/content.go:956-978 getTitleByEditDistance). The oracle is

@@ -7,7 +7,9 @@ FROZEN: tests/test_simtext.py re-derives them from difflib at
 test time, and the DuckDB oracle returns them as literal truth —
 the Spark UDF must reproduce them through the driver hash gate.
 Reference semantics: extract/content.go:956-978 (argmax edit-
-distance title pick).
+distance title pick). Fids 43-52 carry HAND-COMPUTED ratios (LCS
+block arithmetic documented inline) so the oracle is not purely
+difflib-checking-difflib.
 """
 
 FIXTURES = [
@@ -54,4 +56,37 @@ FIXTURES = [
     (40, ['café résumé naïve', 'cafe resume naive'], 'café résumé naïve', 'café résumé naïve', 1.0),
     (41, ['tab\there', 'newline segment'], 'tab here', 'tab\there', 0.875),
     (42, ['50% off sale!', '50 off sale'], '50% off sale!', '50% off sale!', 1.0),
+    # ---- hand-computed ratio rows (round-4 verdict "what's wrong" #2):
+    # the expectations below are derived BY HAND from the ratio formula
+    # 2*M/(len(a)+len(b)), M = total matched chars across the recursive
+    # longest-matching-block decomposition — NOT by running difflib —
+    # breaking the difflib<->difflib circularity of the rows above.
+    # 43: blocks('abcX','abcd'): longest 'abc' (3); right 'X'/'d' none.
+    #     M=3 -> 2*3/(4+4) = 0.75
+    (43, ['abcX'], 'abcd', 'abcX', 0.75),
+    # 44: 'ab' vs 'abcd': M=2 -> 4/6 = 0.666666... -> 0.666667
+    (44, ['ab'], 'abcd', 'ab', 0.666667),
+    # 45: 'kitten' vs 'sitting': longest 'itt' (3); left 'k'/'s' none;
+    #     right 'en'/'ing' -> longest 'n' (1), rest none. M=4 ->
+    #     8/13 = 0.6153846... -> 0.615385
+    (45, ['kitten'], 'sitting', 'kitten', 0.615385),
+    # 46: 'abab' vs 'baba': longest 'aba' = a[0:3]/b[1:4] (3); left
+    #     ''/'b'; right 'b'/''. M=3 -> 6/8 = 0.75
+    (46, ['abab'], 'baba', 'abab', 0.75),
+    # 47: 'aaab' vs 'baaa': longest 'aaa' = a[0:3]/b[1:4]. M=3 -> 0.75
+    (47, ['aaab'], 'baaa', 'aaab', 0.75),
+    # 48: no common character -> M=0, ratio 0.0; the strict > in the
+    #     argmax means NO candidate is picked at ratio 0
+    (48, ['xyz'], 'abc', None, 0.0),
+    # 49: 'hello world' vs 'hello there': 'hello ' (6); then
+    #     'world'/'there': longest 'r' (1), 'wo'/'the' none, 'ld'/'e'
+    #     none. M=7 -> 14/22 = 0.6363... -> 0.636364
+    (49, ['hello world'], 'hello there', 'hello world', 0.636364),
+    # 50: exact ratio tie (both 0.75 by row-43 arithmetic; 'Xabc'
+    #     matches block 'abc' = a[1:4]/b[0:3]) -> FIRST candidate wins
+    (50, ['abcX', 'Xabc'], 'abcd', 'abcX', 0.75),
+    # 51: case-sensitive: 'ABC' vs 'abc' share no chars -> (None, 0.0)
+    (51, ['ABC'], 'abc', None, 0.0),
+    # 52: later strictly-better candidate replaces: 0.666667 then 1.0
+    (52, ['ab', 'abcd'], 'abcd', 'abcd', 1.0),
 ]

@@ -158,6 +158,14 @@ def test_link_types_stats_rejoin_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+    # expression-duplication pin (round-4 verdict #1): before the pass-2
+    # features were materialized as columns, the path.Dir CASE tree was
+    # re-inlined at every when-chain reference (~24 copies); the
+    # inherent floor is one copy per uncached DAG branch (~10 today)
+    assert plan.count("(.*)/[^/]*") <= 12, (
+        f"path.Dir tree duplicated {plan.count('(.*)/[^/]*')}x — "
+        "pass-2 feature columns are being re-inlined again"
+    )
 
 
 def test_simtext_argmax_single_python_hop(spark):

@@ -58,6 +58,17 @@ def test_deterministic(spark, clips_path):
     assert a == b
 
 
+def test_fused_transport_parity(spark, clips_path):
+    """The two fused-stage transports (scalar arrow_udf with zero-copy
+    blob views vs pandas_udf) must produce bit-identical pipeline
+    output (BENCH/R5_NOTES.md A/B — arrow is the measured default,
+    pandas the fallback for runtimes without arrow_udf)."""
+    df = spark.read.parquet(clips_path)
+    a = pipeline.run_pipeline(df, fused_impl="arrow").orderBy("clip_id").collect()
+    p = pipeline.run_pipeline(df, fused_impl="pandas").orderBy("clip_id").collect()
+    assert a == p
+
+
 def test_no_shuffle_in_per_clip_path(spark, clips_path):
     """The per-clip pipeline must be narrow-only: a single stage with no
     Exchange in the physical plan (SURVEY.md §3.1 'one stage, zero

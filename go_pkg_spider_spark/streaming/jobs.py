@@ -41,6 +41,7 @@ def stream_quality_filter(
     output_path: str,
     checkpoint_path: str,
     available_now: bool = False,
+    pipeline_kwargs: dict | None = None,
 ) -> StreamingQuery:
     """The full keep/drop+scrub pipeline as a streaming job: per
     micro-batch, run the SAME batch plan (run_pipeline) and append —
@@ -51,7 +52,7 @@ def stream_quality_filter(
     deduped = clips_stream.dropDuplicates(["clip_id"])
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = run_pipeline(batch_df)
+        out = run_pipeline(batch_df, **(pipeline_kwargs or {}))
         # foreachBatch is AT-LEAST-ONCE: after a mid-write failure the
         # same batch_id replays, so a bare append duplicates rows. Each
         # batch owns its batch_id=N partition directory and overwrites

@@ -36,16 +36,36 @@ def test_stream_quality_filter_matches_batch(spark, clips_path, tmp_path):
     out_dir = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
     stream = jobs.read_clips_stream(spark, flat, max_files_per_trigger=1)
-    q = jobs.stream_quality_filter(stream, out_dir, ckpt, available_now=True)
+    # with_features=True surfaces the fused-UDF audio struct in the sink
+    # so the BINARY leg (decode inside foreachBatch) is parity-checked,
+    # not just the text-side keep/drop (round-4 verdict #8)
+    q = jobs.stream_quality_filter(
+        stream, out_dir, ckpt, available_now=True,
+        pipeline_kwargs={"with_features": True},
+    )
     q.awaitTermination(300)
 
     got = spark.read.parquet(out_dir)
     # overlap rows deduped: exactly one decision per clip_id
     assert got.count() == got.select("clip_id").distinct().count() == 300
-    # decisions identical to the batch pipeline
-    batch = {r.clip_id: (r.keep, r.drop_reason) for r in pipeline.run_pipeline(clips).collect()}
-    for r in got.select("clip_id", "keep", "drop_reason").collect():
-        assert (r.keep, r.drop_reason) == batch[r.clip_id], r.clip_id
+    # the FULL row must match the batch pipeline: decisions, scrubbed
+    # text, lang, ppl AND the decoded audio features (ok/err/n_samples/
+    # rms/zcr) — streaming micro-batches run the same fused decode
+    batch = {
+        r.clip_id: r
+        for r in pipeline.run_pipeline(clips, with_features=True).collect()
+    }
+    checked_audio = 0
+    for r in got.drop("batch_id").collect():
+        b = batch[r.clip_id]
+        assert (r.keep, r.drop_reason) == (b.keep, b.drop_reason), r.clip_id
+        assert (r.scrubbed_transcript, r.lang, r.lang_pos, r.ppl) == (
+            b.scrubbed_transcript, b.lang, b.lang_pos, b.ppl
+        ), r.clip_id
+        assert r.audio == b.audio, r.clip_id
+        if r.audio and r.audio.ok:
+            checked_audio += 1
+    assert checked_audio > 100  # real decodes compared, not all-error
 
 
 def test_stream_hourly_metrics(spark, tmp_path):

@@ -25,7 +25,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # clips rows per SF tier (deterministic; generation cached in /tmp)
-CLIPS_BY_SF = {"sf0.001": 500, "sf0.01": 5_000, "sf0.1": 50_000}
+CLIPS_BY_SF = {"sf0.001": 500, "sf0.01": 5_000, "sf0.1": 50_000, "sf1": 500_000}
 
 # the bench covers EVERY queries() entry (registration order) so a
 # regression anywhere the correctness gate looks is visible here too;

@@ -519,6 +519,41 @@ def ann_ivf_topk_embeddings(spark, sf_dir):
 
 
 @query(
+    "ann_ivf_batch_topk",
+    oracle_sql_gen.ann_ivf_batch_topk_sql(_EMB_DIM, n_queries=3),
+)
+def ann_ivf_batch_topk(spark, sf_dir):
+    """Multi-query IVF ANN (similarity.ivf_topk_batch): the 3
+    smallest-id embeddings queried as a BATCH against the same
+    SQL-reproducible trained index as ann_ivf_topk_embeddings — probe
+    cells broadcast onto the cell-assigned index, one equi-join, one
+    per-query top-k window. This is the serving shape
+    jobs/run_ann_index.py materializes at scale."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    cents = similarity.train_ivf_centroids_distributed(
+        e, "embedding", "vec_id", k=8, iters=1
+    )
+    queries = (
+        e.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    return similarity.ivf_topk_batch(
+        e,
+        queries,
+        "embedding",
+        "vec_id",
+        "qid",
+        cents,
+        k=10,
+        n_probe=4,
+        round_digits=4,
+    )
+
+
+@query(
     "centroid_per_label",
     """
     SELECT label, pos, round(AVG(x), 6) AS mean_x FROM (

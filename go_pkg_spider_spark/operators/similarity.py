@@ -412,6 +412,86 @@ def ivf_topk(
     return brute_force_topk(pruned, vec_col, id_col, query, k, round_digits)
 
 
+def ivf_topk_batch(
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    qid_col: str,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multi-query IVF ANN as ONE equi-join plan — the serving shape of
+    jobs/run_ann_index.py (a query BATCH against a trained index, vs
+    ivf_topk's single driver-side query vector).
+
+    Scale story (100 TB index, thousands of queries):
+    - the index side is assigned to its coarse cell and, in production,
+      read from the table run_ann_index materializes partitioned by
+      `cell` — the cell equi-join then prunes at the scan (partition
+      pruning), exactly like ivf_topk's single-cell filter;
+    - the query side explodes to n_probe rows per query and BROADCASTS
+      onto the index: no shuffle of the index ever happens;
+    - per-pair cosine reuses pre-join norms (`_vn`/`_qn` computed once
+      per row per side — the embedding_neardup norm-hoist lesson, round
+      4), so the join adds only the O(dim) dot product;
+    - per-query top-k is a row_number window over the scored candidate
+      subset (bounded by n_queries x probed-cell sizes), partitioned by
+      query id — the only data-dependent shuffle in the plan.
+
+    Probe selection ties break to the LOWEST cell id (struct array_sort
+    on (dist, cell)), and result ties to the lowest candidate id after
+    rounding — both mirrored bit-for-bit by the DuckDB oracle
+    (oracle_sql_gen.ann_ivf_batch_topk_sql). Callers cast vec columns
+    to double first (like every oracle-twinned ANN entry)."""
+    from pyspark.sql import Window
+
+    from ..functions.expr_utils import let_col
+
+    n_probe = min(n_probe, len(centroids))
+    dist_structs = F.array(
+        *[
+            F.struct(_sq_dist(F.col(vec_col), c).alias("d"), F.lit(j).alias("cell"))
+            for j, c in enumerate(centroids)
+        ]
+    )
+    probes = queries_df.select(
+        F.col(qid_col),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+        let_col(dist_structs, lambda d: F.slice(F.array_sort(d), 1, n_probe)).alias(
+            "_pr"
+        ),
+    ).select(
+        qid_col,
+        "_qv",
+        "_qn",
+        F.explode(F.transform(F.col("_pr"), lambda t: t["cell"])).alias("cell"),
+    )
+    idx = index_df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_vn"),
+        ivf_assign(F.col(vec_col), centroids).alias("cell"),
+    )
+    joined = idx.join(F.broadcast(probes), "cell")
+    den = F.col("_vn") * F.col("_qn")
+    cos = F.when(den > 0, dot(F.col("_v"), F.col("_qv")) / den).otherwise(F.lit(0.0))
+    scored = joined.select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cos, round_digits).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(qid_col, "rk", id_col, "cosine_sim")
+    )
+
+
 def centroid_per_label_long(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
     """Element-wise mean embedding per label in LONG form — one row per
     (label, pos) with the rounded mean component. posexplode + groupBy:

@@ -218,6 +218,69 @@ def ann_ivf_topk_sql(
     """
 
 
+def ann_ivf_batch_topk_sql(
+    dim: int,
+    n_queries: int = 3,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    round_digits: int = 4,
+) -> str:
+    """Batch variant of ann_ivf_topk_sql (similarity.ivf_topk_batch):
+    the queries are the table's n_queries smallest ids, probed against
+    the SAME SQL-reproducible trained index (first-k seeds + one Lloyd
+    step, rounded means). Probe ties to the lowest cell, result ties to
+    the lowest candidate id after rounding — the Spark operator's exact
+    semantics."""
+    sqd = f"list_sum(list_transform(range(1, {dim} + 1), i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i])))"
+    qd = f"list_sum(list_transform(range(1, {dim} + 1), i -> (s.c[i] - q.qv[i]) * (s.c[i] - q.qv[i])))"
+    cos = f"round(list_cosine_similarity(a1.v, p.qv), {round_digits})"
+    return f"""
+    WITH e AS (
+      SELECT {id_col} AS id, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v FROM {table}
+    ), seeds AS (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS j, v AS c
+      FROM e ORDER BY id LIMIT {n_cells}
+    ), a0 AS (
+      SELECT id, v, cell FROM (
+        SELECT e.id, e.v, s.j AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sqd}, s.j) AS rk
+        FROM e CROSS JOIN seeds s
+      ) WHERE rk = 1
+    ), c1 AS (
+      SELECT cell, list(mx ORDER BY pos) AS c FROM (
+        SELECT cell, pos, round(AVG(x), 6) AS mx FROM (
+          SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a0
+        ) GROUP BY cell, pos
+      ) GROUP BY cell
+    ), a1 AS (
+      SELECT id, v, cell FROM (
+        SELECT e.id, e.v, s.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {sqd}, s.cell) AS rk
+        FROM e CROSS JOIN (SELECT cell, c FROM c1) s
+      ) WHERE rk = 1
+    ), q AS (
+      SELECT id AS qid, v AS qv FROM e ORDER BY id LIMIT {n_queries}
+    ), probes AS (
+      SELECT qid, qv, cell FROM (
+        SELECT q.qid, q.qv, s.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY {qd}, s.cell) AS rk
+        FROM q CROSS JOIN c1 s
+      ) WHERE rk <= {n_probe}
+    )
+    SELECT qid, CAST(rk AS INTEGER) AS rk, id AS {id_col}, cosine_sim FROM (
+      SELECT p.qid, a1.id, {cos} AS cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.qid ORDER BY {cos} DESC, a1.id
+             ) AS rk
+      FROM a1 JOIN probes p ON a1.cell = p.cell
+    ) WHERE rk <= {k}
+    """
+
+
 def embedding_neardup_sql(
     dim: int,
     table: str = "embeddings",

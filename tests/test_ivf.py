@@ -97,3 +97,63 @@ def test_ivf_assign_arrow_null_vector_yields_null_cell(spark):
         }
         assert got[2] is None, max_k
         assert got[1] == 0 and got[3] == 1, max_k
+
+
+def test_ivf_topk_batch_matches_single_query_loop(spark):
+    """Cross-validation: the one-join batch operator must return, for
+    every query, exactly the rows the single-query ivf_topk returns
+    with the same centroids/k/n_probe (independent implementations:
+    per-query filter+TakeOrdered vs broadcast-join+window)."""
+    e = _emb(spark)
+    cents = similarity.train_ivf_centroids_distributed(
+        e, "embedding", "vec_id", k=8, iters=1
+    )
+    qrows = e.orderBy("vec_id").limit(3).collect()
+    queries = spark.createDataFrame(
+        [(r.vec_id, r.embedding) for r in qrows], "qid long, embedding array<double>"
+    )
+    batch = similarity.ivf_topk_batch(
+        e, queries, "embedding", "vec_id", "qid", cents, k=5, n_probe=3,
+        round_digits=4,
+    ).collect()
+    got = {
+        qid: [(r.rk, r.vec_id, r.cosine_sim) for r in sorted(
+            (x for x in batch if x.qid == qid), key=lambda x: x.rk
+        )]
+        for qid in {r.qid for r in batch}
+    }
+    for r in qrows:
+        want = [
+            (i + 1, w.vec_id, w.cosine_sim)
+            for i, w in enumerate(
+                similarity.ivf_topk(
+                    e, "embedding", "vec_id", [float(x) for x in r.embedding],
+                    cents, k=5, n_probe=3, round_digits=4,
+                ).collect()
+            )
+        ]
+        assert got[r.vec_id] == want, f"qid={r.vec_id}"
+
+
+def test_ivf_topk_batch_plan_broadcasts_probes(spark):
+    """Scale pins: the probe side is broadcast (no shuffle of the
+    index for the join) and the plan contains no cartesian product;
+    the only Exchange partitions the scored candidates by query id for
+    the per-query top-k window."""
+    e = _emb(spark)
+    cents = similarity.train_ivf_centroids_distributed(
+        e, "embedding", "vec_id", k=8, iters=1
+    )
+    queries = e.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    plan = (
+        similarity.ivf_topk_batch(
+            e, queries, "embedding", "vec_id", "qid", cents, k=5, n_probe=3
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

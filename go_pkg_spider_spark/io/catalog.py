@@ -42,15 +42,31 @@ class Catalog:
     def _ident(self, table: str) -> str:
         return f"{self.catalog_name}.db.{table}"
 
-    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """partition_by: physical partition columns (parquet dir layout /
+        Iceberg identity partition spec) — e.g. the IVF cell id, so a
+        probe-cell equi-join prunes whole partitions at the scan."""
         if self.use_iceberg:
             writer = df.writeTo(self._ident(table))
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
             if mode == "overwrite":
                 writer.createOrReplace()
             else:
                 writer.append()
         else:
-            df.write.mode(mode).parquet(self._path(table))
+            w = df.write.mode(mode)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self._path(table))
 
     def append(self, df: DataFrame, table: str) -> None:
         if self.use_iceberg:

@@ -1,0 +1,165 @@
+"""Stage-manifested job runner — the shared resume machinery behind
+jobs/run_dedup.py and jobs/run_ann_index.py.
+
+A composed job is a linear chain of stages, each committing one derived
+table plus a manifest row. Resume semantics (hardened round 5, ADVICE
+r4):
+
+- A committed stage is reusable ONLY if its LATEST manifest row is
+  `done` with the SAME parameter fingerprint (params_sig) as the
+  current invocation. Older rows never count: stage tables are
+  overwritten in place, so a historical same-sig row from before an
+  intervening different-sig run describes a table that no longer
+  exists (the A -> B -> A resume-staleness hole).
+- commit() purges a stage's manifest rows BEFORE rewriting its table:
+  a crash mid-overwrite leaves no row marking the half-written table
+  done, so resume reruns the stage.
+- Once any stage reruns, every DOWNSTREAM stage reruns too (their
+  inputs changed) — tracked via `upstream_reran`.
+- The params_sig covers EVERY knob that changes any stage's output;
+  a change reruns the whole chain (conservative by design: the sig is
+  one fingerprint, not a per-stage dependency graph).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+
+def manifest_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("stage", StringType(), False),
+            StructField("status", StringType(), False),
+            StructField("rows", LongType()),
+            StructField("metrics", MapType(StringType(), StringType())),
+            StructField("wall_sec", DoubleType()),
+            StructField("run_id", StringType()),
+            StructField("committed_at_unix", LongType()),
+            # strictly increasing across a process: breaks same-second
+            # committed_at ties when picking the latest row per stage
+            StructField("seq", LongType()),
+        ]
+    )
+
+
+class StageRunner:
+    """Commit/resume driver for one manifested chain. `params` must
+    contain every knob that changes stage outputs."""
+
+    def __init__(self, spark, catalog, manifest_table: str, params: dict, run_id: str):
+        self.spark = spark
+        self.cat = catalog
+        self.manifest_table = manifest_table
+        self.params_sig = json.dumps(params, sort_keys=True)
+        self.run_id = run_id
+        self.upstream_reran = False
+        self.summary: dict = {
+            "stages_run": 0,
+            "stages_skipped": 0,
+            "stage_rows": {},
+            "metrics": {},
+        }
+        self._seq = iter(range(1 << 62))
+        self._done = self._done_stages()
+
+    def _manifest_df(self):
+        mdf = self.cat.read(self.manifest_table)
+        if "seq" not in mdf.columns:  # manifests from older job versions
+            mdf = mdf.withColumn("seq", F.lit(None).cast("long"))
+        return mdf
+
+    def _done_stages(self) -> set[str]:
+        """Stages whose LATEST manifest row is done with the current
+        params_sig (max (committed_at, seq) per stage)."""
+        if not self.cat.exists(self.manifest_table):
+            return set()
+        rows = (
+            self._manifest_df()
+            .select("stage", "status", "metrics", "committed_at_unix", "seq")
+            .collect()
+        )
+        latest: dict = {}
+        for r in rows:
+            key = (r.committed_at_unix, r.seq if r.seq is not None else -1)
+            if r.stage not in latest or key > latest[r.stage][0]:
+                latest[r.stage] = (key, r)
+        return {
+            s
+            for s, (_, r) in latest.items()
+            if r.status == "done"
+            and (r.metrics or {}).get("params_sig") == self.params_sig
+        }
+
+    def _invalidate(self, stage: str) -> None:
+        """Remove a stage's manifest rows BEFORE its table is rewritten.
+        The manifest is tiny — collect to the driver, then overwrite
+        (Spark can't overwrite a path it is concurrently reading)."""
+        if not self.cat.exists(self.manifest_table):
+            return
+        kept = (
+            self._manifest_df()
+            .select(*[f.name for f in manifest_schema().fields])
+            .filter(F.col("stage") != stage)
+            .collect()
+        )
+        self.cat.write(
+            self.spark.createDataFrame(kept, manifest_schema()),
+            self.manifest_table,
+            mode="overwrite",
+        )
+
+    def commit(
+        self, stage: str, df, metrics_after=None, partition_by=None
+    ) -> None:
+        """Invalidate the stage's manifest rows, write the stage table,
+        then append the fresh manifest row. metrics_after (optional
+        callable) runs AFTER the write — for metrics only observable
+        once the plan executed (e.g. a pyspark Observation).
+        partition_by: physical partition columns for the stage table
+        (e.g. the ANN index's cell id)."""
+        t0 = time.monotonic()
+        self._invalidate(stage)
+        self.cat.write(df, stage, mode="overwrite", partition_by=partition_by)
+        metrics = dict(metrics_after() if metrics_after else {})
+        metrics["params_sig"] = self.params_sig
+        rows = self.cat.read(stage).count()
+        mdf = self.spark.createDataFrame(
+            [
+                (
+                    stage,
+                    "done",
+                    rows,
+                    metrics,
+                    round(time.monotonic() - t0, 3),
+                    self.run_id,
+                    int(time.time()),
+                    next(self._seq),
+                )
+            ],
+            manifest_schema(),
+        )
+        self.cat.append(mdf, self.manifest_table)
+        self.upstream_reran = True
+        self.summary["stages_run"] += 1
+        self.summary["stage_rows"][stage] = rows
+        self.summary["metrics"][stage] = metrics
+
+    def resumable(self, stage: str) -> bool:
+        if stage in self._done and not self.upstream_reran:
+            self.summary["stages_skipped"] += 1
+            self.summary["stage_rows"][stage] = self.cat.read(stage).count()
+            return True
+        return False

@@ -422,6 +422,7 @@ def ivf_topk_batch(
     k: int = 10,
     n_probe: int = 4,
     round_digits: int = 6,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Multi-query IVF ANN as ONE equi-join plan — the serving shape of
     jobs/run_ann_index.py (a query BATCH against a trained index, vs
@@ -445,7 +446,12 @@ def ivf_topk_batch(
     on (dist, cell)), and result ties to the lowest candidate id after
     rounding — both mirrored bit-for-bit by the DuckDB oracle
     (oracle_sql_gen.ann_ivf_batch_topk_sql). Callers cast vec columns
-    to double first (like every oracle-twinned ANN entry)."""
+    to double first (like every oracle-twinned ANN entry).
+
+    cell_col: name of a PRECOMPUTED assignment column on index_df (the
+    table jobs/run_ann_index.py materializes — at scale, partitioned by
+    it so the probe join prunes whole partitions). Default None
+    recomputes the assignment inline with ivf_assign."""
     from pyspark.sql import Window
 
     from ..functions.expr_utils import let_col
@@ -470,11 +476,16 @@ def ivf_topk_batch(
         "_qn",
         F.explode(F.transform(F.col("_pr"), lambda t: t["cell"])).alias("cell"),
     )
+    cell = (
+        F.col(cell_col).cast("int")
+        if cell_col is not None
+        else ivf_assign(F.col(vec_col), centroids)
+    )
     idx = index_df.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
         norm(F.col(vec_col)).alias("_vn"),
-        ivf_assign(F.col(vec_col), centroids).alias("cell"),
+        cell.alias("cell"),
     )
     joined = idx.join(F.broadcast(probes), "cell")
     den = F.col("_vn") * F.col("_qn")

@@ -40,36 +40,16 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 DEDUP_STAGES = ("exact", "pairs", "components", "decisions")
 DEDUP_MANIFEST_TABLE = "dedup_manifest"
 
 
 def _manifest_schema():
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        MapType,
-        StringType,
-        StructField,
-        StructType,
-    )
+    # resume machinery shared with jobs/run_ann_index.py (round 5)
+    from go_pkg_spider_spark.io.stages import manifest_schema
 
-    return StructType(
-        [
-            StructField("stage", StringType(), False),
-            StructField("status", StringType(), False),
-            StructField("rows", LongType()),
-            StructField("metrics", MapType(StringType(), StringType())),
-            StructField("wall_sec", DoubleType()),
-            StructField("run_id", StringType()),
-            StructField("committed_at_unix", LongType()),
-            # strictly increasing across a process: breaks same-second
-            # committed_at ties when picking the latest row per stage
-            StructField("seq", LongType()),
-        ]
-    )
+    return manifest_schema()
 
 
 def run_dedup(
@@ -91,17 +71,21 @@ def run_dedup(
 
     from go_pkg_spider_spark.functions.tokens import content_hash_md5, md5_u64_le
     from go_pkg_spider_spark.io.catalog import Catalog
+    from go_pkg_spider_spark.io.stages import StageRunner
     from go_pkg_spider_spark.operators import components as cc_ops
     from go_pkg_spider_spark.operators import dedup
 
     cat = Catalog(spark, output_root)
 
-    # Resume gate: a committed stage is reusable only if it was built
-    # with the SAME parameters — otherwise rerunning with a new
-    # threshold would silently return stale results. The sig covers
-    # every knob that changes stage outputs; once any stage reruns,
-    # every DOWNSTREAM stage reruns too (their inputs changed).
-    params_sig = json.dumps(
+    # Resume gate (io/stages.StageRunner): a committed stage is
+    # reusable only if its LATEST manifest row carries the SAME
+    # parameter fingerprint — the sig covers every knob that changes
+    # stage outputs; once any stage reruns, every DOWNSTREAM stage
+    # reruns too (their inputs changed).
+    runner = StageRunner(
+        spark,
+        cat,
+        DEDUP_MANIFEST_TABLE,
         {
             "id_col": id_col,
             "text_col": text_col,
@@ -111,110 +95,10 @@ def run_dedup(
             "bands": bands,
             "max_bucket_size": max_bucket_size,
         },
-        sort_keys=True,
+        run_id,
     )
-
-    def done_stages() -> set[str]:
-        """Stages whose LATEST manifest row is done with the current
-        params_sig. Older rows never count: stage tables are overwritten
-        in place, so a historical same-sig row from before an
-        intervening different-sig run describes a table that no longer
-        exists (the A -> B -> A resume-staleness hole). commit() also
-        purges a stage's rows before rewriting its table, so duplicates
-        cannot accumulate — the max-seq pick here is belt and braces
-        for manifests written by older versions of this job."""
-        if not cat.exists(DEDUP_MANIFEST_TABLE):
-            return set()
-        mdf = cat.read(DEDUP_MANIFEST_TABLE)
-        if "seq" not in mdf.columns:  # manifests from older job versions
-            mdf = mdf.withColumn("seq", F.lit(None).cast("long"))
-        rows = mdf.select(
-            "stage", "status", "metrics", "committed_at_unix", "seq"
-        ).collect()
-        latest: dict = {}
-        for r in rows:
-            key = (r.committed_at_unix, r.seq if r.seq is not None else -1)
-            if r.stage not in latest or key > latest[r.stage][0]:
-                latest[r.stage] = (key, r)
-        return {
-            s
-            for s, (_, r) in latest.items()
-            if r.status == "done"
-            and (r.metrics or {}).get("params_sig") == params_sig
-        }
-
-    done = done_stages()
-    upstream_reran = False
-    summary: dict = {
-        "stages_run": 0,
-        "stages_skipped": 0,
-        "stage_rows": {},
-        "metrics": {},
-    }
-
-    seq_counter = iter(range(1 << 62))
-
-    def _invalidate(stage: str) -> None:
-        """Remove a stage's manifest rows BEFORE its table is rewritten:
-        a crash mid-overwrite then leaves no row marking the half-written
-        table done, so resume reruns the stage. The manifest is tiny —
-        collect to the driver, then overwrite (Spark can't overwrite a
-        path it is concurrently reading)."""
-        if not cat.exists(DEDUP_MANIFEST_TABLE):
-            return
-        mdf = cat.read(DEDUP_MANIFEST_TABLE)
-        if "seq" not in mdf.columns:
-            mdf = mdf.withColumn("seq", F.lit(None).cast("long"))
-        kept = (
-            mdf.select(*[f.name for f in _manifest_schema().fields])
-            .filter(F.col("stage") != stage)
-            .collect()
-        )
-        cat.write(
-            spark.createDataFrame(kept, _manifest_schema()),
-            DEDUP_MANIFEST_TABLE,
-            mode="overwrite",
-        )
-
-    def commit(stage: str, df, metrics_after=None) -> None:
-        """Invalidate the stage's manifest rows, write the stage table,
-        then append the fresh manifest row. metrics_after (optional
-        callable) runs AFTER the write — for metrics only observable
-        once the plan executed (the bucket-cap Observation)."""
-        nonlocal upstream_reran
-        t0 = time.monotonic()
-        _invalidate(stage)
-        cat.write(df, stage, mode="overwrite")
-        metrics = dict(metrics_after() if metrics_after else {})
-        metrics["params_sig"] = params_sig
-        rows = cat.read(stage).count()
-        mdf = spark.createDataFrame(
-            [
-                (
-                    stage,
-                    "done",
-                    rows,
-                    metrics,
-                    round(time.monotonic() - t0, 3),
-                    run_id,
-                    int(time.time()),
-                    next(seq_counter),
-                )
-            ],
-            _manifest_schema(),
-        )
-        cat.append(mdf, DEDUP_MANIFEST_TABLE)
-        upstream_reran = True
-        summary["stages_run"] += 1
-        summary["stage_rows"][stage] = rows
-        summary["metrics"][stage] = metrics
-
-    def resumable(stage: str) -> bool:
-        if stage in done and not upstream_reran:
-            summary["stages_skipped"] += 1
-            summary["stage_rows"][stage] = cat.read(stage).count()
-            return True
-        return False
+    summary = runner.summary
+    commit, resumable = runner.commit, runner.resumable
 
     # stage 1: exact dedup — one row per distinct normalized text
     if not resumable("exact"):

@@ -147,7 +147,23 @@ def main():
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # Preserve sections this script does not own (e.g. the sf1 decade
+    # jump): any H2 whose heading is not one of ours is re-inserted
+    # before "## Scale lessons" (round-5 lesson: a full rewrite here
+    # silently dropped the sf1 evidence).
+    _OWNED = ("Scaling efficiency", "Scale lessons", "Reference baseline")
+    preserved = ""
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            body = f.read()
+        chunks = ["## " + c for c in body.split("\n## ")[1:]]
+        preserved = "".join(
+            c.rstrip() + "\n\n"
+            for c in chunks
+            if not any(c.startswith("## " + h) for h in _OWNED)
+        )
+    with open(baseline_path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured numbers
 
@@ -191,7 +207,7 @@ normalized vs ceiling: {min(secondary["efficiency"] / hw832, 1.0):.2f})
 
 All runs: local[8] {secondary["all_lo"]}, local[32] {secondary["all_hi"]}.
 
-## Scale lessons encoded in the repo (found by measurement)
+{preserved}## Scale lessons encoded in the repo (found by measurement)
 
 1. **Parquet row groups for binary payloads**: default ~128MB row
    groups made every scan thread buffer >100MB live -> GC collapse at

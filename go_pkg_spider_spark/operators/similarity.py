@@ -380,6 +380,15 @@ def _ivf_assign_arrow(vec: Column, centroids: list[list[float]]) -> Column:
 
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    """Squared distance to a LITERAL centroid via zip_with+aggregate.
+    Measured round 5 (sf0.1, k=8, dim=64): this HOF form runs the
+    8-distance assign subplan in ~1.7s / 5k rows; a "codegen-friendly"
+    flat expansion (8 x 64 x 2 GetArrayItem + adds) measured 3-7x
+    SLOWER because the whole tree sits inside ivf_assign's let_col
+    lambda — lambda bodies are interpreted node-by-node, and the HOF's
+    per-array loop beats a 1024-node interpreted tree. Keep the HOF
+    form; the Arrow GEMM path (k > max_literal_k) is the real escape
+    hatch when assign cost matters."""
     c = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
         F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),

@@ -165,5 +165,12 @@ def fused_model_expr(blob, codec, sr_hz, model_text, marker, ppl_text, impl=None
     'arrow' (zero-copy scalar arrow_udf) or 'pandas' (pandas_udf).
     Both produce identical rows (parity-pinned in test_pipeline)."""
     impl = impl or DEFAULT_FUSED_IMPL
+    if impl not in ("arrow", "pandas"):
+        raise ValueError(f"fused_impl must be 'arrow' or 'pandas', got {impl!r}")
+    if impl == "arrow" and fused_model_arrow_udf is None:
+        raise RuntimeError(
+            "fused_impl='arrow' requires pyspark.sql.functions.arrow_udf "
+            "(Spark >= 4.0) — use fused_impl='pandas' on this runtime"
+        )
     fn = fused_model_arrow_udf if impl == "arrow" else fused_model_udf
     return fn(blob, codec, sr_hz, model_text, marker, ppl_text)

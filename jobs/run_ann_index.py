@@ -107,11 +107,27 @@ def run_ann_index(
         vec_col, F.transform(F.col(vec_col), lambda x: x.cast("double"))
     )
 
-    # stage 1: coarse quantizer (k x dim rounded doubles, long form)
+    # stage 1: coarse quantizer (k x dim rounded doubles, long form).
+    # The empty-input guard fires BEFORE commit — committing an empty
+    # centroids table as `done` would poison the output root for this
+    # params_sig (resume would then skip training forever).
     if not runner.resumable("centroids"):
+        # NULL vectors would seed/assign as NULL and crash the Lloyd
+        # step — train on the indexable rows only (the index stage
+        # below counts the dropped rows into the manifest)
         cents = similarity.train_ivf_centroids_distributed(
-            emb, vec_col, id_col, k=n_cells, iters=iters
+            emb.filter(F.col(vec_col).isNotNull()),
+            vec_col,
+            id_col,
+            k=n_cells,
+            iters=iters,
         )
+        if not cents:
+            raise ValueError(
+                "run_ann_index: no centroids trained — input table is "
+                f"empty or every {vec_col} is NULL; nothing to index "
+                "(nothing was committed; rerun after fixing the input)"
+            )
         runner.commit(
             "centroids",
             spark.createDataFrame(
@@ -119,17 +135,35 @@ def run_ann_index(
             ),
             metrics_after=lambda: {
                 "n_cells": str(len(cents)),
-                "dim": str(len(cents[0]) if cents else 0),
+                "dim": str(len(cents[0])),
             },
         )
     cents = _centroids_from_table(cat.read("centroids"))
+    if not cents:
+        raise ValueError(
+            "run_ann_index: committed centroids table is empty (written "
+            "by an older job version?) — delete the output root and rerun"
+        )
 
-    # stage 2: the cell-partitioned index (id, vector, cell)
+    # stage 2: the cell-partitioned index (id, vector, cell). Rows with
+    # NULL vectors cannot be indexed: they are dropped HERE, with the
+    # drop count surfaced in the manifest metrics (never silent).
     if not runner.resumable("index"):
-        assigned = emb.select(
-            F.col(id_col),
-            F.col(vec_col),
-            similarity.ivf_assign(F.col(vec_col), cents).alias("cell"),
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        assigned = (
+            emb.select(F.col(id_col), F.col(vec_col))
+            .observe(
+                obs,
+                F.sum(F.col(vec_col).isNull().cast("long")).alias("null_vectors"),
+            )
+            .filter(F.col(vec_col).isNotNull())
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                similarity.ivf_assign(F.col(vec_col), cents).alias("cell"),
+            )
         )
 
         def _cell_metrics():
@@ -141,6 +175,7 @@ def run_ann_index(
                 "cells_used": str(len(sizes)),
                 "max_cell_rows": str(max(sizes) if sizes else 0),
                 "min_cell_rows": str(min(sizes) if sizes else 0),
+                "null_vectors_dropped": str(obs.get.get("null_vectors") or 0),
             }
 
         runner.commit(
@@ -150,14 +185,18 @@ def run_ann_index(
     # stage 3: serve the query batch against the committed index
     if queries is not None:
         # topk gate = core + query knobs: a new batch/k/n_probe reruns
-        # only this stage against the already-committed index
+        # only this stage against the already-committed index. An
+        # UNIDENTIFIED batch (no queries_sig — a caller-constructed
+        # DataFrame) is never resumable: two different inline batches
+        # would otherwise share a fingerprint and the second would
+        # silently read the first one's results.
         topk_runner = StageRunner(
             spark,
             cat,
             ANN_MANIFEST_TABLE + "_topk",
             {
                 **core,
-                "queries": queries_sig or "inline",
+                "queries": queries_sig or "<inline-unresumable>",
                 "topk": topk,
                 "n_probe": n_probe,
                 "round_digits": round_digits,
@@ -165,7 +204,7 @@ def run_ann_index(
             run_id,
         )
         # an upstream rebuild invalidates any committed topk result
-        topk_runner.upstream_reran = runner.upstream_reran
+        topk_runner.upstream_reran = runner.upstream_reran or queries_sig is None
         if not topk_runner.resumable("topk"):
             q = queries.withColumn(
                 vec_col, F.transform(F.col(vec_col), lambda x: x.cast("double"))

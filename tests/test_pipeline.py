@@ -83,3 +83,20 @@ def test_salted_repartition_deterministic(spark, clips_path):
     out = pipeline.repartition_salted(df, 8)
     assert out.rdd.getNumPartitions() == 8
     assert out.count() == 300
+
+
+def test_fused_impl_knob_validates(spark):
+    """Typos must not silently degrade to the pandas transport, and an
+    arrow request on a runtime without arrow_udf must fail loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from go_pkg_spider_spark.operators import fused
+
+    args = (F.lit(None).cast("binary"), F.lit("wav"), F.lit(16000),
+            F.lit("x"), F.lit(None).cast("string"), F.lit("x"))
+    with pytest.raises(ValueError, match="fused_impl"):
+        fused.fused_model_expr(*args, impl="Arrow")
+    if fused.fused_model_arrow_udf is None:
+        with pytest.raises(RuntimeError, match="arrow_udf"):
+            fused.fused_model_expr(*args, impl="arrow")

@@ -101,3 +101,37 @@ def test_index_table_is_cell_partitioned(spark, tmp_path):
     idx = spark.read.parquet(f"{root}/index")
     assert set(idx.columns) == {"vec_id", "embedding", "cell"}
     assert idx.count() == emb.count()
+
+
+def test_empty_input_raises_clearly(spark, tmp_path):
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no centroids trained"):
+        run_ann_index(spark, empty, str(tmp_path / "ann_empty"))
+
+
+def test_null_vectors_dropped_with_accounting(spark, tmp_path):
+    emb = _emb(spark).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 17 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    n_null = emb.filter(F.col("embedding").isNull()).count()
+    assert n_null > 0
+    root = str(tmp_path / "ann")
+    s = run_ann_index(spark, emb, root, n_cells=8, iters=1)
+    assert int(s["metrics"]["index"]["null_vectors_dropped"]) == n_null
+    assert s["stage_rows"]["index"] == emb.count() - n_null
+
+
+def test_inline_queries_never_resume_topk(spark, tmp_path):
+    emb = _emb(spark)
+    root = str(tmp_path / "ann")
+    s1 = run_ann_index(spark, emb, root, queries=_queries(emb), query_id_col="qid")
+    assert s1["stages_run"] == 3
+    # identical inline batch, NO queries_sig: index resumes, topk must
+    # rerun (two different inline batches would share a fingerprint)
+    s2 = run_ann_index(spark, emb, root, queries=_queries(emb), query_id_col="qid")
+    assert s2["stages_skipped"] == 2 and s2["stages_run"] == 1

@@ -62,13 +62,23 @@ class RssSampler(threading.Thread):
 
     @staticmethod
     def _procs(needle: bytes) -> list[int]:
+        """PIDs whose cmdline matches AND that carry this tool's env
+        marker: on the documented multi-tenant host a cmdline match
+        alone would sample ANOTHER tenant's Spark JVM into the
+        peak-memory evidence (the bench.py JVM-kill scoping lesson,
+        ADVICE r4). Foreign-user /proc/<pid>/environ is unreadable ->
+        skipped; same-user unrelated sessions lack the marker."""
+        marker = b"SPARK_GRAFT_JVM_OWNER=sf1_headline"
         out = []
         for d in os.listdir("/proc"):
             if not d.isdigit():
                 continue
             try:
                 with open(f"/proc/{d}/cmdline", "rb") as f:
-                    if needle in f.read():
+                    if needle not in f.read():
+                        continue
+                with open(f"/proc/{d}/environ", "rb") as f:
+                    if marker in f.read():
                         out.append(int(d))
             except OSError:
                 continue
@@ -244,7 +254,8 @@ def phase_dedup() -> dict:
 
 def main() -> None:
     phases = sys.argv[1:] or ["gen", "clips", "dedup"]
-    os.environ.setdefault("SPARK_GRAFT_JVM_OWNER", "sf1_headline")
+    # unconditional: the RssSampler matches exactly this value
+    os.environ["SPARK_GRAFT_JVM_OWNER"] = "sf1_headline"
     for ph in phases:
         {"gen": phase_gen, "clips": phase_clips, "dedup": phase_dedup}[ph]()
 

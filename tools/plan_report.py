@@ -128,6 +128,15 @@ REPORT = [
         "call), no shuffle.",
         "simtext_argmax_docs",
     ),
+    (
+        "ann_ivf_batch_topk",
+        "Batch IVF ANN serving: the exploded (qid, cell) probes are "
+        "BROADCAST onto the cell-assigned index (BroadcastHashJoin, no "
+        "index shuffle, no cartesian); the only Exchange partitions the "
+        "scored candidate subset by query id for the per-query top-k "
+        "window. Norms computed once per side pre-join.",
+        "ann_ivf_batch_topk",
+    ),
 ]
 
 

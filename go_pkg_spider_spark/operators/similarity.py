@@ -466,6 +466,10 @@ def ivf_topk_batch(
     from ..functions.expr_utils import let_col
 
     n_probe = min(n_probe, len(centroids))
+    # a NULL query vector has NULL distances to every centroid — its
+    # probe-cell sort order would be engine-defined. Drop such queries
+    # (no result rows), mirroring the index side's NULL handling.
+    queries_df = queries_df.filter(F.col(vec_col).isNotNull())
     dist_structs = F.array(
         *[
             F.struct(_sq_dist(F.col(vec_col), c).alias("d"), F.lit(j).alias("cell"))

@@ -336,3 +336,58 @@ def stream_hourly_metrics(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ann_topk(
+    queries_stream: DataFrame,
+    index_df: DataFrame,
+    centroids: list[list[float]],
+    output_path: str,
+    checkpoint_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    k: int = 10,
+    n_probe: int = 4,
+    round_digits: int = 6,
+    cell_col: str | None = "cell",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Online ANN serving: micro-batches of query vectors against the
+    STATIC cell-partitioned index committed by jobs/run_ann_index.py.
+    Each trigger runs the unchanged batch serving operator
+    (similarity.ivf_topk_batch) inside foreachBatch — the stream-static
+    join shape: the micro-batch's probes broadcast onto the index, so a
+    trigger scans only the probed cells (partition pruning against the
+    committed layout), and per-query top-k rows are independent of
+    batching, making stream output == batch output row-for-row.
+    Cross-batch dropDuplicates on the query id = serve-once per qid
+    (state-store backed); the batch_id=N partition sink overwrites on
+    at-least-once replay (idempotent, same as stream_quality_filter)."""
+    from ..operators import similarity
+
+    deduped = queries_stream.dropDuplicates([qid_col])
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = similarity.ivf_topk_batch(
+            index_df,
+            batch_df,
+            vec_col,
+            id_col,
+            qid_col,
+            centroids,
+            k=k,
+            n_probe=n_probe,
+            round_digits=round_digits,
+            cell_col=cell_col,
+        )
+        out.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
+
+    writer = (
+        deduped.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -157,3 +157,27 @@ def test_ivf_topk_batch_plan_broadcasts_probes(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ivf_topk_batch_null_query_vector_yields_no_rows(spark):
+    """A NULL query vector has NULL distances to every centroid (its
+    probe order would be engine-defined) — it must contribute zero
+    result rows, not arbitrary neighbors; non-null queries unaffected."""
+    e = _emb(spark)
+    cents = similarity.train_ivf_centroids_distributed(
+        e, "embedding", "vec_id", k=8, iters=1
+    )
+    good = e.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    nullq = spark.createDataFrame(
+        [(999999, None)], "qid long, embedding array<double>"
+    )
+    out = similarity.ivf_topk_batch(
+        e, good.unionByName(nullq), "embedding", "vec_id", "qid", cents,
+        k=5, n_probe=3,
+    ).collect()
+    qids = {r.qid for r in out}
+    assert 999999 not in qids
+    assert qids == {r.qid for r in good.collect()}
+    assert len(out) == 10

@@ -311,3 +311,77 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(300)
     got = sorted(r.event_id for r in spark.read.parquet(out_dir).collect())
     assert got == [1, 2, 3, 4]
+
+
+def test_stream_ann_topk_matches_batch(spark, tmp_path):
+    """Online ANN serving == batch serving row-for-row: query vectors
+    arriving in two waves (with a duplicate qid across waves) against
+    the committed cell-partitioned index produce exactly the rows the
+    batch operator returns for the distinct query set."""
+    from go_pkg_spider_spark.operators import similarity
+    from jobs.run_ann_index import _centroids_from_table, run_ann_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "ann")
+    run_ann_index(spark, emb, root, n_cells=8, iters=1)
+    index_df = spark.read.parquet(f"{root}/index")
+    cents = _centroids_from_table(spark.read.parquet(f"{root}/centroids"))
+
+    # two query waves into a flat file-source dir; qid 3 arrives twice
+    queries = emb.select(F.col("vec_id").alias("qid"), "embedding")
+    flat = str(tmp_path / "qin")
+    os.makedirs(flat)
+    queries.filter(F.col("qid").isin(1, 2, 3)).coalesce(1).write.parquet(
+        str(tmp_path / "w1")
+    )
+    queries.filter(F.col("qid").isin(3, 4)).coalesce(1).write.parquet(
+        str(tmp_path / "w2")
+    )
+    import glob
+    import shutil
+
+    for w in ("w1", "w2"):
+        for i, f in enumerate(glob.glob(str(tmp_path / w / "*.parquet"))):
+            shutil.copy(f, f"{flat}/{w}_{i}.parquet")
+
+    qstream = (
+        spark.readStream.schema("qid long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out_dir = str(tmp_path / "out")
+    q = jobs.stream_ann_topk(
+        qstream,
+        index_df,
+        cents,
+        out_dir,
+        str(tmp_path / "ckpt"),
+        k=5,
+        n_probe=3,
+        round_digits=4,
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        (r.qid, r.rk, r.vec_id, r.cosine_sim)
+        for r in spark.read.parquet(out_dir).drop("batch_id").collect()
+    )
+    # the duplicate qid 3 served exactly once
+    assert len(got) == 4 * 5
+    want = sorted(
+        (r.qid, r.rk, r.vec_id, r.cosine_sim)
+        for r in similarity.ivf_topk_batch(
+            index_df,
+            queries.filter(F.col("qid").isin(1, 2, 3, 4)),
+            "embedding",
+            "vec_id",
+            "qid",
+            cents,
+            k=5,
+            n_probe=3,
+            round_digits=4,
+            cell_col="cell",
+        ).collect()
+    )
+    assert got == want

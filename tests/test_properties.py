@@ -120,3 +120,46 @@ def test_date_cascade_dialect_parity(spark, texts):
         ).fetchall()
     ]
     assert got == want
+
+
+VEC = st.lists(
+    st.integers(min_value=-2, max_value=2).map(float), min_size=4, max_size=4
+)
+
+
+@settings(max_examples=15, deadline=None, derandomize=True)
+@given(st.lists(VEC, min_size=3, max_size=12))
+def test_ivf_batch_full_probe_equals_brute_force(spark, vecs):
+    """With every cell probed, batch IVF serving must equal exact
+    brute-force top-k for every query — on adversarial inputs: tiny
+    integer-valued vectors force cosine TIES, duplicate vectors, and
+    zero vectors (the den>0 -> 0.0 guard on both paths)."""
+    from go_pkg_spider_spark.operators import similarity
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k_cells = min(4, len(rows))
+    cents = similarity.train_ivf_centroids_distributed(
+        df, "embedding", "vec_id", k=k_cells, iters=1
+    )
+    queries = df.limit(0).unionByName(
+        spark.createDataFrame(rows[:2], "vec_id long, embedding array<double>")
+    ).select(F.col("vec_id").alias("qid"), "embedding")
+    got = similarity.ivf_topk_batch(
+        df, queries, "embedding", "vec_id", "qid", cents,
+        k=3, n_probe=k_cells, round_digits=6,
+    ).collect()
+    for qid, qv in rows[:2]:
+        mine = [
+            (r.rk, r.vec_id, r.cosine_sim)
+            for r in sorted((x for x in got if x.qid == qid), key=lambda x: x.rk)
+        ]
+        want = [
+            (i + 1, r.vec_id, r.cosine_sim)
+            for i, r in enumerate(
+                similarity.brute_force_topk(
+                    df, "embedding", "vec_id", qv, k=3, round_digits=6
+                ).collect()
+            )
+        ]
+        assert mine == want, f"qid={qid} vecs={vecs}"

@@ -41,15 +41,7 @@ import argparse
 import json
 import sys
 
-DEDUP_STAGES = ("exact", "pairs", "components", "decisions")
 DEDUP_MANIFEST_TABLE = "dedup_manifest"
-
-
-def _manifest_schema():
-    # resume machinery shared with jobs/run_ann_index.py (round 5)
-    from go_pkg_spider_spark.io.stages import manifest_schema
-
-    return manifest_schema()
 
 
 def run_dedup(

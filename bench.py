@@ -10,6 +10,15 @@ north_rule workload; per-query timings cover the operator families.
 
 Every timing materializes via the noop sink (full evaluation; count()
 would let Catalyst prune projections).
+
+Noise protocol (hardened round 6, VERDICT r5 #3): the host is
+multi-tenant and identical runs vary 2-10x. Each entry is timed
+min-of-PASSES with the passes INTERLEAVED ABBA-style across the whole
+query list (pass 1 forward, passes 2-3 reverse, pass 4 forward) so one
+contended host window lands in at most one or two of each entry's runs
+— back-to-back min-of-2 could not reject a window that covered both
+runs (BENCH_r05: uniform 1.5-3x inflation on every sub-second entry).
+Raw per-run times are kept in the artifact so noise stays adjudicable.
 """
 
 from __future__ import annotations
@@ -31,6 +40,10 @@ CLIPS_BY_SF = {"sf0.001": 500, "sf0.01": 5_000, "sf0.1": 50_000, "sf1": 500_000}
 # regression anywhere the correctness gate looks is visible here too;
 # BENCH_QUERIES is resolved at runtime from the entry surface.
 BENCH_QUERIES: list[str] | None = None  # None = all entry.queries()
+
+# ABBA-interleaved passes per entry; min-of-PASSES is the reported
+# number. 4 is the driver protocol; drop to 1-2 for local iteration.
+PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "4"))
 
 
 def _noop_write(df) -> None:
@@ -141,31 +154,33 @@ def main() -> None:
     # 2-10x (measured 90.7s / 20.1s / 34.4s back-to-back); the minimum is
     # the only stable estimator of the code's actual cost. Raw per-run
     # times are kept so noise is adjudicable from the artifact alone.
-    raw_runs: dict[str, list[float]] = {}
-
-    def timed(fn, name: str, n: int = 2) -> float:
-        runs = []
-        for _ in range(n):
-            t0 = time.monotonic()
-            fn()
-            runs.append(round(time.monotonic() - t0, 3))
-        raw_runs[name] = runs
-        return min(runs)
-
-    # the UDF-heavy headline query is the one most exposed to host noise
-    # (r3 driver record: 22.9s vs builder's 10.98/9.95s same protocol) —
-    # min-of-4 for it, min-of-2 for the 40+ cheap JVM-only queries.
-    clips_sec = timed(
-        lambda: _noop_write(pipeline.run_pipeline(clips)), "clips_pipeline", n=4
-    )
-    timings["clips_pipeline"] = round(clips_sec, 3)
-
+    # Passes are ABBA-interleaved across the WHOLE entry list (see module
+    # docstring): a noise window covers a contiguous time span, so
+    # spreading each entry's runs across the span leaves at least one
+    # clean run for min() to pick — back-to-back repeats of one entry sit
+    # entirely inside the window and min() cannot reject it.
     qs = entry.queries()
+    bench_entries: list[tuple[str, object]] = [
+        ("clips_pipeline", lambda: _noop_write(pipeline.run_pipeline(clips)))
+    ]
     for name in BENCH_QUERIES if BENCH_QUERIES is not None else list(qs):
-        fn = qs[name]
-        timings[name] = round(
-            timed(lambda: _noop_write(fn(spark, SF_DIR)), name), 3
+        bench_entries.append(
+            (name, lambda fn=qs[name]: _noop_write(fn(spark, SF_DIR)))
         )
+
+    raw_runs: dict[str, list[float]] = {name: [] for name, _ in bench_entries}
+    for p in range(PASSES):
+        # A B B A direction pattern: consecutive passes reverse order so
+        # an entry's runs are maximally separated in wall-clock time
+        order = bench_entries if p % 3 == 0 else list(reversed(bench_entries))
+        for name, thunk in order:
+            t0 = time.monotonic()
+            thunk()
+            raw_runs[name].append(round(time.monotonic() - t0, 3))
+
+    for name, _ in bench_entries:
+        timings[name] = min(raw_runs[name])
+    clips_sec = timings["clips_pipeline"]
 
     total = round(sum(timings.values()), 3)
     result = {

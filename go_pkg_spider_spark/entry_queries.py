@@ -2053,10 +2053,13 @@ def charset_guess_docs(spark, sf_dir):
     frequency-weighted try-decode cascade over the CharsetLangMap
     encodings, lang.go:27-38) plus the header/html alias folds
     (charset.go:196-222) and conflict rules (charset.go:70-106),
-    through the production sniff_charset_udf pandas UDF against 26
-    by-construction truth rows (fixtures/charset_fixtures.py). Every
-    row resolves deterministically — none may reach the version-
-    dependent charset_normalizer fallback (pinned by
+    through the production sniff_charset_udf pandas UDF against 34
+    by-construction truth rows (fixtures/charset_fixtures.py) — the
+    last 8 are adversarial boundary rows (measured 0.25/0.25 guess-
+    order tie, exact-0.2 gate edge, mixed-script, garbage-valid decode
+    confusions, shortest payloads; round 6). Every row resolves
+    deterministically — none may reach the version-dependent
+    charset_normalizer fallback (pinned by
     tests/test_charset_fixtures.py).
 
     sf_dir is unused: the fixture corpus IS the input."""

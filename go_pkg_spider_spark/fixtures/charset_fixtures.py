@@ -122,6 +122,71 @@ FIXTURES: list[tuple[int, bytes | None, str | None, str, str, str | None]] = [
         "guess",
         "第123回 " + JA_TEXT + " ページ1",
     ),
+    # ---- adversarial boundary rows (round 6, VERDICT r5 #7): pin the
+    # frequency gate AT its decision boundary, not just on clean-family
+    # text. Every score below was measured against _guess_score and each
+    # row still resolves deterministically (best >= 0.2, fallback
+    # unreachable — the test_charset_fixtures explode-pin covers these
+    # rows too).
+    # shortest possible multibyte payload: the euc_kr codec decodes the
+    # two GB bytes to one valid hangul syllable (score 1.0) — GBK must
+    # still win on the common-char bonus (1.25 vs 1.0)
+    (26, "的".encode("gb18030"), None, "GBK", "guess", "的"),
+    # pure RARE simplified Han (zero common-set hits): GBK evidence is
+    # only the 0.25*han floor — just above the 0.2 gate; no other CJK
+    # codec decodes these bytes
+    (27, "龘齉龍龜鑫森淼焱垚".encode("gb18030"), None, "GBK", "guess", "龘齉龍龜鑫森淼焱垚"),
+    # EXACT gate edge: 3 common of 15 cyrillic letters = score 0.2,
+    # admitted by the >= comparison (the euc_kr garbage decode that
+    # usually out-scores uncommon-heavy Russian fails on these bytes)
+    (
+        28,
+        ("ъёющэфцчшжхб" + "оеа").encode("koi8_r"),
+        None,
+        "KOI8-R",
+        "guess",
+        "ъёющэфцчшжхбоеа",
+    ),
+    # mixed-script payload (simplified zh + kana, both representable in
+    # gb18030): kana must not tip the answer to SHIFT_JIS (its decode is
+    # byte-valid but scores 0.0095 vs GBK 0.80)
+    (
+        29,
+        ("这是测试的内容" + "のデータ").encode("gb18030"),
+        None,
+        "GBK",
+        "guess",
+        "这是测试的内容のデータ",
+    ),
+    # ascii-heavy Japanese: _shares scores over NON-ascii chars only, so
+    # markup/digit dilution must not starve the kana signal (share 1.0)
+    (
+        30,
+        "price=123, item: の, qty=45 です ok".encode("shift_jis"),
+        None,
+        "SHIFT_JIS",
+        "guess",
+        "price=123, item: の, qty=45 です ok",
+    ),
+    # measured 0.25 vs 0.25 TIE: rare TRADITIONAL Han whose big5 bytes
+    # also decode validly under gb18030 (garbage Han, same 0.25*han
+    # floor) — the strict `>` keeps the FIRST candidate in _GUESS_ORDER,
+    # where Big5 precedes GBK: the tie-break IS the correct answer here
+    # and this row pins that ordering
+    (31, "龜鑿鸞籲鬱靄釁".encode("big5"), None, "Big5", "guess", "龜鑿鸞籲鬱靄釁"),
+    # the documented GB->EUC-JP confusion (charset_bytes.py header
+    # comment): these GB bytes decode VALIDLY as euc_jp pure-Han garbage
+    # — frequency weighting holds it to 0.09 vs GBK 1.25
+    (
+        32,
+        "的一是了我不人在他有这上们来到时大".encode("gb18030"),
+        None,
+        "GBK",
+        "guess",
+        "的一是了我不人在他有这上们来到时大",
+    ),
+    # two-syllable Korean: shortest hangul payload over the gate
+    (33, "안녕".encode("euc_kr"), None, "EUC-KR", "guess", "안녕"),
 ]
 
 

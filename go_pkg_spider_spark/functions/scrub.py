@@ -99,3 +99,13 @@ def oracle_scrub_sql(expr: str) -> str:
         p = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
     return out
+
+
+def bank_fingerprint() -> str:
+    """Stable fingerprint of the frozen bank (names, patterns,
+    replacements, order). Folded into composed-job params_sigs so a
+    bank edit invalidates every committed bucket/stage on resume."""
+    import hashlib
+
+    payload = "\x1f".join("\x1e".join(t) for t in SCRUB_BANK)
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]

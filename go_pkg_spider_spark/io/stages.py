@@ -23,10 +23,114 @@ r4):
 
 from __future__ import annotations
 
+import contextlib
 import json
+import os
+import socket
 import time
+import uuid
 
 from pyspark.sql import functions as F
+
+
+class LeaseHeldError(RuntimeError):
+    """Another live invocation holds this output root's run lease."""
+
+
+LEASE_FILE = "_run_lock"
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # exists, owned by someone else
+        return True
+
+
+@contextlib.contextmanager
+def run_lease(root: str, run_id: str, ttl_sec: int = 6 * 3600):
+    """Single-writer guard for a manifested output root (VERDICT r5 #2):
+    StageRunner._invalidate collects-then-overwrites the manifest, so two
+    concurrent invocations on one root can interleave invalidate/commit
+    and drop each other's rows. The lease makes the second invocation
+    fail fast with LeaseHeldError instead.
+
+    Mechanics: create `<root>/_run_lock` with O_EXCL (atomic on POSIX
+    filesystems). Takeover is allowed only when the holder is provably
+    gone — its pid is dead on this host, or the lease is older than
+    ttl_sec (a crashed holder on ANOTHER host can't be pinged; the TTL
+    bounds how long its orphaned lock blocks the root). Release deletes
+    the file only if it still carries our token.
+
+    Scope: local/NFS-style roots. On object stores the O_EXCL contract
+    doesn't exist — production should use the table format's own
+    commit-conflict detection (Iceberg optimistic locking) instead; if
+    the root isn't file-creatable the lease degrades to a no-op rather
+    than blocking the job.
+    """
+    token = f"{run_id}:{uuid.uuid4().hex}"
+    path = os.path.join(root, LEASE_FILE)
+    try:
+        os.makedirs(root, exist_ok=True)
+    except OSError:
+        yield  # non-filesystem root: lease unsupported, documented no-op
+        return
+    for _ in range(2):  # at most one stale takeover attempt
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                with open(path, encoding="utf-8") as f:
+                    info = json.load(f)
+            except (OSError, ValueError):
+                info = {}
+            expired = info.get("acquired_at", 0) + ttl_sec < time.time()
+            dead_local = (
+                info.get("host") == socket.gethostname()
+                and isinstance(info.get("pid"), int)
+                and not _pid_alive(info["pid"])
+            )
+            if expired or dead_local:
+                with contextlib.suppress(OSError):
+                    os.unlink(path)
+                continue
+            raise LeaseHeldError(
+                f"output root {root!r} is held by run_id="
+                f"{info.get('run_id', '?')} (pid {info.get('pid', '?')} on "
+                f"{info.get('host', '?')}); wait for it, or delete "
+                f"{path} if you know it is dead"
+            ) from None
+    else:
+        raise LeaseHeldError(f"could not acquire {path} after stale takeover")
+    try:
+        os.write(
+            fd,
+            json.dumps(
+                {
+                    "token": token,
+                    "run_id": run_id,
+                    "pid": os.getpid(),
+                    "host": socket.gethostname(),
+                    "acquired_at": time.time(),
+                }
+            ).encode("utf-8"),
+        )
+    finally:
+        os.close(fd)
+    try:
+        yield
+    finally:
+        # release only our own lease (a TTL takeover may have replaced it)
+        try:
+            with open(path, encoding="utf-8") as f:
+                if json.load(f).get("token") == token:
+                    os.unlink(path)
+        except (OSError, ValueError):
+            pass
 
 
 def manifest_schema():
@@ -83,7 +187,11 @@ class StageRunner:
 
     def _done_stages(self) -> set[str]:
         """Stages whose LATEST manifest row is done with the current
-        params_sig (max (committed_at, seq) per stage)."""
+        params_sig (max (committed_at, seq) per stage). A tie for
+        latest — only possible for pre-seq legacy rows committed in the
+        same second, or two same-second writers — is ambiguous about
+        which row describes the table on disk, so the stage is
+        conservatively treated as NOT done (rerun)."""
         if not self.cat.exists(self.manifest_table):
             return set()
         rows = (
@@ -92,14 +200,19 @@ class StageRunner:
             .collect()
         )
         latest: dict = {}
+        tied: set[str] = set()
         for r in rows:
             key = (r.committed_at_unix, r.seq if r.seq is not None else -1)
             if r.stage not in latest or key > latest[r.stage][0]:
                 latest[r.stage] = (key, r)
+                tied.discard(r.stage)
+            elif key == latest[r.stage][0] and r is not latest[r.stage][1]:
+                tied.add(r.stage)
         return {
             s
             for s, (_, r) in latest.items()
-            if r.status == "done"
+            if s not in tied
+            and r.status == "done"
             and (r.metrics or {}).get("params_sig") == self.params_sig
         }
 

@@ -52,7 +52,10 @@ _CRC16_TABLE = _crc_table(0x8005, 16)
 def crc8(data: bytes) -> int:
     r = 0
     for b in data:
-        r = _CRC8_TABLE[r ^ b]
+        # & 0xFF like crc16: callers may hand a memoryview whose
+        # elements are signed (pyarrow buffer format 'b'); a negative b
+        # must not rely on Python's negative-index wraparound
+        r = _CRC8_TABLE[(r ^ b) & 0xFF]
     return r
 
 

@@ -94,7 +94,10 @@ def _binary_views(arr):
         return [None] * n
     width = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
     offs = np.frombuffer(bufs[1], dtype=width, count=arr.offset + n + 1)
-    mv = memoryview(bufs[2])
+    # cast('B'): pyarrow buffers expose format 'b' (SIGNED bytes); the
+    # decoders index lookup tables with these values and must see the
+    # same unsigned 0..255 ints a bytes object yields (ADVICE r5)
+    mv = memoryview(bufs[2]).cast("B")
     if arr.null_count:
         nulls = arr.is_null().to_numpy(zero_copy_only=False)
     else:

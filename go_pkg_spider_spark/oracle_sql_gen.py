@@ -237,10 +237,21 @@ def ann_ivf_batch_topk_sql(
     semantics."""
     sqd = f"list_sum(list_transform(range(1, {dim} + 1), i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i])))"
     qd = f"list_sum(list_transform(range(1, {dim} + 1), i -> (s.c[i] - q.qv[i]) * (s.c[i] - q.qv[i])))"
-    cos = f"round(list_cosine_similarity(a1.v, p.qv), {round_digits})"
+    # mirror the Spark operator's degenerate-input semantics (ADVICE
+    # r5): a zero-norm side makes the cosine 0.0 (Spark coalesces the
+    # 0/0), never NULL — an unguarded list_cosine_similarity would
+    # yield NULL and NULLS-LAST ordering would rank it arbitrarily
+    cos = (
+        f"round(CASE WHEN list_sum(list_transform(a1.v, x -> x * x)) = 0 "
+        f"OR list_sum(list_transform(p.qv, x -> x * x)) = 0 THEN 0.0 "
+        f"ELSE list_cosine_similarity(a1.v, p.qv) END, {round_digits})"
+    )
     return f"""
     WITH e AS (
-      SELECT {id_col} AS id, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v FROM {table}
+      -- NULL vectors are dropped before training/indexing, exactly as
+      -- the Spark job filters them (run_ann_index, ivf_topk_batch)
+      SELECT {id_col} AS id, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table} WHERE {vec_col} IS NOT NULL
     ), seeds AS (
       SELECT row_number() OVER (ORDER BY id) - 1 AS j, v AS c
       FROM e ORDER BY id LIMIT {n_cells}

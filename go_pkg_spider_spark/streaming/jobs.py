@@ -352,6 +352,8 @@ def stream_ann_topk(
     round_digits: int = 6,
     cell_col: str | None = "cell",
     available_now: bool = False,
+    event_time_col: str | None = None,
+    dedup_watermark: str = "10 minutes",
 ) -> StreamingQuery:
     """Online ANN serving: micro-batches of query vectors against the
     STATIC cell-partitioned index committed by jobs/run_ann_index.py.
@@ -361,12 +363,22 @@ def stream_ann_topk(
     trigger scans only the probed cells (partition pruning against the
     committed layout), and per-query top-k rows are independent of
     batching, making stream output == batch output row-for-row.
-    Cross-batch dropDuplicates on the query id = serve-once per qid
-    (state-store backed); the batch_id=N partition sink overwrites on
+    Serve-once per qid (state-store backed): with `event_time_col` set,
+    dropDuplicatesWithinWatermark bounds the dedup state to the
+    `dedup_watermark` horizon — REQUIRED for a continuous deployment,
+    where plain dropDuplicates state grows with every distinct qid ever
+    seen (ADVICE r5). Without it the state is unbounded: acceptable
+    only for bounded/availableNow batches (the replay-a-committed-batch
+    shape the tests pin). The batch_id=N partition sink overwrites on
     at-least-once replay (idempotent, same as stream_quality_filter)."""
     from ..operators import similarity
 
-    deduped = queries_stream.dropDuplicates([qid_col])
+    if event_time_col is not None:
+        deduped = queries_stream.withWatermark(
+            event_time_col, dedup_watermark
+        ).dropDuplicatesWithinWatermark([qid_col])
+    else:
+        deduped = queries_stream.dropDuplicates([qid_col])
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = similarity.ivf_topk_batch(

@@ -29,10 +29,12 @@ Scale/resume design:
   serves the batch with similarity.ivf_topk_batch(cell_col="cell") —
   probes broadcast onto the index, per-query top-k window; results
   land in the `topk` table, one row per (query id, rank).
-- The params_sig covers every knob INCLUDING the queries path: a new
-  query batch against the same root reruns only `topk` (centroids and
-  index stay resumable because sig_core excludes query knobs — see
-  below), while changing n_cells/iters rebuilds everything.
+- The params_sig covers every knob INCLUDING a CONTENT fingerprint of
+  the queries path (file count + bytes + max mtime — overwriting the
+  batch in place invalidates topk): a new query batch against the same
+  root reruns only `topk` (centroids and index stay resumable because
+  sig_core excludes query knobs — see below), while changing
+  n_cells/iters rebuilds everything.
 
 Two fingerprints, deliberately: index stages are gated on the CORE sig
 (training + layout knobs) and the topk stage on core + query knobs —
@@ -68,7 +70,48 @@ def _centroids_from_table(df) -> list[list[float]]:
     ]
 
 
+def queries_fingerprint(path: str) -> str:
+    """Content fingerprint for a query-batch path (ADVICE r5): the path
+    alone is not enough — overwriting the file in place and rerunning
+    with identical knobs must NOT resume the stale committed topk table.
+    Cheap proxy: parquet file count + total bytes + max mtime (never a
+    data scan). Falls back to the bare path for non-local URIs, where
+    the caller should use a fresh --run-id/path per batch."""
+    import os
+
+    try:
+        names = [n for n in os.listdir(path) if n.endswith(".parquet")]
+        stats = [os.stat(os.path.join(path, n)) for n in names]
+        return (
+            f"{path}#n={len(stats)}"
+            f"#bytes={sum(s.st_size for s in stats)}"
+            f"#mtime={max((s.st_mtime_ns for s in stats), default=0)}"
+        )
+    except OSError:
+        return path
+
+
 def run_ann_index(
+    spark,
+    emb,
+    output_root: str,
+    run_id: str = "adhoc",
+    **kwargs,
+) -> dict:
+    """Run (or resume) the ANN index chain under the output root's
+    single-writer lease (see io/stages.run_lease — a concurrent
+    invocation on the same root fails fast with LeaseHeldError).
+    `queries` is an optional DataFrame of (query_id_col, vec_col);
+    `queries_sig` identifies its CONTENT (use queries_fingerprint(path),
+    not the bare path) for the topk resume gate. Returns the
+    StageRunner summary."""
+    from go_pkg_spider_spark.io.stages import run_lease
+
+    with run_lease(output_root, run_id):
+        return _run_ann_index_locked(spark, emb, output_root, run_id, **kwargs)
+
+
+def _run_ann_index_locked(
     spark,
     emb,
     output_root: str,
@@ -84,10 +127,6 @@ def run_ann_index(
     n_probe: int = 4,
     round_digits: int = 6,
 ) -> dict:
-    """Run (or resume) the ANN index chain. `queries` is an optional
-    DataFrame of (query_id_col, vec_col); `queries_sig` identifies its
-    source (e.g. the input path) for the topk resume gate. Returns the
-    StageRunner summary."""
     from pyspark.sql import functions as F
 
     from go_pkg_spider_spark.io.catalog import Catalog
@@ -261,7 +300,7 @@ def main() -> None:
         n_cells=args.n_cells,
         iters=args.iters,
         queries=queries,
-        queries_sig=args.queries,
+        queries_sig=queries_fingerprint(args.queries) if args.queries else None,
         query_id_col=args.query_id_col,
         topk=args.topk,
         n_probe=args.n_probe,

@@ -57,8 +57,42 @@ def run_dedup(
     bands: int = 8,
     max_bucket_size: int = 1024,
 ) -> dict:
-    """Run (or resume) the dedup chain. Returns a summary dict with
-    per-stage rows/metrics and stages_run/stages_skipped counts."""
+    """Run (or resume) the dedup chain under the root's single-writer
+    lease (StageRunner's invalidate/commit sequence is not safe against
+    a concurrent invocation on the same root — the second one fails
+    fast with LeaseHeldError). Returns a summary dict with per-stage
+    rows/metrics and stages_run/stages_skipped counts."""
+    from go_pkg_spider_spark.io.stages import run_lease
+
+    with run_lease(output_root, run_id):
+        return _run_dedup_locked(
+            spark,
+            docs,
+            output_root,
+            run_id,
+            id_col,
+            text_col,
+            threshold,
+            sample_rate,
+            num_hashes,
+            bands,
+            max_bucket_size,
+        )
+
+
+def _run_dedup_locked(
+    spark,
+    docs,
+    output_root: str,
+    run_id: str,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    sample_rate: float,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int,
+) -> dict:
     from pyspark.sql import Observation, functions as F
 
     from go_pkg_spider_spark.functions.tokens import content_hash_md5, md5_u64_le

@@ -43,6 +43,7 @@ def main() -> None:
 
     from go_pkg_spider_spark.session import get_spark
     from go_pkg_spider_spark import pipeline
+    from go_pkg_spider_spark.functions.scrub import bank_fingerprint
     from go_pkg_spider_spark.io.catalog import Catalog
     from go_pkg_spider_spark.io.manifest import ManifestedRun
 
@@ -62,7 +63,16 @@ def main() -> None:
         summary = {"mode": "single-pass"}
     else:
         cat = Catalog(spark, args.output_root)
-        run = ManifestedRun(spark, cat, args.num_buckets, args.run_id)
+        # every knob that changes a bucket's output: resume serves a
+        # committed bucket only when its recorded fingerprint matches
+        params = {
+            "min_chars": args.min_chars,
+            "repartition": args.repartition,
+            "scrub_bank": bank_fingerprint(),
+        }
+        run = ManifestedRun(
+            spark, cat, args.num_buckets, args.run_id, params=params
+        )
         summary = run.run(clips, transform, args.output_table)
         summary["mode"] = "manifested"
 

@@ -1,0 +1,124 @@
+"""Single-writer lease for manifested output roots (VERDICT r5 #2):
+StageRunner's _invalidate collect-then-overwrite is only safe with one
+writer per root; run_lease makes a second concurrent invocation fail
+fast instead of interleaving invalidate/commit."""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import time
+
+import pytest
+
+from go_pkg_spider_spark.io.stages import LEASE_FILE, LeaseHeldError, run_lease
+
+
+def test_lease_blocks_second_invocation(tmp_path):
+    root = str(tmp_path / "root")
+    with run_lease(root, "first"):
+        with pytest.raises(LeaseHeldError, match="run_id=first"):
+            with run_lease(root, "second"):
+                pass  # pragma: no cover
+        # holder keeps working — its lock file is untouched
+        assert os.path.exists(os.path.join(root, LEASE_FILE))
+
+
+def test_lease_released_on_exit(tmp_path):
+    root = str(tmp_path / "root")
+    with run_lease(root, "a"):
+        pass
+    assert not os.path.exists(os.path.join(root, LEASE_FILE))
+    with run_lease(root, "b"):  # re-acquirable
+        pass
+
+
+def test_lease_released_on_exception(tmp_path):
+    root = str(tmp_path / "root")
+    with pytest.raises(ValueError):
+        with run_lease(root, "a"):
+            raise ValueError("job failed")
+    with run_lease(root, "b"):
+        pass
+
+
+def _write_lock(root, **overrides):
+    os.makedirs(root, exist_ok=True)
+    info = {
+        "token": "x",
+        "run_id": "crashed",
+        "pid": os.getpid(),
+        "host": socket.gethostname(),
+        "acquired_at": time.time(),
+    }
+    info.update(overrides)
+    with open(os.path.join(root, LEASE_FILE), "w", encoding="utf-8") as f:
+        json.dump(info, f)
+
+
+def test_dead_local_pid_is_taken_over(tmp_path):
+    root = str(tmp_path / "root")
+    # a real pid that is provably dead: spawn-and-reap a child
+    child = subprocess.Popen(["true"])
+    child.wait()
+    _write_lock(root, pid=child.pid)
+    with run_lease(root, "new"):
+        # takeover succeeded; the lock now carries the new run_id
+        with open(os.path.join(root, LEASE_FILE), encoding="utf-8") as f:
+            assert json.load(f)["run_id"] == "new"
+
+
+def test_live_remote_holder_blocks_until_ttl(tmp_path):
+    root = str(tmp_path / "root")
+    # unknown host: pid-liveness can't be checked -> only TTL frees it
+    _write_lock(root, host="other-host", acquired_at=time.time())
+    with pytest.raises(LeaseHeldError):
+        with run_lease(root, "new"):
+            pass  # pragma: no cover
+    # past the TTL the orphaned lock is reclaimed
+    _write_lock(root, host="other-host", acquired_at=time.time() - 10)
+    with run_lease(root, "new", ttl_sec=5):
+        pass
+
+
+def test_corrupt_lock_file_blocks_until_ttl(tmp_path):
+    """An unreadable lock (crash mid-write) has no pid/timestamp —
+    treated as acquired_at=0, i.e. always past TTL -> reclaimed."""
+    root = str(tmp_path / "root")
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, LEASE_FILE), "w", encoding="utf-8") as f:
+        f.write("{not json")
+    with run_lease(root, "new"):
+        pass
+
+
+def test_run_dedup_fails_fast_when_root_held(spark, tmp_path):
+    from jobs.run_dedup import run_dedup
+
+    docs = spark.createDataFrame([("d1", "hello world")], "doc_id string, text string")
+    root = str(tmp_path / "dedup")
+    with run_lease(root, "other-job"):
+        with pytest.raises(LeaseHeldError):
+            run_dedup(spark, docs, root, run_id="me")
+    # nothing was committed under the contested root
+    assert not os.path.exists(os.path.join(root, "dedup_manifest"))
+
+
+def test_queries_fingerprint_tracks_content(tmp_path):
+    """ADVICE r5: overwriting the query batch in place must change the
+    topk resume fingerprint."""
+    from jobs.run_ann_index import queries_fingerprint
+
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    f = qdir / "part-0.parquet"
+    f.write_bytes(b"aaaa")
+    sig1 = queries_fingerprint(str(qdir))
+    time.sleep(0.01)
+    f.write_bytes(b"bbbbbb")  # same path, new content
+    sig2 = queries_fingerprint(str(qdir))
+    assert sig1 != sig2
+    # non-local / missing path degrades to the bare path
+    assert queries_fingerprint("s3://bucket/q") == "s3://bucket/q"

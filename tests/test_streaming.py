@@ -385,3 +385,63 @@ def test_stream_ann_topk_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_stream_ann_topk_watermarked_dedup(spark, tmp_path):
+    """Continuous-mode state bound (ADVICE r5): with an event-time
+    column, serve-once dedup runs through dropDuplicatesWithinWatermark
+    (bounded state) and still serves a duplicate qid exactly once when
+    it re-arrives within the watermark horizon."""
+    import glob
+    import shutil
+
+    from jobs.run_ann_index import _centroids_from_table, run_ann_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "ann")
+    run_ann_index(spark, emb, root, n_cells=8, iters=1)
+    index_df = spark.read.parquet(f"{root}/index")
+    cents = _centroids_from_table(spark.read.parquet(f"{root}/centroids"))
+
+    queries = emb.select(
+        F.col("vec_id").alias("qid"),
+        "embedding",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+    flat = str(tmp_path / "qin")
+    os.makedirs(flat)
+    queries.filter(F.col("qid").isin(1, 2)).coalesce(1).write.parquet(
+        str(tmp_path / "w1")
+    )
+    queries.filter(F.col("qid").isin(2, 3)).coalesce(1).write.parquet(
+        str(tmp_path / "w2")
+    )
+    for w in ("w1", "w2"):
+        for i, f in enumerate(glob.glob(str(tmp_path / w / "*.parquet"))):
+            shutil.copy(f, f"{flat}/{w}_{i}.parquet")
+
+    qstream = (
+        spark.readStream.schema("qid long, embedding array<float>, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out_dir = str(tmp_path / "out")
+    q = jobs.stream_ann_topk(
+        qstream,
+        index_df,
+        cents,
+        out_dir,
+        str(tmp_path / "ckpt"),
+        k=5,
+        n_probe=3,
+        round_digits=4,
+        available_now=True,
+        event_time_col="ts",
+        dedup_watermark="1 hour",
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out_dir)
+    # 3 distinct qids, duplicate qid 2 served exactly once
+    assert got.select("qid").distinct().count() == 3
+    assert got.count() == 3 * 5
+    assert got.filter(F.col("qid") == 2).count() == 5

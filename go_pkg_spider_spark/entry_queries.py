@@ -503,9 +503,9 @@ def ann_lsh_topk_embeddings(spark, sf_dir):
 
 @query("ann_ivf_topk_embeddings", oracle_sql_gen.ann_ivf_topk_sql(_query_vec(_EMB_DIM)))
 def ann_ivf_topk_embeddings(spark, sf_dir):
-    """IVF ANN with the SQL-reproducible distributed trainer (first-k
-    seeds + one Lloyd step, rounded means), n_probe cell pruning, exact
-    cosine on survivors."""
+    """IVF ANN with the SQL-reproducible distributed trainer (md5-order
+    seed spread + one Lloyd step, rounded means), n_probe cell pruning,
+    exact cosine on survivors."""
     e = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )

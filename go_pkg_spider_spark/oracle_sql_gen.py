@@ -174,8 +174,8 @@ def ann_ivf_topk_sql(
     n_probe: int = 4,
     round_digits: int = 4,
 ) -> str:
-    """IVF with the SQL-reproducible trainer: seeds = embeddings of the
-    n_cells smallest ids, one Lloyd step (assign -> per-cell rounded
+    """IVF with the SQL-reproducible trainer: seeds = the n_cells vectors
+    first in md5(id) order, one Lloyd step (assign -> per-cell rounded
     elementwise mean), probe the n_probe cells nearest the query, exact
     cosine top-k over rows assigned (against the trained centroids) to a
     probed cell. Mirrors similarity.train_ivf_centroids_distributed(
@@ -188,8 +188,10 @@ def ann_ivf_topk_sql(
     WITH e AS (
       SELECT {id_col} AS id, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v FROM {table}
     ), seeds AS (
-      SELECT row_number() OVER (ORDER BY id) - 1 AS j, v AS c
-      FROM e ORDER BY id LIMIT {n_cells}
+      -- md5(id) order = the trainer's deterministic seed spread
+      -- (first-k ids collapse on cluster-sorted corpora)
+      SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS j, v AS c
+      FROM e ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_cells}
     ), a0 AS (
       SELECT id, v, cell FROM (
         SELECT e.id, e.v, s.j AS cell,
@@ -231,7 +233,7 @@ def ann_ivf_batch_topk_sql(
 ) -> str:
     """Batch variant of ann_ivf_topk_sql (similarity.ivf_topk_batch):
     the queries are the table's n_queries smallest ids, probed against
-    the SAME SQL-reproducible trained index (first-k seeds + one Lloyd
+    the SAME SQL-reproducible trained index (md5-order seeds + one Lloyd
     step, rounded means). Probe ties to the lowest cell, result ties to
     the lowest candidate id after rounding — the Spark operator's exact
     semantics."""
@@ -253,8 +255,10 @@ def ann_ivf_batch_topk_sql(
       SELECT {id_col} AS id, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
       FROM {table} WHERE {vec_col} IS NOT NULL
     ), seeds AS (
-      SELECT row_number() OVER (ORDER BY id) - 1 AS j, v AS c
-      FROM e ORDER BY id LIMIT {n_cells}
+      -- md5(id) order = the trainer's deterministic seed spread
+      -- (first-k ids collapse on cluster-sorted corpora)
+      SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS j, v AS c
+      FROM e ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {n_cells}
     ), a0 AS (
       SELECT id, v, cell FROM (
         SELECT e.id, e.v, s.j AS cell,

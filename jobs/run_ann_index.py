@@ -287,7 +287,22 @@ def main() -> None:
 
     from go_pkg_spider_spark.session import get_spark
 
-    spark = get_spark(app_name=f"ann-index-{args.run_id}")
+    # Small scan splits: the serve join fans every index row out to
+    # ~n_queries x n_probe / n_cells scored pairs (each an O(dim) HOF
+    # dot product), so per-byte scan cost is orders above a plain
+    # column scan — at the default 128m splits a compact index
+    # bin-packs into a handful of tasks and the scoring stage runs at
+    # ~2 cores regardless of local[N] (measured on the 500k x 64-dim
+    # index = 256MB: serve 356s before, see BENCH/BASELINE.md sf1 ANN
+    # section for the after). At 100TB the index has abundant splits
+    # and this conf is a no-op for parallelism.
+    spark = get_spark(
+        app_name=f"ann-index-{args.run_id}",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "16m",
+            "spark.sql.files.openCostInBytes": "1m",
+        },
+    )
     emb = spark.read.parquet(args.input)
     queries = spark.read.parquet(args.queries) if args.queries else None
     summary = run_ann_index(

@@ -20,9 +20,21 @@ Phases (each skippable; default = all):
          worker memory.
   dedup  jobs/run_dedup.py full chain over the 50k-doc table (fresh
          output root), wall + manifest metrics.
+  ann    jobs/run_ann_index.py over a 500k-vector table (the sf0.1
+         embeddings expanded 250x with deterministic per-copy
+         perturbation — 2,000 micro-clusters of 250, real cluster
+         structure for IVF): full train -> index -> serve chain, then
+         a same-args resume (expect 0 stages), then a serve-only rerun
+         at a different n_probe (isolates serve wall against the
+         committed index). Records per-stage walls from the manifest,
+         cell balance, and peak RSS (VERDICT r5 "What's missing" #2).
+
+  scaling  north-rule 2->8 interleaved pair on the 500k-clip corpus
+         (fresh JVM per run, min per level) — long walls de-weight
+         spinup vs the sf0.1 primary.
 
 Usage:
-  SPARK_GRAFT_CPUS=32 python tools/sf1_headline.py [gen clips dedup]
+  SPARK_GRAFT_CPUS=32 python tools/sf1_headline.py [gen clips dedup ann scaling]
 """
 
 from __future__ import annotations
@@ -252,12 +264,184 @@ def phase_dedup() -> dict:
     return out
 
 
+EMB_SRC = "/root/testdata/sf0.1/embeddings.parquet"
+EMB_PATH = "/tmp/emb_sf1.parquet"
+QUERIES_PATH = "/tmp/ann_queries_sf1.parquet"
+ANN_ROOT = "/tmp/ann_sf1"
+ANN_COPIES = 250  # 2,000 sf0.1 vectors x 250 = 500k
+ANN_CELLS = 64
+
+
+def _gen_ann_tables() -> None:
+    """500k vectors: each sf0.1 embedding expanded to ANN_COPIES
+    deterministic perturbed copies (copy 0 verbatim). Perturbation is
+    integer-arithmetic pseudo-noise per (new id, position), amplitude
+    0.03 against a value range of ~[-0.34, 0.34] — copies form a tight
+    micro-cluster around the original, so the corpus has genuine
+    cluster structure (unlike the near-random base table, IVF's worst
+    case measured in BENCH/BASELINE.md). Queries = the 2,000 verbatim
+    copy-0 members."""
+    from pyspark.sql import functions as F
+
+    spark = _spark("sf1-ann-gen")
+    emb = spark.read.parquet(EMB_SRC)
+    expanded = (
+        emb.withColumn(
+            "c", F.explode(F.sequence(F.lit(0), F.lit(ANN_COPIES - 1)))
+        )
+        .withColumn("new_id", F.col("vec_id") * ANN_COPIES + F.col("c"))
+        .select(
+            F.col("new_id").alias("vec_id"),
+            F.when(F.col("c") == 0, F.transform("embedding", lambda x: x.cast("double")))
+            .otherwise(
+                F.transform(
+                    "embedding",
+                    lambda x, i: x.cast("double")
+                    + (
+                        F.pmod(
+                            F.col("new_id") * F.lit(40503) + i * F.lit(2654435761),
+                            F.lit(2001),
+                        )
+                        - F.lit(1000)
+                    )
+                    / F.lit(1000.0)
+                    * F.lit(0.03),
+                )
+            )
+            .alias("embedding"),
+            "label",
+        )
+    )
+    expanded.repartition(CPUS).write.mode("overwrite").parquet(EMB_PATH)
+    emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).coalesce(1).write.mode("overwrite").parquet(QUERIES_PATH)
+    print(f"gen ann: {expanded.count()} vectors -> {EMB_PATH}")
+    spark.stop()
+
+
+def _ann_job(extra_args: list[str]) -> tuple[float, dict]:
+    t0 = time.monotonic()
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(
+                os.path.dirname(__file__), "..", "jobs", "run_ann_index.py"
+            ),
+            "--input", EMB_PATH,
+            "--output-root", ANN_ROOT,
+            "--run-id", "sf1",
+            "--n-cells", str(ANN_CELLS),
+            "--queries", QUERIES_PATH,
+            "--topk", "10",
+            *extra_args,
+        ],
+        capture_output=True,
+        text=True,
+        env={
+            **os.environ,
+            "SPARK_GRAFT_CPUS": str(CPUS),
+            "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        },
+    )
+    wall = round(time.monotonic() - t0, 2)
+    if proc.returncode != 0:
+        print(proc.stdout[-4000:])
+        print(proc.stderr[-4000:])
+        raise SystemExit(f"run_ann_index failed rc={proc.returncode}")
+    return wall, json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def phase_ann() -> dict:
+    import duckdb
+
+    if not (os.path.exists(EMB_PATH) and os.path.exists(QUERIES_PATH)):
+        _gen_ann_tables()
+    if os.path.exists(ANN_ROOT):
+        shutil.rmtree(ANN_ROOT)
+    sampler = RssSampler()
+    sampler.start()
+    full_wall, full = _ann_job(["--n-probe", "8"])
+    resume_wall, resume = _ann_job(["--n-probe", "8"])
+    serve_wall, serve = _ann_job(["--n-probe", "4"])
+    mem = sampler.stop()
+    con = duckdb.connect()
+    stage_walls = dict(
+        con.execute(
+            f"select stage, max(wall_sec) from '{ANN_ROOT}/ann_manifest/*.parquet' group by 1"
+        ).fetchall()
+        + con.execute(
+            f"select stage, max(wall_sec) from '{ANN_ROOT}/ann_manifest_topk/*.parquet' group by 1"
+        ).fetchall()
+    )
+    out = {
+        "phase": "ann",
+        "cpus": CPUS,
+        "n_vectors": 2000 * ANN_COPIES,
+        "n_cells": ANN_CELLS,
+        "n_queries": 2000,
+        "full_chain": {"wall_sec": full_wall, **full},
+        "resume": {"wall_sec": resume_wall, **resume},
+        "serve_only_nprobe4": {"wall_sec": serve_wall, **serve},
+        "stage_walls_sec": stage_walls,
+        **mem,
+    }
+    print(json.dumps(out))
+    return out
+
+
+def phase_scaling(rounds: int = 2) -> dict:
+    """North-rule 2->8 pair at sf1 (VERDICT r5 #6): the interleaved
+    scaling protocol of tools/scaling_bench.py re-run on the 500k-clip
+    corpus, where per-run walls (~2-10 min) are long enough that JVM /
+    python-worker spinup and scan stragglers stop dominating — closing
+    the loop between the sf0.1 interleaved primary (0.955) and the sf1
+    sequential 8->32 cross-check (0.90 normalized). Fresh JVM per run,
+    levels interleaved 2,8,2,8,..., min per level."""
+    from tools import scaling_bench
+
+    if not os.path.exists(CLIPS_PATH):
+        raise SystemExit(f"run the gen phase first ({CLIPS_PATH} missing)")
+    hw28 = scaling_bench.hw_ceiling(2, 8)
+    print(f"hw ceiling 2->8: {hw28:.2f}", flush=True)
+    times: dict[int, list[float]] = {2: [], 8: []}
+    for r in range(rounds):
+        for cpus in (2, 8):
+            ts = scaling_bench.run_level(cpus, CLIPS_PATH, reps=1)
+            times[cpus].extend(ts)
+            print(
+                f"round {r + 1} local[{cpus}]: {[round(t, 1) for t in ts]}",
+                flush=True,
+            )
+    b2, b8 = min(times[2]), min(times[8])
+    out = {
+        "phase": "scaling2v8_sf1",
+        "n_clips": SF1_CLIPS,
+        "hw_ceiling_2_8": round(hw28, 3),
+        "all_2": [round(t, 1) for t in times[2]],
+        "all_8": [round(t, 1) for t in times[8]],
+        "best_2_sec": round(b2, 1),
+        "best_8_sec": round(b8, 1),
+        "throughput_2": round(SF1_CLIPS / b2, 1),
+        "throughput_8": round(SF1_CLIPS / b8, 1),
+        "efficiency": round((b2 / b8) / 4, 3),
+    }
+    print(json.dumps(out))
+    return out
+
+
 def main() -> None:
     phases = sys.argv[1:] or ["gen", "clips", "dedup"]
     # unconditional: the RssSampler matches exactly this value
     os.environ["SPARK_GRAFT_JVM_OWNER"] = "sf1_headline"
     for ph in phases:
-        {"gen": phase_gen, "clips": phase_clips, "dedup": phase_dedup}[ph]()
+        {
+            "gen": phase_gen,
+            "clips": phase_clips,
+            "dedup": phase_dedup,
+            "ann": phase_ann,
+            "scaling": phase_scaling,
+        }[ph]()
 
 
 if __name__ == "__main__":

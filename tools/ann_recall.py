@@ -28,10 +28,13 @@ N_CELLS = 8
 PROBES = (1, 2, 4, 8)
 
 
-def recall_sweep(spark, emb, k=K, n_cells=N_CELLS, probes=PROBES, iters=1):
+def recall_sweep(
+    spark, emb, k=K, n_cells=N_CELLS, probes=PROBES, iters=1, queries_df=None
+):
     """Returns (rows, centroids): rows = [{n_probe, recall, probed_frac,
     wall_sec}], truth taken from the full-probe entry (must be the max
-    of `probes` and equal n_cells)."""
+    of `probes` and equal n_cells). queries_df: optional (qid,
+    embedding) frame; default = every index vector self-queried."""
     import time
 
     from pyspark.sql import functions as F
@@ -44,7 +47,11 @@ def recall_sweep(spark, emb, k=K, n_cells=N_CELLS, probes=PROBES, iters=1):
     cents = similarity.train_ivf_centroids_distributed(
         emb, "embedding", "vec_id", k=n_cells, iters=iters
     )
-    queries = emb.select(F.col("vec_id").alias("qid"), "embedding")
+    queries = (
+        queries_df
+        if queries_df is not None
+        else emb.select(F.col("vec_id").alias("qid"), "embedding")
+    )
     # index-side cell sizes -> probed-row fraction per n_probe is data
     # dependent per query; report the average via candidate counts
     n_index = emb.count()
@@ -72,12 +79,14 @@ def recall_sweep(spark, emb, k=K, n_cells=N_CELLS, probes=PROBES, iters=1):
     cents_np = np.asarray(cents)
     qvecs = {r.qid: np.asarray(r.embedding) for r in queries.collect()}
     sizes = np.zeros(len(cents), dtype=np.int64)
-    cells = emb.select(
-        F.col("vec_id"),
-        similarity.ivf_assign(F.col("embedding"), cents).alias("c"),
-    ).collect()
-    for r in cells:
-        sizes[r.c] += 1
+    # bounded collect: k (cell, count) rows, not the n assignments
+    for r in (
+        emb.select(similarity.ivf_assign(F.col("embedding"), cents).alias("c"))
+        .groupBy("c")
+        .count()
+        .collect()
+    ):
+        sizes[r.c] += r["count"]
     order = {
         qid: np.lexsort(
             (np.arange(len(cents)), ((cents_np - v) ** 2).sum(axis=1))
@@ -108,15 +117,44 @@ def recall_sweep(spark, emb, k=K, n_cells=N_CELLS, probes=PROBES, iters=1):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from pyspark.sql import functions as F
+
     from go_pkg_spider_spark.session import get_spark
 
-    spark = get_spark(app_name="ann_recall", master="local[32]")
+    spark = get_spark(
+        app_name="ann_recall",
+        master="local[32]",
+        # the fan-out-join scan-split lesson (run_ann_index.py): a
+        # compact index bin-packs into ~2 tasks at default splits
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "16m",
+            "spark.sql.files.openCostInBytes": "1m",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    rows, _ = recall_sweep(spark, emb)
+    if len(sys.argv) > 1 and sys.argv[1] == "--clustered":
+        # the 500k clustered corpus built by tools/sf1_headline.py's
+        # `ann` phase (2,000 micro-clusters of 250): the realistic-best
+        # case complementing the near-random base table's floor. 500
+        # queries keep the full-probe truth run bounded (~250M pairs).
+        sf_dir = "/tmp/emb_sf1.parquet (clustered, sf1_headline ann gen)"
+        emb = spark.read.parquet("/tmp/emb_sf1.parquet")
+        queries = (
+            spark.read.parquet("/tmp/ann_queries_sf1.parquet")
+            .orderBy("vec_id")
+            .limit(500)
+            .select(F.col("vec_id").alias("qid"), "embedding")
+        )
+        n_cells, probes = 64, (1, 2, 4, 8, 16, 64)
+    else:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        queries, n_cells, probes = None, N_CELLS, PROBES
+    rows, _ = recall_sweep(
+        spark, emb, n_cells=n_cells, probes=probes, queries_df=queries
+    )
     n = emb.count()
-    print(f"\n| n_probe (of {N_CELLS} cells) | recall@{K} | index rows probed | wall (s) |")
+    print(f"\n| n_probe (of {n_cells} cells) | recall@{K} | index rows probed | wall (s) |")
     print("|---|---|---|---|")
     for r in rows:
         print(

@@ -431,6 +431,44 @@ def ivf_topk(
     return brute_force_topk(pruned, vec_col, id_col, query, k, round_digits)
 
 
+def _probe_cells(
+    queries_df: DataFrame,
+    vec_col: str,
+    qid_col: str,
+    centroids: list[list[float]],
+    n_probe: int,
+) -> DataFrame:
+    """(qid, _qv, _qn, cell) — one row per (query, probed cell), the
+    query side shared by BOTH serving scorers so probe selection is
+    bit-identical between them. Ties break to the LOWEST cell id
+    (struct array_sort on (dist, cell)); NULL query vectors are dropped
+    (their centroid distances are NULL — probe order would be
+    engine-defined)."""
+    from ..functions.expr_utils import let_col
+
+    n_probe = min(n_probe, len(centroids))
+    queries_df = queries_df.filter(F.col(vec_col).isNotNull())
+    dist_structs = F.array(
+        *[
+            F.struct(_sq_dist(F.col(vec_col), c).alias("d"), F.lit(j).alias("cell"))
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return queries_df.select(
+        F.col(qid_col),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+        let_col(dist_structs, lambda d: F.slice(F.array_sort(d), 1, n_probe)).alias(
+            "_pr"
+        ),
+    ).select(
+        qid_col,
+        "_qv",
+        "_qn",
+        F.explode(F.transform(F.col("_pr"), lambda t: t["cell"])).alias("cell"),
+    )
+
+
 def ivf_topk_batch(
     index_df: DataFrame,
     queries_df: DataFrame,
@@ -473,32 +511,7 @@ def ivf_topk_batch(
     recomputes the assignment inline with ivf_assign."""
     from pyspark.sql import Window
 
-    from ..functions.expr_utils import let_col
-
-    n_probe = min(n_probe, len(centroids))
-    # a NULL query vector has NULL distances to every centroid — its
-    # probe-cell sort order would be engine-defined. Drop such queries
-    # (no result rows), mirroring the index side's NULL handling.
-    queries_df = queries_df.filter(F.col(vec_col).isNotNull())
-    dist_structs = F.array(
-        *[
-            F.struct(_sq_dist(F.col(vec_col), c).alias("d"), F.lit(j).alias("cell"))
-            for j, c in enumerate(centroids)
-        ]
-    )
-    probes = queries_df.select(
-        F.col(qid_col),
-        F.col(vec_col).alias("_qv"),
-        norm(F.col(vec_col)).alias("_qn"),
-        let_col(dist_structs, lambda d: F.slice(F.array_sort(d), 1, n_probe)).alias(
-            "_pr"
-        ),
-    ).select(
-        qid_col,
-        "_qv",
-        "_qn",
-        F.explode(F.transform(F.col("_pr"), lambda t: t["cell"])).alias("cell"),
-    )
+    probes = _probe_cells(queries_df, vec_col, qid_col, centroids, n_probe)
     cell = (
         F.col(cell_col).cast("int")
         if cell_col is not None
@@ -517,6 +530,120 @@ def ivf_topk_batch(
         F.col(qid_col),
         F.col(id_col),
         F.round(cos, round_digits).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(qid_col, "rk", id_col, "cosine_sim")
+    )
+
+
+def ivf_topk_batch_gemm(
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    qid_col: str,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    round_digits: int = 6,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """ivf_topk_batch's GEMM scorer: same probe selection (bit-identical
+    — the shared _probe_cells plan collected to the driver; the query
+    batch is broadcast-small BY CONTRACT, it is broadcast whole in the
+    join path too), but candidate scoring runs as one numpy matmul per
+    (partition, cell) inside mapInPandas with a LOCAL top-k — so the
+    per-query window shuffles ~partitions x queries x k rows instead of
+    every scored pair (500k-index / 2k-query / n_probe=8 measurement:
+    ~125M scored pairs -> ~600k local winners, BENCH/BASELINE.md).
+
+    Parity contract vs the join path (asserted on real corpora in
+    tests/test_ivf): identical (qid, rk, id, cosine_sim) rows. The only
+    theoretical divergence is double accumulation order (GEMM pairwise
+    vs HOF sequential) surfacing through the round_digits rounding; the
+    local top-k therefore keeps a FULL SLACK BAND — every candidate
+    within one rounding quantum (10^-round_digits) of the local kth
+    best — so no row that could round into the global top-k is dropped
+    before the exact Spark-side round + window. Exact score ties (e.g.
+    a zero-norm flood scoring 0.0) are resolved by id inside the band,
+    identically to the window's tie-break. Index rows with NULL vectors
+    or NULL cells are skipped (the join path drops them at the join).
+
+    The index side still never shuffles: mapInPandas consumes scan
+    partitions in place (at scale, the cell-partitioned table), and the
+    same small-split lesson applies (run_ann_index.py session conf)."""
+    from pyspark.sql import Window
+
+    probes = _probe_cells(queries_df, vec_col, qid_col, centroids, n_probe)
+    # (cell -> queries probing it) to every scan task. qn recomputed in
+    # numpy from the SAME collected vector the join path would use;
+    # norms only gate the zero-denominator case (exact 0 either way).
+    probe_rows = probes.collect()
+    per_cell: dict[int, list] = {}
+    for r in probe_rows:
+        per_cell.setdefault(int(r.cell), []).append(
+            (r[qid_col], np.asarray(r._qv, dtype=np.float64))
+        )
+    sc = index_df.sparkSession.sparkContext
+    bc = sc.broadcast(per_cell)
+    quantum = 10.0 ** (-round_digits)
+    band_cap = max(8 * k, 128)
+
+    cell = (
+        F.col(cell_col).cast("int")
+        if cell_col is not None
+        else ivf_assign(F.col(vec_col), centroids)
+    )
+    idx = index_df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        cell.alias("_cell"),
+    )
+
+    def score_partition(batches):
+        groups: dict[int, list] = {}
+        for pdf in batches:
+            ok = pdf["_cell"].notna() & pdf["_v"].notna()
+            pdf = pdf[ok]
+            for c, grp in pdf.groupby(pdf["_cell"].astype(np.int64)):
+                if int(c) in bc.value:
+                    groups.setdefault(int(c), []).append(grp)
+        out = []
+        for c, parts in groups.items():
+            grp = pd.concat(parts, ignore_index=True)
+            ids = grp["_id"].to_numpy()
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in grp["_v"]])
+            vn = np.sqrt((V * V).sum(axis=1))
+            for qid, qv in bc.value[c]:
+                qn = float(np.sqrt((qv * qv).sum()))
+                den = vn * qn
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(den > 0, V @ qv / den, 0.0)
+                # local top-k under (-cos, id), then widen to the slack
+                # band so post-round reordering can't lose a winner
+                order = np.lexsort((ids, -cos))
+                kth = cos[order[min(k, len(order)) - 1]] if len(order) else 0.0
+                band = order[: band_cap]
+                band = band[cos[band] >= kth - quantum]
+                out.append(
+                    pd.DataFrame(
+                        {"qid": qid, "_id": ids[band], "_cos": cos[band]}
+                    )
+                )
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    qid_field = probes.schema[qid_col].dataType.simpleString()
+    id_field = idx.schema["_id"].dataType.simpleString()
+    scored = idx.mapInPandas(
+        score_partition, f"qid {qid_field}, _id {id_field}, _cos double"
+    ).select(
+        F.col("qid").alias(qid_col),
+        F.col("_id").alias(id_col),
+        F.round(F.col("_cos"), round_digits).alias("cosine_sim"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
     return (

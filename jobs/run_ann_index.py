@@ -126,6 +126,7 @@ def _run_ann_index_locked(
     topk: int = 10,
     n_probe: int = 4,
     round_digits: int = 6,
+    scorer: str = "join",
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -239,6 +240,7 @@ def _run_ann_index_locked(
                 "topk": topk,
                 "n_probe": n_probe,
                 "round_digits": round_digits,
+                "scorer": scorer,
             },
             run_id,
         )
@@ -248,7 +250,17 @@ def _run_ann_index_locked(
             q = queries.withColumn(
                 vec_col, F.transform(F.col(vec_col), lambda x: x.cast("double"))
             ).select(F.col(query_id_col).alias("qid"), F.col(vec_col))
-            result = similarity.ivf_topk_batch(
+            # "gemm": numpy matmul per (partition, cell) with local
+            # top-k — identical rows (parity-tested incl. tie floods),
+            # ~600k window rows instead of ~125M scored pairs at the
+            # 500k/2k-query measurement. "join" remains the default:
+            # it is the oracle-twinned pure-JVM plan.
+            score = (
+                similarity.ivf_topk_batch_gemm
+                if scorer == "gemm"
+                else similarity.ivf_topk_batch
+            )
+            result = score(
                 cat.read("index"),
                 q,
                 vec_col,
@@ -283,6 +295,7 @@ def main() -> None:
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--n-probe", type=int, default=4)
     p.add_argument("--round-digits", type=int, default=6)
+    p.add_argument("--scorer", choices=("join", "gemm"), default="join")
     args = p.parse_args()
 
     from go_pkg_spider_spark.session import get_spark
@@ -320,6 +333,7 @@ def main() -> None:
         topk=args.topk,
         n_probe=args.n_probe,
         round_digits=args.round_digits,
+        scorer=args.scorer,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -223,6 +223,92 @@ def test_ivf_recall_contract_at_default_probe(spark):
     assert by_probe[1]["probed_frac"] < by_probe[4]["probed_frac"]
 
 
+def _rows_set(df):
+    return {
+        (r[0], r[1], r[2], r[3])
+        for r in df.select("qid", "rk", "vec_id", "cosine_sim").collect()
+    }
+
+
+def test_ivf_topk_batch_gemm_matches_join_on_real_corpus(spark):
+    """The GEMM scorer (mapInPandas local top-k + slack band) must
+    return exactly the join scorer's rows — same qid/rk/id/cosine_sim —
+    on the real embeddings table, for several k/n_probe settings."""
+    e = _emb(spark)
+    cents = similarity.train_ivf_centroids_distributed(
+        e, "embedding", "vec_id", k=8, iters=1
+    )
+    queries = e.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    for k, p in ((5, 3), (10, 8), (1, 1)):
+        join_out = similarity.ivf_topk_batch(
+            e, queries, "embedding", "vec_id", "qid", cents, k=k, n_probe=p,
+        )
+        gemm_out = similarity.ivf_topk_batch_gemm(
+            e, queries, "embedding", "vec_id", "qid", cents, k=k, n_probe=p,
+        )
+        assert _rows_set(join_out) == _rows_set(gemm_out), (k, p)
+
+
+def test_ivf_topk_batch_gemm_degenerate_ties_and_nulls(spark):
+    """Exact-tie floods and NULL rows: zero-norm index vectors all
+    score 0.0 (resolved by id inside the GEMM local band, identically
+    to the window tie-break); NULL index vectors and NULL query
+    vectors contribute nothing — both scorers must agree row-for-row."""
+    rows = (
+        [(i, [0.0, 0.0, 0.0]) for i in range(20)]  # zero-norm flood
+        + [(100 + i, [1.0 * i, 1.0, 0.5]) for i in range(5)]
+        + [(900, None)]
+    )
+    idx = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.0, 0.0, 0.0], [3.0, 1.0, 0.5]]
+    queries = spark.createDataFrame(
+        [(1, [2.0, 1.0, 0.5]), (2, [0.1, -0.2, 0.3]), (3, None)],
+        "qid long, embedding array<double>",
+    )
+    for k, p in ((5, 1), (8, 2)):
+        join_out = similarity.ivf_topk_batch(
+            idx, queries, "embedding", "vec_id", "qid", cents, k=k, n_probe=p,
+        )
+        gemm_out = similarity.ivf_topk_batch_gemm(
+            idx, queries, "embedding", "vec_id", "qid", cents, k=k, n_probe=p,
+        )
+        assert _rows_set(join_out) == _rows_set(gemm_out), (k, p)
+
+
+def test_ivf_topk_batch_gemm_uses_precomputed_cell_and_no_index_shuffle(spark):
+    """cell_col mode (the run_ann_index serving shape): results match
+    the join scorer, and the plan has no Exchange before the
+    mapInPandas scorer (the index is consumed in place; the only
+    shuffle is the per-query window)."""
+    e = _emb(spark)
+    cents = similarity.train_ivf_centroids_distributed(
+        e, "embedding", "vec_id", k=8, iters=1
+    )
+    indexed = e.select(
+        "vec_id", "embedding",
+        similarity.ivf_assign(F.col("embedding"), cents).alias("cell"),
+    )
+    queries = e.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    join_out = similarity.ivf_topk_batch(
+        indexed, queries, "embedding", "vec_id", "qid", cents,
+        k=5, n_probe=3, cell_col="cell",
+    )
+    gemm_out = similarity.ivf_topk_batch_gemm(
+        indexed, queries, "embedding", "vec_id", "qid", cents,
+        k=5, n_probe=3, cell_col="cell",
+    )
+    assert _rows_set(join_out) == _rows_set(gemm_out)
+    plan = gemm_out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    # the tree prints top-down, so the text AFTER MapInPandas is the
+    # subtree below it (the index side): scan-only, no Exchange
+    assert "Exchange" not in plan.split("MapInPandas")[-1]
+
+
 def test_ivf_topk_batch_null_query_vector_yields_no_rows(spark):
     """A NULL query vector has NULL distances to every centroid (its
     probe order would be engine-defined) — it must contribute zero

@@ -554,6 +554,42 @@ def ann_ivf_batch_topk(spark, sf_dir):
 
 
 @query(
+    "ann_ivf_batch_topk_gemm",
+    oracle_sql_gen.ann_ivf_batch_topk_sql(_EMB_DIM, n_queries=3),
+)
+def ann_ivf_batch_topk_gemm(spark, sf_dir):
+    """The GEMM serving scorer (similarity.ivf_topk_batch_gemm) under
+    the same oracle as the join scorer — the two are bit-identical by
+    the slack-band contract (one numpy matmul per (partition, cell)
+    with a local top-k that keeps every candidate within a rounding
+    quantum of the kth best, so accumulation-order differences cannot
+    change the rounded global top-k). Same trained index, same query
+    batch as ann_ivf_batch_topk."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    cents = similarity.train_ivf_centroids_distributed(
+        e, "embedding", "vec_id", k=8, iters=1
+    )
+    queries = (
+        e.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    return similarity.ivf_topk_batch_gemm(
+        e,
+        queries,
+        "embedding",
+        "vec_id",
+        "qid",
+        cents,
+        k=10,
+        n_probe=4,
+        round_digits=4,
+    )
+
+
+@query(
     "centroid_per_label",
     """
     SELECT label, pos, round(AVG(x), 6) AS mean_x FROM (

@@ -354,11 +354,13 @@ def stream_ann_topk(
     available_now: bool = False,
     event_time_col: str | None = None,
     dedup_watermark: str = "10 minutes",
+    scorer: str = "join",
 ) -> StreamingQuery:
     """Online ANN serving: micro-batches of query vectors against the
     STATIC cell-partitioned index committed by jobs/run_ann_index.py.
     Each trigger runs the unchanged batch serving operator
-    (similarity.ivf_topk_batch) inside foreachBatch — the stream-static
+    (similarity.ivf_topk_batch, or its bit-identical GEMM scorer
+    with scorer="gemm") inside foreachBatch — the stream-static
     join shape: the micro-batch's probes broadcast onto the index, so a
     trigger scans only the probed cells (partition pruning against the
     committed layout), and per-query top-k rows are independent of
@@ -380,8 +382,14 @@ def stream_ann_topk(
     else:
         deduped = queries_stream.dropDuplicates([qid_col])
 
+    score = (
+        similarity.ivf_topk_batch_gemm
+        if scorer == "gemm"
+        else similarity.ivf_topk_batch
+    )
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = similarity.ivf_topk_batch(
+        out = score(
             index_df,
             batch_df,
             vec_col,

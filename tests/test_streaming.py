@@ -313,11 +313,17 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert got == [1, 2, 3, 4]
 
 
-def test_stream_ann_topk_matches_batch(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("scorer", ["join", "gemm"])
+def test_stream_ann_topk_matches_batch(spark, tmp_path, scorer):
     """Online ANN serving == batch serving row-for-row: query vectors
     arriving in two waves (with a duplicate qid across waves) against
     the committed cell-partitioned index produce exactly the rows the
-    batch operator returns for the distinct query set."""
+    batch JOIN operator returns for the distinct query set — for both
+    streaming scorers (the gemm parametrization cross-checks the GEMM
+    path against the join truth through the streaming stack)."""
     from go_pkg_spider_spark.operators import similarity
     from jobs.run_ann_index import _centroids_from_table, run_ann_index
 
@@ -360,6 +366,7 @@ def test_stream_ann_topk_matches_batch(spark, tmp_path):
         n_probe=3,
         round_digits=4,
         available_now=True,
+        scorer=scorer,
     )
     q.awaitTermination(300)
 

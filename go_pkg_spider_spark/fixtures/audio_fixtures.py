@@ -105,6 +105,12 @@ def _flac(pcm: np.ndarray, sr: int) -> bytes:
     return encode_flac_s16(_i16(pcm), sr)
 
 
+def _flac_sub(pcm: np.ndarray, sr: int, subframe: str) -> bytes:
+    from ..operators.flac import encode_flac_s16
+
+    return encode_flac_s16(_i16(pcm), sr, subframe=subframe)
+
+
 # ------------------------------------------------------------- the corpus
 
 
@@ -235,6 +241,19 @@ def build_rows() -> list[tuple[int, bytes | None, str | None, int | None]]:
     # 44: flac bytes labelled wav (bad_riff_header)
     add(_flac(_sine(400, 8000, 110.0), 8000), "wav", 8000)
 
+    # -- F: FLAC subframe-type variants (round 6) -- fids 45..48.
+    #    Each encodes the SAME closed-form signal as an existing
+    #    verbatim-FLAC row through a different subframe family
+    #    (CONSTANT / FIXED order-2 / LPC order-2 with Rice residuals),
+    #    so its expected features are BY CONSTRUCTION identical to
+    #    that row's frozen values — the decoder's predictor paths are
+    #    value-gated without any new hand arithmetic
+    #    (test_audio_fixtures pins the cross-fid equality).
+    add(_flac_sub(_sine(2000, 8000, 220.0), 8000, "fixed"), "flac", 8000)  # == 25
+    add(_flac_sub(_sine(2000, 8000, 220.0), 8000, "lpc"), "flac", 8000)  # == 25
+    add(_flac_sub(_const(2000, 0.25), 16000, "constant"), "flac", 16000)  # == 29
+    add(_flac_sub(_hashnoise(2205), 22050, "lpc"), "flac", 22050)  # == 27
+
     return rows
 
 
@@ -361,4 +380,8 @@ EXPECTED: list[tuple] = [
     (42, False, 'flac_truncated', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
     (43, False, 'bad_flac_header', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
     (44, False, 'bad_riff_header', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (45, True, None, 2000, 8000, 0.4242500966620093, 0.599993884563446, 0.0, 0.0, 0.054527263631815905, 23, 532.046, 220.0, 0.0, 4000),
+    (46, True, None, 2000, 8000, 0.4242500966620093, 0.599993884563446, 0.0, 0.0, 0.054527263631815905, 23, 532.046, 220.0, 0.0, 4000),
+    (47, True, None, 2000, 16000, 0.24997711181640625, 0.24997711181640625, 0.0, 0.24997711181640625, 0.0, 11, 0.0, 0.0, 0.0, 2000),
+    (48, True, None, 2205, 22050, 0.45772826422361373, 0.8998077511787415, 0.0, -0.2971544220878863, 0.3017241379310345, 8, 3303.811, 6410.0, 0.0, 1600),
 ]

@@ -175,9 +175,22 @@ def _decode_utf8_number(r: BitReader) -> int:
 # ---------------------------------------------------------------------------
 
 
-def encode_flac_s16(pcm: np.ndarray, sr: int, block_size: int = _BLOCK) -> bytes:
-    """Encode mono int16 PCM as a fixed-blocksize FLAC stream of VERBATIM
-    subframes."""
+def encode_flac_s16(
+    pcm: np.ndarray, sr: int, block_size: int = _BLOCK, subframe: str = "verbatim"
+) -> bytes:
+    """Encode mono int16 PCM as a fixed-blocksize FLAC stream.
+
+    subframe selects the per-block subframe type (all decode to the
+    SAME samples — the decoder's four subframe families share one
+    truth, which the fixture corpus exploits by encoding one signal
+    through several types and freezing identical features):
+    - "verbatim" (default): byte-aligned 16-bit BE block copy.
+    - "constant": requires every sample in each block equal.
+    - "fixed": order-2 fixed predictor (2*x[i-1] - x[i-2]) with
+      Rice-coded residuals (partition order 0).
+    - "lpc": order-2 LPC, coefs [5, -3], shift 1, precision 4 —
+      residuals exact by construction (integer predictor both sides),
+      Rice-coded like "fixed"."""
     pcm = np.asarray(pcm, dtype="<i2")
     out = bytearray(b"fLaC")
     # STREAMINFO, last-metadata-block
@@ -200,11 +213,74 @@ def encode_flac_s16(pcm: np.ndarray, sr: int, block_size: int = _BLOCK) -> bytes
     n_frames = (len(pcm) + block_size - 1) // block_size
     for fi in range(n_frames):
         chunk = pcm[fi * block_size : (fi + 1) * block_size]
-        out += _encode_frame(chunk, fi, block_size)
+        out += _encode_frame(chunk, fi, block_size, subframe)
     return bytes(out)
 
 
-def _encode_frame(chunk: np.ndarray, frame_idx: int, block_size: int) -> bytes:
+def _write_rice_residual(w: BitWriter, resid: list[int], order: int) -> None:
+    """Residual coding method 0 (4-bit Rice params), partition order 0:
+    one partition of len(resid) zigzagged values. The Rice parameter is
+    chosen from the mean magnitude (any in-range choice is spec-valid;
+    the decoder recovers exactly either way)."""
+    w.write(0, 2)  # method 0 (4-bit params)
+    w.write(0, 4)  # partition order 0
+    zz = [(v << 1) if v >= 0 else ((-v << 1) - 1) for v in resid]
+    mean = (sum(zz) // len(zz)) if zz else 0
+    param = min(max(mean.bit_length() - 1, 0), 14)  # 15 = escape
+    w.write(param, 4)
+    for v in zz:
+        q = v >> param
+        for _ in range(q):
+            w.write(0, 1)
+        w.write(1, 1)
+        if param:
+            w.write(v & ((1 << param) - 1), param)
+
+
+def _write_signed(w: BitWriter, v: int, nbits: int) -> None:
+    w.write(v & ((1 << nbits) - 1), nbits)
+
+
+def _encode_subframe(w: BitWriter, chunk: np.ndarray, subframe: str) -> None:
+    samples = [int(x) for x in chunk]
+    n = len(samples)
+    if subframe == "constant":
+        if any(s != samples[0] for s in samples):
+            raise ValueError("constant subframe needs an all-equal block")
+        w.write(0, 8)  # pad0 | type 000000 | wasted 0
+        _write_signed(w, samples[0], 16)
+        return
+    if subframe not in ("fixed", "lpc"):
+        raise ValueError(f"unknown subframe type {subframe!r}")
+    if n <= 2:  # tail block shorter than the predictor order: VERBATIM
+        w.write(0b00000010, 8)
+        for s in samples:
+            _write_signed(w, s, 16)
+        return
+    if subframe == "fixed":
+        order, coefs, shift = 2, [2, -1], 0
+        w.write((8 + order) << 1, 8)  # FIXED, order 2
+    else:
+        order, coefs, shift, prec = 2, [5, -3], 1, 4
+        w.write((32 + order - 1) << 1, 8)  # LPC, order = (stype&31)+1
+    for s in samples[:order]:
+        _write_signed(w, s, 16)
+    if subframe == "lpc":
+        w.write(prec - 1, 4)
+        _write_signed(w, shift, 5)
+        for c in coefs:
+            _write_signed(w, c, prec)
+    resid = [
+        samples[i]
+        - (sum(c * samples[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+        for i in range(order, n)
+    ]
+    _write_rice_residual(w, resid, order)
+
+
+def _encode_frame(
+    chunk: np.ndarray, frame_idx: int, block_size: int, subframe: str = "verbatim"
+) -> bytes:
     n = len(chunk)
     h = BitWriter()
     h.write(0b11111111111110, 14)  # sync
@@ -226,8 +302,14 @@ def _encode_frame(chunk: np.ndarray, frame_idx: int, block_size: int) -> bytes:
     header.append(crc8(bytes(header)))
 
     body = bytearray(header)
-    body.append(0b00000010)  # subframe header: VERBATIM, no wasted bits
-    body += chunk.astype(">i2").tobytes()  # byte-aligned 16-bit BE
+    if subframe == "verbatim":
+        body.append(0b00000010)  # subframe header: VERBATIM, no wasted bits
+        body += chunk.astype(">i2").tobytes()  # byte-aligned 16-bit BE
+    else:
+        w = BitWriter()
+        _encode_subframe(w, chunk, subframe)
+        w.align()
+        body += w.bytes()
     body += struct.pack(">H", crc16(bytes(body)))
     return bytes(body)
 

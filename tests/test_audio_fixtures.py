@@ -15,7 +15,7 @@ from go_pkg_spider_spark.fixtures import audio_fixtures as ax
 
 def test_expected_matches_live_derivation():
     derived = ax.derive_expected()
-    assert len(derived) == len(ax.EXPECTED) == 45
+    assert len(derived) == len(ax.EXPECTED) == 49
     for got, frozen in zip(derived, ax.EXPECTED):
         assert got == frozen, f"fid {frozen[0]} drifted: {got} != {frozen}"
 
@@ -54,10 +54,31 @@ def test_error_rows_are_typed():
     # is decoder-internal; ok=false + nonempty err is the contract)
     for fid in (41, 42, 43):
         assert by_fid[fid]["ok"] is False and by_fid[fid]["err"]
-    # every non-error row decoded (45 total, 16 error rows: fid 23
+    # every non-error row decoded (49 total, 16 error rows: fid 23
     # empty_pcm + fids 30-44)
     n_ok = sum(1 for r in ax.EXPECTED if r[1])
-    assert n_ok == 29
+    assert n_ok == 33
+
+
+def test_flac_subframe_variants_match_their_verbatim_twin():
+    """fids 45-48 encode the SAME closed-form signal as an existing
+    verbatim-FLAC row through CONSTANT / FIXED / LPC subframes — their
+    frozen features must equal the twin row's EXACTLY (the
+    by-construction truth that gates the decoder's predictor paths
+    without new hand arithmetic)."""
+    by_fid = {r[0]: r for r in ax.EXPECTED}
+    for variant, twin in ((45, 25), (46, 25), (47, 29), (48, 27)):
+        assert by_fid[variant][1:] == by_fid[twin][1:], (variant, twin)
+    # and the variant blobs genuinely differ from the twins' bytes
+    # (otherwise this gate would be vacuous)
+    blobs = {f: b for f, b, _c, _s in ax.build_rows()}
+    for variant, twin in ((45, 25), (46, 25), (47, 29), (48, 27)):
+        assert blobs[variant] != blobs[twin]
+    # predictors compress the SMOOTH signals (sine, const); the noise
+    # variant (48) is incompressible by a 2-tap predictor by design —
+    # it exists to exercise large Rice residuals, not compression
+    for variant, twin in ((45, 25), (46, 25), (47, 29)):
+        assert len(blobs[variant]) < len(blobs[twin])
 
 
 def test_blobs_are_deterministic():

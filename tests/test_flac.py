@@ -234,3 +234,43 @@ def test_restore_fixed_cumsum_equals_recurrence():
                 naive(warm, resid, order, n),
                 flac._restore_fixed(warm, resid, order, n),
             )
+
+
+def test_encoder_subframe_types_decode_identically():
+    """The round-6 encoder variants (CONSTANT / FIXED order-2 / LPC
+    order-2, Rice residuals) must decode to exactly the verbatim
+    encoding's samples, across block boundaries and on a tail block
+    shorter than the predictor order (verbatim fallback)."""
+    sr = 8000
+    cases = {
+        "sine": (0.6 * np.sin(2 * np.pi * 220 * np.arange(5000) / sr) * 32767),
+        "tail_shorter_than_order": np.linspace(-30000, 30000, 4097),
+        "tiny": np.array([5.0, -3.0, 100.0]),
+        "fullscale_alt": np.array([32767.0, -32767.0] * 300),
+    }
+    for name, x in cases.items():
+        pcm = x.astype("<i2")
+        ref, ref_sr = flac.decode_flac(flac.encode_flac_s16(pcm, sr))
+        for sub in ("fixed", "lpc"):
+            dec, dsr = flac.decode_flac(
+                flac.encode_flac_s16(pcm, sr, subframe=sub)
+            )
+            assert dsr == ref_sr and np.array_equal(dec, ref), (name, sub)
+    const = np.full(4196, 1234, dtype="<i2")
+    dec, _ = flac.decode_flac(
+        flac.encode_flac_s16(const, sr, subframe="constant")
+    )
+    ref, _ = flac.decode_flac(flac.encode_flac_s16(const, sr))
+    assert np.array_equal(dec, ref)
+
+
+def test_encoder_rice_residuals_actually_compress():
+    """Sanity that the fixture variants exercise real prediction: for a
+    smooth signal the FIXED/LPC streams must be materially smaller than
+    verbatim (Rice-coded small residuals)."""
+    pcm = (0.6 * np.sin(2 * np.pi * 220 * np.arange(5000) / 8000) * 32767).astype(
+        "<i2"
+    )
+    v = len(flac.encode_flac_s16(pcm, 8000))
+    assert len(flac.encode_flac_s16(pcm, 8000, subframe="fixed")) < 0.8 * v
+    assert len(flac.encode_flac_s16(pcm, 8000, subframe="lpc")) < 0.9 * v

@@ -274,3 +274,34 @@ def test_encoder_rice_residuals_actually_compress():
     v = len(flac.encode_flac_s16(pcm, 8000))
     assert len(flac.encode_flac_s16(pcm, 8000, subframe="fixed")) < 0.8 * v
     assert len(flac.encode_flac_s16(pcm, 8000, subframe="lpc")) < 0.9 * v
+
+
+def test_restore_lpc_specializations_match_naive():
+    """_restore_lpc has order-1/order-2 fast branches and a generic
+    loop; all must match the naive reference recurrence exactly
+    (including negative shifts' floor semantics via >>)."""
+    import random
+
+    random.seed(11)
+
+    def naive(warm, resid, coefs, shift, n):
+        out = list(warm)
+        for r_ in resid:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs)) >> shift
+            out.append(r_ + pred)
+        return np.array(out[:n], dtype=np.int64)
+
+    for order in (1, 2, 3, 5):
+        for _ in range(10):
+            n = random.randint(order + 1, 80)
+            warm = [random.randint(-32768, 32767) for _ in range(order)]
+            resid = [random.randint(-4000, 4000) for _ in range(n - order)]
+            # keep the filter gain bounded (sum|c|/2^shift <= 1.25) so
+            # 80 steps stay well inside int64 — real FLAC predictors
+            # are stable by construction
+            coefs = [random.randint(-4, 4) for _ in range(order)]
+            shift = random.randint(4, 12)
+            assert np.array_equal(
+                naive(warm, resid, coefs, shift, n),
+                flac._restore_lpc(warm, resid, coefs, shift, n),
+            ), (order, shift)

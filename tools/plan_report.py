@@ -137,6 +137,16 @@ REPORT = [
         "window. Norms computed once per side pre-join.",
         "ann_ivf_batch_topk",
     ),
+    (
+        "ann_ivf_batch_topk_gemm",
+        "GEMM serving scorer: the index side is consumed in place by ONE "
+        "MapInPandas (no Exchange below it — one numpy matmul per "
+        "(partition, cell) + local top-k/slack band), so the per-query "
+        "window Exchange moves ~partitions x queries x k rows instead of "
+        "every scored pair (~200x fewer at 500k/2k; 7.3x faster serve, "
+        "bit-identical to the join scorer).",
+        "ann_ivf_batch_topk_gemm",
+    ),
 ]
 
 

@@ -364,6 +364,7 @@ def phase_ann() -> dict:
     full_wall, full = _ann_job(["--n-probe", "8"])
     resume_wall, resume = _ann_job(["--n-probe", "8"])
     serve_wall, serve = _ann_job(["--n-probe", "4"])
+    gemm_wall, gemm = _ann_job(["--n-probe", "8", "--scorer", "gemm"])
     mem = sampler.stop()
     con = duckdb.connect()
     stage_walls = dict(
@@ -383,6 +384,7 @@ def phase_ann() -> dict:
         "full_chain": {"wall_sec": full_wall, **full},
         "resume": {"wall_sec": resume_wall, **resume},
         "serve_only_nprobe4": {"wall_sec": serve_wall, **serve},
+        "serve_only_nprobe8_gemm": {"wall_sec": gemm_wall, **gemm},
         "stage_walls_sec": stage_walls,
         **mem,
     }

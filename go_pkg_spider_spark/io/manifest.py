@@ -185,7 +185,17 @@ class ManifestedRun:
     def run(self, clips: DataFrame, transform, output_table: str) -> dict:
         """transform: DataFrame -> DataFrame with (keep, drop_reason).
         Returns summary counts. Restart-safe: completed buckets are
-        skipped via the manifest."""
+        skipped via the manifest. Single-writer: the whole run holds
+        the output root's lease (io/stages.run_lease — the StageRunner
+        guarantee extended to the bucket-grained job; without it two
+        concurrent invocations would both pick up the same pending
+        buckets and race their bucket=N overwrites)."""
+        from .stages import run_lease
+
+        with run_lease(self.catalog.root, self.run_id):
+            return self._run_locked(clips, transform, output_table)
+
+    def _run_locked(self, clips: DataFrame, transform, output_table: str) -> dict:
         pending = self.pending_buckets()
         summary = {"buckets_run": 0, "buckets_skipped": self.num_buckets - len(pending)}
         for b in pending:

@@ -122,3 +122,23 @@ def test_queries_fingerprint_tracks_content(tmp_path):
     assert sig1 != sig2
     # non-local / missing path degrades to the bare path
     assert queries_fingerprint("s3://bucket/q") == "s3://bucket/q"
+
+
+def test_manifested_run_fails_fast_when_root_held(spark, tmp_path):
+    """The bucket-grained job (run_quality_filter's ManifestedRun) holds
+    the same root lease as the stage-grained jobs: a second concurrent
+    invocation must fail fast instead of double-running pending buckets
+    and racing the bucket=N overwrites."""
+    from go_pkg_spider_spark import datagen, pipeline
+    from go_pkg_spider_spark.io.catalog import Catalog
+    from go_pkg_spider_spark.io.manifest import ManifestedRun
+
+    clips = datagen.generate_clips_df(spark, 8)
+    root = str(tmp_path / "qf")
+    run = ManifestedRun(spark, Catalog(spark, root), 2, "me", params={})
+    with run_lease(root, "other-job"):
+        with pytest.raises(LeaseHeldError, match="run_id=other-job"):
+            run.run(clips, pipeline.run_pipeline, "decisions")
+    # and the lease-holder gone, the same run object proceeds normally
+    summary = run.run(clips, pipeline.run_pipeline, "decisions")
+    assert summary["buckets_run"] == 2

@@ -111,6 +111,24 @@ def _flac_sub(pcm: np.ndarray, sr: int, subframe: str) -> bytes:
     return encode_flac_s16(_i16(pcm), sr, subframe=subframe)
 
 
+def _flac_stereo(
+    mono: np.ndarray, diff: np.ndarray, sr: int, mode: str,
+    subframes: tuple[str, str],
+) -> bytes:
+    """Decorrelated-stereo FLAC whose mean-downmix is EXACTLY `mono`:
+    left = m + d, right = m - d in int16 space, so mean = m with no
+    rounding (l + r = 2m is always even — mid/side loses nothing and
+    the downmix mean is integral). The decoded features are therefore
+    BY CONSTRUCTION identical to the mono twin row's frozen values."""
+    from ..operators.flac import encode_flac_s16_stereo
+
+    m = _i16(mono).astype(np.int64)
+    d = _i16(diff).astype(np.int64)
+    left, right = m + d, m - d
+    assert np.abs(left).max() <= 32767 and np.abs(right).max() <= 32767
+    return encode_flac_s16_stereo(left, right, sr, mode=mode, subframes=subframes)
+
+
 # ------------------------------------------------------------- the corpus
 
 
@@ -254,6 +272,38 @@ def build_rows() -> list[tuple[int, bytes | None, str | None, int | None]]:
     add(_flac_sub(_const(2000, 0.25), 16000, "constant"), "flac", 16000)  # == 29
     add(_flac_sub(_hashnoise(2205), 22050, "lpc"), "flac", 22050)  # == 27
 
+    # -- G: FLAC stereo decorrelation (round 7) -- fids 49..51, one per
+    #    channel assignment (left-side / right-side / mid-side — the
+    #    modes real stereo encoders emit; previously typed-error rows).
+    #    Each stream's channels are m ± d, whose mean-downmix is m by
+    #    construction, so the expected features equal an existing mono
+    #    row's frozen values with no new arithmetic. Predictor-coded
+    #    subframes sit on BOTH the primary and the 17-bit side channel.
+    # 49 == 25 (sine 220Hz @8k), left/side, FIXED + LPC
+    add(
+        _flac_stereo(
+            _sine(2000, 8000, 220.0), _hashnoise(2000, amp=0.1), 8000,
+            "left_side", ("fixed", "lpc"),
+        ),
+        "flac", 8000,
+    )
+    # 50 == 27 (hashnoise @22050), right/side, LPC + FIXED
+    add(
+        _flac_stereo(
+            _hashnoise(2205), _sine(2205, 22050, 441.0, amp=0.09), 22050,
+            "right_side", ("lpc", "fixed"),
+        ),
+        "flac", 22050,
+    )
+    # 51 == 29 (const 0.25 @16k), mid/side, FIXED + LPC
+    add(
+        _flac_stereo(
+            _const(2000, 0.25), _sine(2000, 16000, 330.0, amp=0.15), 16000,
+            "mid_side", ("fixed", "lpc"),
+        ),
+        "flac", 16000,
+    )
+
     return rows
 
 
@@ -384,4 +434,7 @@ EXPECTED: list[tuple] = [
     (46, True, None, 2000, 8000, 0.4242500966620093, 0.599993884563446, 0.0, 0.0, 0.054527263631815905, 23, 532.046, 220.0, 0.0, 4000),
     (47, True, None, 2000, 16000, 0.24997711181640625, 0.24997711181640625, 0.0, 0.24997711181640625, 0.0, 11, 0.0, 0.0, 0.0, 2000),
     (48, True, None, 2205, 22050, 0.45772826422361373, 0.8998077511787415, 0.0, -0.2971544220878863, 0.3017241379310345, 8, 3303.811, 6410.0, 0.0, 1600),
+    (49, True, None, 2000, 8000, 0.4242500966620093, 0.599993884563446, 0.0, 0.0, 0.054527263631815905, 23, 532.046, 220.0, 0.0, 4000),
+    (50, True, None, 2205, 22050, 0.45772826422361373, 0.8998077511787415, 0.0, -0.2971544220878863, 0.3017241379310345, 8, 3303.811, 6410.0, 0.0, 1600),
+    (51, True, None, 2000, 16000, 0.24997711181640625, 0.24997711181640625, 0.0, 0.24997711181640625, 0.0, 11, 0.0, 0.0, 0.0, 2000),
 ]

@@ -8,12 +8,16 @@ spec (xiph.org/flac/format.html) directly:
 
 - decoder: STREAMINFO parse; frames with CONSTANT, VERBATIM, FIXED
   (orders 0-4) and LPC subframes; Rice/Rice2 residual partitions with
-  escape codes; wasted bits; frame CRC-8 header validation. Independent
-  channels only (stereo decorrelation modes return a typed error — the
-  fixture family is mono 16-bit).
-- encoder (datagen/test use): valid fixed-blocksize stream with VERBATIM
-  subframes — byte-aligned 16-bit big-endian samples, so the decoder's
-  numpy fast path applies (no per-sample Python on the hot path).
+  escape codes; wasted bits; frame CRC-8 header validation; independent
+  channels AND the stereo decorrelation assignments (left-side /
+  right-side / mid-side, the modes real-world stereo encoders emit —
+  the side channel carries bps+1 bits per the spec). Multi-channel
+  frames downmix to mono by mean, matching the WAV path.
+- encoder (datagen/test use): valid fixed-blocksize streams — mono with
+  VERBATIM (byte-aligned 16-bit BE, numpy fast path) / CONSTANT / FIXED
+  / LPC subframes, and 2-channel decorrelated streams
+  (encode_flac_s16_stereo) so the stereo reconstruction paths are
+  tested against by-construction truth.
 
 FLAC is lossless: the roundtrip test asserts bit-exact PCM equality,
 and the decoder validates sync codes + CRC-8 so a malformed stream
@@ -241,21 +245,28 @@ def _write_signed(w: BitWriter, v: int, nbits: int) -> None:
     w.write(v & ((1 << nbits) - 1), nbits)
 
 
-def _encode_subframe(w: BitWriter, chunk: np.ndarray, subframe: str) -> None:
+def _encode_subframe(
+    w: BitWriter, chunk: np.ndarray, subframe: str, bps: int = 16
+) -> None:
     samples = [int(x) for x in chunk]
     n = len(samples)
     if subframe == "constant":
         if any(s != samples[0] for s in samples):
             raise ValueError("constant subframe needs an all-equal block")
         w.write(0, 8)  # pad0 | type 000000 | wasted 0
-        _write_signed(w, samples[0], 16)
+        _write_signed(w, samples[0], bps)
+        return
+    if subframe == "verbatim":
+        w.write(0b00000010, 8)
+        for s in samples:
+            _write_signed(w, s, bps)
         return
     if subframe not in ("fixed", "lpc"):
         raise ValueError(f"unknown subframe type {subframe!r}")
     if n <= 2:  # tail block shorter than the predictor order: VERBATIM
         w.write(0b00000010, 8)
         for s in samples:
-            _write_signed(w, s, 16)
+            _write_signed(w, s, bps)
         return
     if subframe == "fixed":
         order, coefs, shift = 2, [2, -1], 0
@@ -264,7 +275,7 @@ def _encode_subframe(w: BitWriter, chunk: np.ndarray, subframe: str) -> None:
         order, coefs, shift, prec = 2, [5, -3], 1, 4
         w.write((32 + order - 1) << 1, 8)  # LPC, order = (stype&31)+1
     for s in samples[:order]:
-        _write_signed(w, s, 16)
+        _write_signed(w, s, bps)
     if subframe == "lpc":
         w.write(prec - 1, 4)
         _write_signed(w, shift, 5)
@@ -278,10 +289,9 @@ def _encode_subframe(w: BitWriter, chunk: np.ndarray, subframe: str) -> None:
     _write_rice_residual(w, resid, order)
 
 
-def _encode_frame(
-    chunk: np.ndarray, frame_idx: int, block_size: int, subframe: str = "verbatim"
-) -> bytes:
-    n = len(chunk)
+def _frame_header_bytes(
+    n: int, block_size: int, frame_idx: int, ch_assign: int
+) -> bytearray:
     h = BitWriter()
     h.write(0b11111111111110, 14)  # sync
     h.write(0, 1)  # reserved
@@ -292,7 +302,7 @@ def _encode_frame(
         bs_code, bs_tail = 0b0111, n - 1  # 16-bit blocksize-1 at end
     h.write(bs_code, 4)
     h.write(0, 4)  # sample rate: from STREAMINFO
-    h.write(0, 4)  # channel assignment: 1 channel
+    h.write(ch_assign, 4)  # channel assignment
     h.write(0b100, 3)  # sample size: 16
     h.write(0, 1)  # reserved
     header = bytearray(h.bytes())
@@ -300,8 +310,14 @@ def _encode_frame(
     if bs_tail is not None:
         header += struct.pack(">H", bs_tail)
     header.append(crc8(bytes(header)))
+    return header
 
-    body = bytearray(header)
+
+def _encode_frame(
+    chunk: np.ndarray, frame_idx: int, block_size: int, subframe: str = "verbatim"
+) -> bytes:
+    n = len(chunk)
+    body = bytearray(_frame_header_bytes(n, block_size, frame_idx, 0))
     if subframe == "verbatim":
         body.append(0b00000010)  # subframe header: VERBATIM, no wasted bits
         body += chunk.astype(">i2").tobytes()  # byte-aligned 16-bit BE
@@ -312,6 +328,79 @@ def _encode_frame(
         body += w.bytes()
     body += struct.pack(">H", crc16(bytes(body)))
     return bytes(body)
+
+
+# stereo decorrelation channel-assignment codes (frame header, spec):
+# 8 = left/side (ch0=left, ch1=side), 9 = right/side (ch0=side,
+# ch1=right), 10 = mid/side (ch0=mid, ch1=side); side = left - right
+# always carries ONE extra bit.
+_STEREO_ASSIGN = {"left_side": 8, "right_side": 9, "mid_side": 10}
+
+
+def encode_flac_s16_stereo(
+    left: np.ndarray,
+    right: np.ndarray,
+    sr: int,
+    mode: str = "mid_side",
+    block_size: int = _BLOCK,
+    subframes: tuple[str, str] = ("fixed", "lpc"),
+) -> bytes:
+    """Encode 2-channel int16 PCM as a decorrelated-stereo FLAC stream.
+
+    mode picks the channel assignment (left_side / right_side /
+    mid_side — the assignments real stereo encoders emit; the reference
+    analog is the transcode stage decoding every family it whitelists,
+    http.go:141-170). subframes picks the per-channel subframe type
+    (constant/verbatim/fixed/lpc), so fixtures can put predictor-coded
+    subframes on BOTH the primary and the 17-bit side channel.
+
+    Lossless by construction: side = left - right and mid = (l+r)>>1
+    are exactly invertible ((mid<<1)|(side&1) recovers l+r), and every
+    subframe family encodes its channel exactly.
+    """
+    left = np.asarray(left, dtype=np.int64)
+    right = np.asarray(right, dtype=np.int64)
+    if left.shape != right.shape:
+        raise ValueError("stereo channels must have equal length")
+    ch_assign = _STEREO_ASSIGN[mode]
+    side = left - right
+    if mode == "left_side":
+        chans, bits = (left, side), (16, 17)
+    elif mode == "right_side":
+        chans, bits = (side, right), (17, 16)
+    else:
+        chans, bits = ((left + right) >> 1, side), (16, 17)
+
+    out = bytearray(b"fLaC")
+    w = BitWriter()
+    w.write(1, 1)  # last metadata block
+    w.write(0, 7)  # type STREAMINFO
+    w.write(34, 24)
+    w.write(block_size, 16)
+    w.write(block_size, 16)
+    w.write(0, 24)
+    w.write(0, 24)
+    w.write(sr, 20)
+    w.write(1, 3)  # channels - 1 = 1
+    w.write(15, 5)  # bps - 1
+    w.write(len(left), 36)
+    for _ in range(16):
+        w.write(0, 8)
+    out += w.bytes()
+
+    n_frames = (len(left) + block_size - 1) // block_size
+    for fi in range(n_frames):
+        lo, hi = fi * block_size, (fi + 1) * block_size
+        n = min(hi, len(left)) - lo
+        body = bytearray(_frame_header_bytes(n, block_size, fi, ch_assign))
+        sw = BitWriter()
+        for chan, bps, sub in zip(chans, bits, subframes):
+            _encode_subframe(sw, chan[lo:hi], sub, bps=bps)
+        sw.align()
+        body += sw.bytes()
+        body += struct.pack(">H", crc16(bytes(body)))
+        out += body
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -414,9 +503,17 @@ def _decode_frame(r: BitReader, blob: bytes, si_sr: int, si_ch: int, bps: int) -
         r.read(8)
     elif sr_code in (13, 14):
         r.read(16)
-    if ch_code >= 8:
-        raise ValueError("flac_stereo_decorrelation_unsupported")
-    n_ch = ch_code + 1
+    if ch_code < 8:
+        n_ch = ch_code + 1
+        extra = (0,) * n_ch  # independent channels: all at frame bps
+    elif ch_code <= 10:
+        # stereo decorrelation: the SIDE (difference) channel carries
+        # one extra bit (spec frame-header table); ch order is
+        # left+side / side+right / mid+side for 8 / 9 / 10
+        n_ch = 2
+        extra = (1, 0) if ch_code == 9 else (0, 1)
+    else:
+        raise ValueError("flac_bad_channel_assignment")
     if ss_code == 0:
         f_bps = bps
     else:
@@ -427,9 +524,20 @@ def _decode_frame(r: BitReader, blob: bytes, si_sr: int, si_ch: int, bps: int) -
     if crc8(blob[header_start : r.bytepos - 1]) != want_crc:
         raise ValueError("flac_header_crc_mismatch")
 
-    ch_data = [_decode_subframe(r, blob, n, f_bps) for _ in range(n_ch)]
+    ch_data = [_decode_subframe(r, blob, n, f_bps + extra[i]) for i in range(n_ch)]
     r.align()
     r.read(16)  # frame CRC-16 (header CRC-8 already validated above)
+    if ch_code == 8:  # left/side: right = left - side
+        left, side = ch_data
+        ch_data = [left, left - side]
+    elif ch_code == 9:  # right/side: left = right + side
+        side, right = ch_data
+        ch_data = [right + side, right]
+    elif ch_code == 10:  # mid/side (libFLAC reconstruction: mid was
+        # (l+r)>>1, so (mid<<1)|(side&1) recovers l+r exactly)
+        mid, side = ch_data
+        both = (mid << 1) | (side & 1)
+        ch_data = [(both + side) >> 1, (both - side) >> 1]
     if n_ch == 1:
         return ch_data[0]
     return np.mean(np.stack(ch_data), axis=0).astype(np.int32)
@@ -595,11 +703,15 @@ def _decode_residual(r: BitReader, n: int, order: int) -> np.ndarray:
     for p in range(nparts):
         cnt = (n >> porder) - (order if p == 0 else 0)
         param = r.read(pbits)
-        if cnt == 0:
-            continue
         if param == escape:
-            parts.append(_raw_decode_vec(r, cnt, r.read(5)))
-        else:
+            # the 5-bit raw bps follows the escape param even when the
+            # partition is EMPTY (cnt==0 happens when block_size >>
+            # porder == predictor order) — skipping it misaligns the
+            # rest of the frame (ADVICE r6 #1)
+            raw_bps = r.read(5)
+            if cnt:
+                parts.append(_raw_decode_vec(r, cnt, raw_bps))
+        elif cnt:
             parts.append(_rice_decode_vec(r, cnt, param))
     return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
 

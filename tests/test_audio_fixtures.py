@@ -15,7 +15,7 @@ from go_pkg_spider_spark.fixtures import audio_fixtures as ax
 
 def test_expected_matches_live_derivation():
     derived = ax.derive_expected()
-    assert len(derived) == len(ax.EXPECTED) == 49
+    assert len(derived) == len(ax.EXPECTED) == 52
     for got, frozen in zip(derived, ax.EXPECTED):
         assert got == frozen, f"fid {frozen[0]} drifted: {got} != {frozen}"
 
@@ -54,10 +54,10 @@ def test_error_rows_are_typed():
     # is decoder-internal; ok=false + nonempty err is the contract)
     for fid in (41, 42, 43):
         assert by_fid[fid]["ok"] is False and by_fid[fid]["err"]
-    # every non-error row decoded (49 total, 16 error rows: fid 23
+    # every non-error row decoded (52 total, 16 error rows: fid 23
     # empty_pcm + fids 30-44)
     n_ok = sum(1 for r in ax.EXPECTED if r[1])
-    assert n_ok == 33
+    assert n_ok == 36
 
 
 def test_flac_subframe_variants_match_their_verbatim_twin():
@@ -79,6 +79,24 @@ def test_flac_subframe_variants_match_their_verbatim_twin():
     # it exists to exercise large Rice residuals, not compression
     for variant, twin in ((45, 25), (46, 25), (47, 29)):
         assert len(blobs[variant]) < len(blobs[twin])
+
+
+def test_stereo_decorrelation_rows_match_their_mono_twin():
+    """fids 49-51 (round 7): decorrelated-stereo FLAC (left-side /
+    right-side / mid-side) built as channels m ± d, whose mean-downmix
+    is m by construction — the frozen features must equal the mono
+    twin's row EXACTLY, value-gating the stereo reconstruction paths
+    through the driver oracle."""
+    by_fid = {r[0]: r for r in ax.EXPECTED}
+    for variant, twin in ((49, 25), (50, 27), (51, 29)):
+        assert by_fid[variant][1:] == by_fid[twin][1:], (variant, twin)
+    blobs = {f: b for f, b, _c, _s in ax.build_rows()}
+    for variant, twin in ((49, 25), (50, 27), (51, 29)):
+        assert blobs[variant] != blobs[twin]
+        # STREAMINFO really declares 2 channels (byte 20 packs
+        # sr_low4 | (channels-1)<<1 | bps_hi1)
+        assert (blobs[variant][20] >> 1) & 0x7 == 1
+        assert (blobs[twin][20] >> 1) & 0x7 == 0
 
 
 def test_blobs_are_deterministic():

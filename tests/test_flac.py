@@ -276,6 +276,74 @@ def test_encoder_rice_residuals_actually_compress():
     assert len(flac.encode_flac_s16(pcm, 8000, subframe="lpc")) < 0.9 * v
 
 
+def test_stereo_decorrelation_roundtrip_all_modes():
+    """Left-side / right-side / mid-side streams (the assignments
+    real-world stereo FLAC encoders emit) must decode to EXACTLY the
+    mean-downmix of the two channels — truth computed independently
+    here from the raw channels, not from the codec (round-7 headline:
+    these modes previously raised flac_stereo_decorrelation_unsupported).
+    Every mode is exercised with predictor-coded subframes on both the
+    primary and the 17-bit side channel."""
+    rng = np.random.default_rng(5)
+    n = 4096 * 2 + 777  # two full frames + short tail
+    left = rng.integers(-20000, 20000, size=n).astype(np.int64)
+    right = rng.integers(-20000, 20000, size=n).astype(np.int64)
+    expect = (
+        np.mean(np.stack([left, right]), axis=0).astype(np.int32)
+    ).astype(np.float32) / np.float32(32767.0)
+    for mode in ("left_side", "right_side", "mid_side"):
+        for subs in (("fixed", "lpc"), ("lpc", "fixed"), ("verbatim", "verbatim")):
+            blob = flac.encode_flac_s16_stereo(
+                left, right, 16000, mode=mode, subframes=subs
+            )
+            out, sr = flac.decode_flac(blob)
+            assert sr == 16000
+            assert np.array_equal(out, expect), (mode, subs)
+
+
+def test_mid_side_odd_sum_parity():
+    """mid = (l+r)>>1 loses the low bit of l+r; the decoder must
+    recover it from side's parity ((mid<<1)|(side&1)). Exercised with
+    channels whose sums are mostly ODD, including negative values
+    (arithmetic-shift floor semantics)."""
+    rng = np.random.default_rng(9)
+    left = rng.integers(-30000, 30000, size=3000).astype(np.int64)
+    right = left - 1 - 2 * rng.integers(0, 100, size=3000).astype(np.int64)
+    blob = flac.encode_flac_s16_stereo(left, right, 8000, mode="mid_side")
+    out, _ = flac.decode_flac(blob)
+    expect = (
+        np.mean(np.stack([left, right]), axis=0).astype(np.int32)
+    ).astype(np.float32) / np.float32(32767.0)
+    assert np.array_equal(out, expect)
+
+
+def test_escape_coded_empty_first_partition_consumes_raw_bps():
+    """ADVICE r6 #1 regression: partition order 4 on a 64-sample
+    order-4 FIXED subframe makes the FIRST partition empty
+    (64>>4 - 4 == 0); if it is escape-coded, its 5-bit raw-bps field
+    must still be consumed or the rest of the frame misaligns."""
+    n = 64
+    samples = np.arange(100, 100 + n)  # 4th difference of a ramp = 0
+    header = _frame_header(n)
+    w = flac.BitWriter()
+    w.write(0, 1)
+    w.write(8 + 4, 6)  # FIXED order 4
+    w.write(0, 1)
+    for s in samples[:4]:
+        w.write(int(s) & 0xFFFF, 16)
+    w.write(0, 2)  # rice method 0
+    w.write(4, 4)  # partition order 4 -> 16 partitions of 4
+    w.write(15, 4)  # partition 0 (EMPTY): escape param
+    w.write(7, 5)  # ... and its raw-bps field (must be consumed)
+    for _ in range(15):  # partitions 1..15: 4 zero residuals each
+        w.write(0, 4)  # rice param 0
+        for _ in range(4):
+            _rice_write(w, 0, 0)
+    blob = _stream_header(n) + _finish_frame(header, w)
+    out, _ = flac.decode_flac(blob)
+    np.testing.assert_array_equal(np.round(out * 32767.0).astype(int), samples)
+
+
 def test_restore_lpc_specializations_match_naive():
     """_restore_lpc has order-1/order-2 fast branches and a generic
     loop; all must match the naive reference recurrence exactly

@@ -535,8 +535,11 @@ def ann_ivf_batch_topk(spark, sf_dir):
     cents = similarity.train_ivf_centroids_distributed(
         e, "embedding", "vec_id", k=8, iters=1
     )
+    # NULL vectors excluded BEFORE the first-3-ids selection — the
+    # oracle's e CTE never sees them (ADVICE r6 #4)
     queries = (
-        e.orderBy("vec_id")
+        e.filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id")
         .limit(3)
         .select(F.col("vec_id").alias("qid"), "embedding")
     )
@@ -572,7 +575,8 @@ def ann_ivf_batch_topk_gemm(spark, sf_dir):
         e, "embedding", "vec_id", k=8, iters=1
     )
     queries = (
-        e.orderBy("vec_id")
+        e.filter(F.col("embedding").isNotNull())  # oracle e-CTE parity
+        .orderBy("vec_id")
         .limit(3)
         .select(F.col("vec_id").alias("qid"), "embedding")
     )

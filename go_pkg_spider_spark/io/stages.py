@@ -78,25 +78,70 @@ def run_lease(root: str, run_id: str, ttl_sec: int = 6 * 3600):
     except OSError:
         yield  # non-filesystem root: lease unsupported, documented no-op
         return
-    for _ in range(2):  # at most one stale takeover attempt
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
+    # The payload is fully written to a private tmp file FIRST and then
+    # published with os.link(), which atomically fails if the lock
+    # already exists — so the lock file is never observably empty or
+    # partial (ADVICE r6 #3: the old O_EXCL-then-write had a window
+    # where a contender read {} and "expired" a live lease).
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    acquired = False
+    try:
+        for _ in range(2):  # at most one stale takeover attempt
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(
+                    {
+                        "token": token,
+                        "run_id": run_id,
+                        "pid": os.getpid(),
+                        "host": socket.gethostname(),
+                        "acquired_at": time.time(),
+                    },
+                    f,
+                )
             try:
+                os.link(tmp, path)
+                acquired = True
+                break
+            except FileExistsError:
+                pass
+            try:
+                st = os.stat(path)
                 with open(path, encoding="utf-8") as f:
                     info = json.load(f)
-            except (OSError, ValueError):
+            except OSError:
+                continue  # holder released between link and stat: retry
+            except ValueError:
+                # unparseable lock: none of OUR writers can produce one
+                # (link publishes complete files), so it's foreign. A
+                # RECENT one is treated as held — expiring it on sight
+                # would let two contenders each "expire" the other's
+                # in-flight lock (ADVICE r6 #3). Only TTL age clears it.
+                if st.st_mtime + ttl_sec >= time.time():
+                    raise LeaseHeldError(
+                        f"output root {root!r} has an unparseable but "
+                        f"recent lock file {path}; wait for its TTL or "
+                        "delete it if you know the holder is dead"
+                    ) from None
                 info = {}
-            expired = info.get("acquired_at", 0) + ttl_sec < time.time()
+            expired = (
+                info.get("acquired_at", st.st_mtime) + ttl_sec < time.time()
+            )
             dead_local = (
                 info.get("host") == socket.gethostname()
                 and isinstance(info.get("pid"), int)
                 and not _pid_alive(info["pid"])
             )
             if expired or dead_local:
+                # narrow the check->unlink TOCTOU: only remove the lock
+                # if it is still the SAME file we judged stale (a
+                # competitor may have replaced it with a fresh lease)
                 with contextlib.suppress(OSError):
-                    os.unlink(path)
+                    st2 = os.stat(path)
+                    if (st2.st_ino, st2.st_mtime_ns) == (
+                        st.st_ino,
+                        st.st_mtime_ns,
+                    ):
+                        os.unlink(path)
                 continue
             raise LeaseHeldError(
                 f"output root {root!r} is held by run_id="
@@ -104,23 +149,11 @@ def run_lease(root: str, run_id: str, ttl_sec: int = 6 * 3600):
                 f"{info.get('host', '?')}); wait for it, or delete "
                 f"{path} if you know it is dead"
             ) from None
-    else:
-        raise LeaseHeldError(f"could not acquire {path} after stale takeover")
-    try:
-        os.write(
-            fd,
-            json.dumps(
-                {
-                    "token": token,
-                    "run_id": run_id,
-                    "pid": os.getpid(),
-                    "host": socket.gethostname(),
-                    "acquired_at": time.time(),
-                }
-            ).encode("utf-8"),
-        )
+        if not acquired:
+            raise LeaseHeldError(f"could not acquire {path} after stale takeover")
     finally:
-        os.close(fd)
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
     try:
         yield
     finally:

@@ -290,7 +290,13 @@ def train_ivf_centroids_distributed(
     (oracle_sql_gen.ann_ivf_topk_sql) reproduces them despite
     order-dependent double summation. Centroid list is ordered by cell
     id, so positional assignment ties break identically to the oracle's
-    ORDER BY dist, cell."""
+    ORDER BY dist, cell.
+
+    NULL vectors are dropped HERE (ADVICE r6 #4): the oracle's e CTE
+    filters them before md5-order seeding, so a NULL row landing in the
+    first k by md5 order must not displace a seed (it would also crash
+    the Lloyd step's cell sort)."""
+    df = df.filter(F.col(vec_col).isNotNull())
     seeds = [
         [float(x) for x in r.v]
         for r in df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
@@ -550,6 +556,7 @@ def ivf_topk_batch_gemm(
     n_probe: int = 4,
     round_digits: int = 6,
     cell_col: str | None = None,
+    max_probe_rows_per_chunk: int = 100_000,
 ) -> DataFrame:
     """ivf_topk_batch's GEMM scorer: same probe selection (bit-identical
     — the shared _probe_cells plan collected to the driver; the query
@@ -574,21 +581,19 @@ def ivf_topk_batch_gemm(
 
     The index side still never shuffles: mapInPandas consumes scan
     partitions in place (at scale, the cell-partitioned table), and the
-    same small-split lesson applies (run_ann_index.py session conf)."""
+    same small-split lesson applies (run_ann_index.py session conf).
+
+    Driver-memory bound (round-7, VERDICT r6 #4): the probe batch is
+    streamed to the driver via toLocalIterator and broadcast in chunks
+    of <= max_probe_rows_per_chunk probe rows; each chunk scores
+    against the index independently and the global per-query window
+    runs over the UNION of all chunk bands, so chunk boundaries are
+    invisible to the result (each probe row is scored exactly once
+    wherever it lands) and a 10M-query serving frame costs multiple
+    index passes instead of an unbounded driver collect."""
     from pyspark.sql import Window
 
     probes = _probe_cells(queries_df, vec_col, qid_col, centroids, n_probe)
-    # (cell -> queries probing it) to every scan task. qn recomputed in
-    # numpy from the SAME collected vector the join path would use;
-    # norms only gate the zero-denominator case (exact 0 either way).
-    probe_rows = probes.collect()
-    per_cell: dict[int, list] = {}
-    for r in probe_rows:
-        per_cell.setdefault(int(r.cell), []).append(
-            (r[qid_col], np.asarray(r._qv, dtype=np.float64))
-        )
-    sc = index_df.sparkSession.sparkContext
-    bc = sc.broadcast(per_cell)
     quantum = 10.0 ** (-round_digits)
     band_cap = max(8 * k, 128)
 
@@ -602,45 +607,123 @@ def ivf_topk_batch_gemm(
         F.col(vec_col).alias("_v"),
         cell.alias("_cell"),
     )
+    sc = index_df.sparkSession.sparkContext
 
-    def score_partition(batches):
-        groups: dict[int, list] = {}
-        for pdf in batches:
-            ok = pdf["_cell"].notna() & pdf["_v"].notna()
-            pdf = pdf[ok]
-            for c, grp in pdf.groupby(pdf["_cell"].astype(np.int64)):
-                if int(c) in bc.value:
-                    groups.setdefault(int(c), []).append(grp)
-        out = []
-        for c, parts in groups.items():
-            grp = pd.concat(parts, ignore_index=True)
-            ids = grp["_id"].to_numpy()
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in grp["_v"]])
-            vn = np.sqrt((V * V).sum(axis=1))
-            for qid, qv in bc.value[c]:
-                qn = float(np.sqrt((qv * qv).sum()))
-                den = vn * qn
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = np.where(den > 0, V @ qv / den, 0.0)
-                # local top-k under (-cos, id), then widen to the slack
-                # band so post-round reordering can't lose a winner
-                order = np.lexsort((ids, -cos))
-                kth = cos[order[min(k, len(order)) - 1]] if len(order) else 0.0
-                band = order[: band_cap]
-                band = band[cos[band] >= kth - quantum]
-                out.append(
-                    pd.DataFrame(
-                        {"qid": qid, "_id": ids[band], "_cos": cos[band]}
+    def make_scorer(bc):
+        def score_partition(batches):
+            groups: dict[int, list] = {}
+            for pdf in batches:
+                ok = pdf["_cell"].notna() & pdf["_v"].notna()
+                pdf = pdf[ok]
+                for c, grp in pdf.groupby(pdf["_cell"].astype(np.int64)):
+                    if int(c) in bc.value:
+                        groups.setdefault(int(c), []).append(grp)
+            out = []
+            for c, parts in groups.items():
+                grp = pd.concat(parts, ignore_index=True)
+                ids = grp["_id"].to_numpy()
+                V = np.stack([np.asarray(v, dtype=np.float64) for v in grp["_v"]])
+                vn = np.sqrt((V * V).sum(axis=1))
+                for qid, qv in bc.value[c]:
+                    qn = float(np.sqrt((qv * qv).sum()))
+                    den = vn * qn
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = np.where(den > 0, V @ qv / den, 0.0)
+                    # local top-k under (-cos, id), widened to the FULL
+                    # slack band (every candidate within one rounding
+                    # quantum of the local kth) so post-round reordering
+                    # can't lose a winner. ADVICE r6 #2: the quantum
+                    # filter runs on the WHOLE order array — no cap is
+                    # applied before it.
+                    order = np.lexsort((ids, -cos))
+                    kth = cos[order[min(k, len(order)) - 1]] if len(order) else 0.0
+                    band = order[cos[order] >= kth - quantum]
+                    if len(band) > k:
+                        # safe compression of EXACT raw ties: within one
+                        # raw cosine value both engines rank by id only,
+                        # and lexsort already leads with the lowest ids —
+                        # if a group's j-th lowest id makes the global
+                        # top-k, the j-1 lower ids rank strictly above
+                        # it, so j <= k and keeping k rows per distinct
+                        # raw value is provably lossless. This bounds
+                        # the exact-tie flood (e.g. zero-norm cos==0.0)
+                        # at k rows instead of the old band_cap.
+                        bc_cos = cos[band]
+                        new_grp = np.empty(len(band), dtype=bool)
+                        new_grp[0] = True
+                        np.not_equal(bc_cos[1:], bc_cos[:-1], out=new_grp[1:])
+                        grp_start = np.maximum.accumulate(
+                            np.where(new_grp, np.arange(len(band)), 0)
+                        )
+                        band = band[np.arange(len(band)) - grp_start < k]
+                    if len(band) > band_cap:
+                        # distinct-raw near-tie flood: parity wins over
+                        # the soft shuffle bound — keep the full band,
+                        # but surface the event (executor stderr) so the
+                        # silent-parity-hole class is detectable
+                        import sys as _sys
+
+                        print(
+                            f"ivf_topk_batch_gemm: slack band {len(band)} "
+                            f"rows exceeds soft cap {band_cap} "
+                            f"(qid={qid!r}, cell={c}) — near-tie flood, "
+                            "keeping all in-band rows for parity",
+                            file=_sys.stderr,
+                        )
+                    out.append(
+                        pd.DataFrame(
+                            {"qid": qid, "_id": ids[band], "_cos": cos[band]}
+                        )
                     )
-                )
-        if out:
-            yield pd.concat(out, ignore_index=True)
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+        return score_partition
 
     qid_field = probes.schema[qid_col].dataType.simpleString()
     id_field = idx.schema["_id"].dataType.simpleString()
-    scored = idx.mapInPandas(
-        score_partition, f"qid {qid_field}, _id {id_field}, _cos double"
-    ).select(
+
+    # (cell -> queries probing it) to every scan task, one CHUNK of the
+    # probe batch at a time. qn recomputed in numpy from the SAME
+    # collected vector the join path would use; norms only gate the
+    # zero-denominator case (exact 0 either way).
+    chunk_dfs = []
+    per_cell: dict[int, list] = {}
+    n_chunk_rows = 0
+
+    def flush():
+        nonlocal per_cell, n_chunk_rows
+        if not per_cell:
+            return
+        bc = sc.broadcast(per_cell)
+        chunk_dfs.append(
+            idx.mapInPandas(
+                make_scorer(bc), f"qid {qid_field}, _id {id_field}, _cos double"
+            )
+        )
+        per_cell = {}
+        n_chunk_rows = 0
+
+    for r in probes.toLocalIterator():
+        per_cell.setdefault(int(r.cell), []).append(
+            (r[qid_col], np.asarray(r._qv, dtype=np.float64))
+        )
+        n_chunk_rows += 1
+        if n_chunk_rows >= max_probe_rows_per_chunk:
+            flush()
+    flush()
+    if not chunk_dfs:  # empty query batch: empty frame, full schema
+        chunk_dfs.append(
+            idx.limit(0).mapInPandas(
+                make_scorer(sc.broadcast({})),
+                f"qid {qid_field}, _id {id_field}, _cos double",
+            )
+        )
+
+    scored_raw = chunk_dfs[0]
+    for extra in chunk_dfs[1:]:
+        scored_raw = scored_raw.unionAll(extra)
+    scored = scored_raw.select(
         F.col("qid").alias(qid_col),
         F.col("_id").alias(id_col),
         F.round(F.col("_cos"), round_digits).alias("cosine_sim"),

@@ -75,13 +75,24 @@ def queries_fingerprint(path: str) -> str:
     alone is not enough — overwriting the file in place and rerunning
     with identical knobs must NOT resume the stale committed topk table.
     Cheap proxy: parquet file count + total bytes + max mtime (never a
-    data scan). Falls back to the bare path for non-local URIs, where
-    the caller should use a fresh --run-id/path per batch."""
+    data scan), collected with a RECURSIVE walk so partitionBy layouts
+    (key=val subdirectories) fingerprint their leaf files instead of
+    degenerating to n=0 (ADVICE r6 #5). Falls back to the bare path for
+    non-local URIs, where the caller should use a fresh --run-id/path
+    per batch."""
     import os
 
     try:
-        names = [n for n in os.listdir(path) if n.endswith(".parquet")]
-        stats = [os.stat(os.path.join(path, n)) for n in names]
+        if not os.path.exists(path):
+            return path  # non-local URI (s3://...) or missing: bare path
+        stats = [
+            os.stat(os.path.join(d, n))
+            for d, _subdirs, files in sorted(os.walk(path))
+            for n in sorted(files)
+            if n.endswith(".parquet")
+        ]
+        if not stats and not os.path.isdir(path):
+            stats = [os.stat(path)]  # a single parquet FILE path
         return (
             f"{path}#n={len(stats)}"
             f"#bytes={sum(s.st_size for s in stats)}"

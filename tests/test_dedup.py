@@ -49,6 +49,55 @@ def test_ngram_jaccard_pairs(corpus):
     assert not any(4 in p for p in got)  # unrelated never pairs
 
 
+def test_ngram_group_cap_bounds_pairs_and_surfaces_drops(spark):
+    """VERDICT r6 #3: one giant group key must NOT go quadratic — the
+    runtime cap keeps the smallest max_group_size ids, the pair count
+    is bounded at C(cap, 2), and the overflow is surfaced through the
+    observed metric. The capped result equals running on the
+    pre-truncated input (deterministic keep set)."""
+    from pyspark.sql import Observation
+
+    rows = [(i, f"unique text number {i} " + BASE, "web") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    obs = Observation()
+    pairs = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", "source", threshold=0.0,
+        max_group_size=10, observation=obs,
+    ).collect()
+    assert len(pairs) == 45  # C(10,2), not C(50,2)=1225
+    assert max(max(r.id_a, r.id_b) for r in pairs) == 9  # smallest ids kept
+    m = obs.get
+    assert m["dropped_members"] == 40
+    assert m["max_group_members"] == 50 and m["n_groups"] == 1
+    manual = dedup.ngram_jaccard_pairs(
+        df.filter(F.col("doc_id") < 10), "text", "doc_id", "source",
+        threshold=0.0,
+    ).collect()
+    assert {(r.id_a, r.id_b, r.jaccard) for r in pairs} == {
+        (r.id_a, r.id_b, r.jaccard) for r in manual
+    }
+    with pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", "source", max_group_size=1
+        )
+
+
+def test_ngram_group_cap_headroom_at_gate_scale(spark):
+    """The DuckDB oracle for ngram_jaccard_pairs_docs does not model the
+    group cap, so hash parity silently depends on every gate-scale group
+    staying under it (same posture as the LSH bucket-cap headroom
+    assertion) — pin the headroom via the observed metric."""
+    from pyspark.sql import Observation
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        obs = Observation()
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        dedup.ngram_jaccard_pairs(
+            d, "text", "doc_id", "source", threshold=0.3, observation=obs
+        ).write.format("noop").mode("overwrite").save()
+        assert obs.get["max_group_members"] < 1024, sf_dir
+
+
 def test_minhash_lsh_finds_planted_dups(corpus):
     pairs = dedup.minhash_lsh_candidates(corpus, "text", "doc_id").collect()
     got = {(r.id_a, r.id_b): r.jaccard for r in pairs}

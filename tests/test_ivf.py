@@ -277,6 +277,83 @@ def test_ivf_topk_batch_gemm_degenerate_ties_and_nulls(spark):
         assert _rows_set(join_out) == _rows_set(gemm_out), (k, p)
 
 
+def test_trainer_ignores_null_vectors(spark):
+    """ADVICE r6 #4: NULL vectors must not participate in md5-order
+    seeding or the Lloyd step (the oracle's e CTE filters them first) —
+    adding NULL rows leaves the trained centroids unchanged. Pre-fix, a
+    NULL row either displaced a seed or crashed the Lloyd cell sort."""
+    base = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    nulls = spark.createDataFrame(
+        [(100 + i, None) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    c1 = similarity.train_ivf_centroids_distributed(
+        base, "embedding", "vec_id", k=4, iters=1
+    )
+    c2 = similarity.train_ivf_centroids_distributed(
+        base.unionByName(nulls), "embedding", "vec_id", k=4, iters=1
+    )
+    assert c1 == c2
+
+
+def test_ivf_topk_batch_gemm_chunked_probe_batches_identical(spark):
+    """VERDICT r6 #4: the probe batch is broadcast in bounded chunks.
+    Serving a query frame whose probe rows exceed the per-chunk cap
+    (cap=2 forces 5 queries x 3 probes into 8 chunks, splitting probe
+    rows of single queries across chunks) must return exactly the
+    single-broadcast result; an empty query batch returns 0 rows with
+    the full schema."""
+    e = _emb(spark)
+    cents = similarity.train_ivf_centroids_distributed(
+        e, "embedding", "vec_id", k=8, iters=1
+    )
+    queries = e.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    whole = similarity.ivf_topk_batch_gemm(
+        e, queries, "embedding", "vec_id", "qid", cents, k=5, n_probe=3,
+    )
+    chunked = similarity.ivf_topk_batch_gemm(
+        e, queries, "embedding", "vec_id", "qid", cents, k=5, n_probe=3,
+        max_probe_rows_per_chunk=2,
+    )
+    assert _rows_set(whole) == _rows_set(chunked)
+    empty = similarity.ivf_topk_batch_gemm(
+        e, queries.limit(0), "embedding", "vec_id", "qid", cents, k=5, n_probe=3,
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["qid", "rk", "vec_id", "cosine_sim"]
+
+
+def test_ivf_topk_batch_gemm_near_tie_flood_beyond_soft_cap(spark):
+    """ADVICE r6 #2 regression: >band_cap DISTINCT raw cosines inside
+    one rounding quantum (all round to 1.0), with the winning LOWEST id
+    deliberately holding the WORST raw score in the band — the old
+    cap-before-quantum-filter truncation dropped it and broke parity
+    with the join scorer; the full-band path must keep it."""
+    n = 200  # > band_cap = max(8*k, 128) at k=1
+    # id 0 gets the largest eps (worst raw cosine); all cosines are
+    # distinct doubles within ~2e-8 of each other (one 1e-6 quantum)
+    rows = [(i, [1.0, (n - 1 - i) * 1e-6]) for i in range(n)]
+    idx = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "qid long, embedding array<double>"
+    )
+    join_out = similarity.ivf_topk_batch(
+        idx, queries, "embedding", "vec_id", "qid", cents, k=1, n_probe=1,
+    )
+    gemm_out = similarity.ivf_topk_batch_gemm(
+        idx, queries, "embedding", "vec_id", "qid", cents, k=1, n_probe=1,
+    )
+    assert _rows_set(join_out) == _rows_set(gemm_out)
+    # and the winner is the id tie-break winner, not the best-raw row
+    assert gemm_out.collect()[0].vec_id == 0
+
+
 def test_ivf_topk_batch_gemm_uses_precomputed_cell_and_no_index_shuffle(spark):
     """cell_col mode (the run_ann_index serving shape): results match
     the join scorer, and the plan has no Exchange before the

@@ -84,14 +84,25 @@ def test_live_remote_holder_blocks_until_ttl(tmp_path):
 
 
 def test_corrupt_lock_file_blocks_until_ttl(tmp_path):
-    """An unreadable lock (crash mid-write) has no pid/timestamp —
-    treated as acquired_at=0, i.e. always past TTL -> reclaimed."""
+    """ADVICE r6 #3: an unparseable lock with a RECENT mtime is treated
+    as HELD (our writers publish complete files atomically via link, so
+    a corrupt one is foreign — expiring it on sight let two contenders
+    each expire the other's in-flight lock). Only TTL age reclaims it."""
     root = str(tmp_path / "root")
     os.makedirs(root, exist_ok=True)
-    with open(os.path.join(root, LEASE_FILE), "w", encoding="utf-8") as f:
+    lock = os.path.join(root, LEASE_FILE)
+    with open(lock, "w", encoding="utf-8") as f:
         f.write("{not json")
-    with run_lease(root, "new"):
+    with pytest.raises(LeaseHeldError):
+        with run_lease(root, "new"):
+            pass  # pragma: no cover
+    # age the file past the TTL -> reclaimed
+    old = time.time() - 100
+    os.utime(lock, (old, old))
+    with run_lease(root, "new", ttl_sec=5):
         pass
+    # no tmp droppings left behind after acquire/release cycles
+    assert [p for p in os.listdir(root) if p.startswith(LEASE_FILE)] == []
 
 
 def test_run_dedup_fails_fast_when_root_held(spark, tmp_path):
@@ -122,6 +133,30 @@ def test_queries_fingerprint_tracks_content(tmp_path):
     assert sig1 != sig2
     # non-local / missing path degrades to the bare path
     assert queries_fingerprint("s3://bucket/q") == "s3://bucket/q"
+
+
+def test_queries_fingerprint_walks_partitioned_layouts(tmp_path):
+    """ADVICE r6 #5: a partitionBy layout (key=val subdirs) must
+    fingerprint its LEAF parquet files — the old top-level listdir saw
+    n=0/bytes=0/mtime=0 for every such directory, so overwriting the
+    batch in place resumed the stale committed topk table."""
+    from jobs.run_ann_index import queries_fingerprint
+
+    qdir = tmp_path / "queries_part"
+    (qdir / "day=1").mkdir(parents=True)
+    (qdir / "day=2").mkdir()
+    (qdir / "day=1" / "part-0.parquet").write_bytes(b"aaaa")
+    (qdir / "day=2" / "part-0.parquet").write_bytes(b"cc")
+    sig1 = queries_fingerprint(str(qdir))
+    assert "#n=2" in sig1 and "#bytes=6" in sig1
+    time.sleep(0.01)
+    (qdir / "day=2" / "part-0.parquet").write_bytes(b"dd")  # same sizes
+    sig2 = queries_fingerprint(str(qdir))
+    assert sig1 != sig2  # mtime moved
+    # a bare parquet FILE path fingerprints itself too
+    f = tmp_path / "single.parquet"
+    f.write_bytes(b"eeee")
+    assert "#n=1" in queries_fingerprint(str(f))
 
 
 def test_manifested_run_fails_fast_when_root_held(spark, tmp_path):

@@ -42,6 +42,7 @@ def test_stream_quality_filter_matches_batch(spark, clips_path, tmp_path):
     q = jobs.stream_quality_filter(
         stream, out_dir, ckpt, available_now=True,
         pipeline_kwargs={"with_features": True},
+        allow_unbounded_state=True,  # bounded availableNow replay
     )
     q.awaitTermination(300)
 
@@ -367,6 +368,7 @@ def test_stream_ann_topk_matches_batch(spark, tmp_path, scorer):
         round_digits=4,
         available_now=True,
         scorer=scorer,
+        allow_unbounded_state=True,  # bounded availableNow replay
     )
     q.awaitTermination(300)
 
@@ -392,6 +394,26 @@ def test_stream_ann_topk_matches_batch(spark, tmp_path, scorer):
         ).collect()
     )
     assert got == want
+
+
+def test_unbounded_state_requires_explicit_opt_in(spark, tmp_path):
+    """VERDICT r6 #5: without an event-time column, the serve-once
+    dedup state grows forever — the API must refuse unless the caller
+    explicitly accepts it (the docstring contract, now enforced), for
+    BOTH streaming jobs that keep per-key dedup state."""
+    from go_pkg_spider_spark.streaming import jobs
+
+    # the refusal fires before any column/plan access, so a source-less
+    # rate stream stands in for the real query/clip streams
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="allow_unbounded_state"):
+        jobs.stream_ann_topk(
+            stream, None, [[0.0]], str(tmp_path / "o"), str(tmp_path / "c")
+        )
+    with pytest.raises(ValueError, match="allow_unbounded_state"):
+        jobs.stream_quality_filter(
+            stream, str(tmp_path / "o2"), str(tmp_path / "c2")
+        )
 
 
 def test_stream_ann_topk_watermarked_dedup(spark, tmp_path):

@@ -2121,9 +2121,11 @@ def charset_guess_docs(spark, sf_dir):
 @query("audio_decode_docs", _audio_oracle_sql())
 def audio_decode_docs(spark, sf_dir):
     """The north-star audio leg under the hard gate (round-4 verdict
-    #1): 52 deterministic WAV/PCM/FLAC byte fixtures — including
+    #1): 55 deterministic WAV/PCM/FLAC byte fixtures — including
     stereo downmix, FLAC stereo DECORRELATION (left-side / right-side
     / mid-side with predictor-coded 17-bit side channels, fids 49-51),
+    FLAC sample widths beyond 16-bit (24-bit hi-res + 8-bit with hand
+    arithmetic, fids 52-54),
     odd-chunk RIFF walks, sub-frame clips, and the
     full typed-error family (empty/oversize/non-whitelisted/corrupt
     container/truncated FLAC) — pushed through the REAL production

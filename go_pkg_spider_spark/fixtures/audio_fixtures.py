@@ -111,6 +111,18 @@ def _flac_sub(pcm: np.ndarray, sr: int, subframe: str) -> bytes:
     return encode_flac_s16(_i16(pcm), sr, subframe=subframe)
 
 
+def _flac_bps(pcm: np.ndarray, sr: int, bps: int, subframe: str) -> bytes:
+    """FLAC at a non-16 sample width (24-bit = real-world hi-res); the
+    float signal quantizes at the width's full scale with the same
+    truncation convention as _i16."""
+    from ..operators.flac import encode_flac_pcm
+
+    lim = (1 << (bps - 1)) - 1
+    return encode_flac_pcm(
+        (pcm * lim).astype(np.int64), sr, bps=bps, subframe=subframe
+    )
+
+
 def _flac_stereo(
     mono: np.ndarray, diff: np.ndarray, sr: int, mode: str,
     subframes: tuple[str, str],
@@ -304,6 +316,18 @@ def build_rows() -> list[tuple[int, bytes | None, str | None, int | None]]:
         "flac", 16000,
     )
 
+    # -- H: FLAC sample widths beyond 16-bit (round 7) -- fids 52..54.
+    # 52: 24-bit const +0.5 (CONSTANT subframe) — hand arithmetic:
+    #     trunc(0.5 * 8388607) = 4194303, decode normalizes by the
+    #     24-bit full scale in float32, so every sample is exactly
+    #     float32(4194303/8388607); rms=peak=dc=that, zcr=0
+    add(_flac_bps(_const(2000, 0.5), 16000, 24, "constant"), "flac", 16000)
+    # 53: 24-bit sine through the FIXED predictor at width 24 (17-bit
+    #     residual arithmetic exercised at 24-bit warmups)
+    add(_flac_bps(_sine(2000, 8000, 220.0), 8000, 24, "fixed"), "flac", 8000)
+    # 54: 8-bit const +0.25 — trunc(0.25*127)=31 -> float32(31/127)
+    add(_flac_bps(_const(2000, 0.25), 16000, 8, "constant"), "flac", 16000)
+
     return rows
 
 
@@ -357,6 +381,8 @@ def derive_expected() -> list[tuple]:
 # float32 ulp away; the float32 rounding is part of the contract).
 _Q15 = float(np.float32(16383.0) / np.float32(32767.0))
 _Q25 = float(np.float32(8191.0) / np.float32(32767.0))  # trunc(0.25*32767)=8191
+_Q23 = float(np.float32(4194303.0) / np.float32(8388607.0))  # 24-bit +0.5
+_Q7 = float(np.float32(31.0) / np.float32(127.0))  # 8-bit +0.25
 HAND_CHECKED: dict[int, dict[str, float | int | bool]] = {
     # silence: all-zero samples
     8: {"ok": True, "rms": 0.0, "peak": 0.0, "dc_offset": 0.0, "zcr": 0.0,
@@ -380,6 +406,12 @@ HAND_CHECKED: dict[int, dict[str, float | int | bool]] = {
     17: {"ok": True, "n_samples": 500},
     # raw pcm odd byte count: 2001 bytes → 1000 samples
     22: {"ok": True, "n_samples": 1000},
+    # 24-bit const +0.5: trunc(0.5*8388607)=4194303, float32 quotient
+    52: {"ok": True, "rms": _Q23, "peak": _Q23, "dc_offset": _Q23,
+         "zcr": 0.0, "n_samples": 2000, "sr_decoded": 16000},
+    # 8-bit const +0.25: trunc(0.25*127)=31, float32 quotient
+    54: {"ok": True, "rms": _Q7, "peak": _Q7, "dc_offset": _Q7,
+         "zcr": 0.0, "n_samples": 2000},
 }
 
 # FROZEN expectations (derive_expected() output; regenerate ONLY on an
@@ -437,4 +469,7 @@ EXPECTED: list[tuple] = [
     (49, True, None, 2000, 8000, 0.4242500966620093, 0.599993884563446, 0.0, 0.0, 0.054527263631815905, 23, 532.046, 220.0, 0.0, 4000),
     (50, True, None, 2205, 22050, 0.45772826422361373, 0.8998077511787415, 0.0, -0.2971544220878863, 0.3017241379310345, 8, 3303.811, 6410.0, 0.0, 1600),
     (51, True, None, 2000, 16000, 0.24997711181640625, 0.24997711181640625, 0.0, 0.24997711181640625, 0.0, 11, 0.0, 0.0, 0.0, 2000),
+    (52, True, None, 2000, 16000, 0.4999999403953552, 0.4999999403953552, 0.0, 0.4999999403953552, 0.0, 11, 0.0, 0.0, 0.0, 2000),
+    (53, True, None, 2000, 8000, 0.42426401048076223, 0.5999999642372131, 0.0, 0.0, 0.054527263631815905, 23, 532.046, 220.0, 0.0, 4000),
+    (54, True, None, 2000, 16000, 0.24409449100494385, 0.24409449100494385, 0.0, 0.24409449100494385, 0.0, 11, 0.0, 0.0, 0.0, 2000),
 ]

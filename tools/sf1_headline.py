@@ -33,8 +33,13 @@ Phases (each skippable; default = all):
          (fresh JVM per run, min per level) — long walls de-weight
          spinup vs the sf0.1 primary.
 
+  docs_entries  winnow_fingerprints_docs + link_types_docs over the
+         50k-doc corpus (10x bench tier), ABBA min-of-4 + peak RSS —
+         the decade datapoints for the two slowest entry families
+         (needs only the docs table, not the 48GB clips).
+
 Usage:
-  SPARK_GRAFT_CPUS=32 python tools/sf1_headline.py [gen clips dedup ann scaling]
+  SPARK_GRAFT_CPUS=32 python tools/sf1_headline.py [gen clips dedup ann scaling docs_entries]
 """
 
 from __future__ import annotations
@@ -147,6 +152,37 @@ def _spark(app: str):
     return spark
 
 
+def _gen_docs(spark) -> None:
+    if os.path.exists(DOCS_PATH):
+        return
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(DOCS_SRC)
+    # 10 copies per doc; copy 0 is verbatim, copies 1-9 get a short
+    # deterministic suffix so they are NEAR-dups (not exact) of the
+    # original — every doc becomes a 10-clique for the LSH stage.
+    expanded = (
+        docs.withColumn("c", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .withColumn(
+            "text",
+            F.when(F.col("c") == 0, F.col("text")).otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" v"),
+                    F.col("c").cast("string"),
+                    F.lit("-"),
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                )
+            ),
+        )
+        .withColumn("doc_id", F.col("doc_id") * 10 + F.col("c"))
+        .withColumn("n_chars", F.length("text"))
+        .drop("c")
+    )
+    expanded.repartition(CPUS).write.mode("overwrite").parquet(DOCS_PATH)
+    print(f"gen docs: {expanded.count()} rows -> {DOCS_PATH}")
+
+
 def phase_gen() -> None:
     free_gb = shutil.disk_usage("/tmp").free / 1e9
     if not os.path.exists(CLIPS_PATH) and free_gb < MIN_FREE_GB_FOR_GEN:
@@ -162,34 +198,58 @@ def phase_gen() -> None:
             datagen.generate_clips_df(spark, SF1_CLIPS), CLIPS_PATH
         )
         print(f"gen clips: {time.monotonic() - t0:.1f}s -> {CLIPS_PATH}")
-    if not os.path.exists(DOCS_PATH):
-        from pyspark.sql import functions as F
-
-        docs = spark.read.parquet(DOCS_SRC)
-        # 10 copies per doc; copy 0 is verbatim, copies 1-9 get a short
-        # deterministic suffix so they are NEAR-dups (not exact) of the
-        # original — every doc becomes a 10-clique for the LSH stage.
-        expanded = (
-            docs.withColumn("c", F.explode(F.sequence(F.lit(0), F.lit(9))))
-            .withColumn(
-                "text",
-                F.when(F.col("c") == 0, F.col("text")).otherwise(
-                    F.concat(
-                        F.col("text"),
-                        F.lit(" v"),
-                        F.col("c").cast("string"),
-                        F.lit("-"),
-                        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
-                    )
-                ),
-            )
-            .withColumn("doc_id", F.col("doc_id") * 10 + F.col("c"))
-            .withColumn("n_chars", F.length("text"))
-            .drop("c")
-        )
-        expanded.repartition(CPUS).write.mode("overwrite").parquet(DOCS_PATH)
-        print(f"gen docs: {expanded.count()} rows -> {DOCS_PATH}")
+    _gen_docs(spark)
     spark.stop()
+
+
+def phase_docs_entries(n_runs: int = 4) -> dict:
+    """sf1 datapoints for the two slowest documents-table entries
+    (VERDICT r6 #7): winnow_fingerprints_docs + link_types_docs over
+    the 50k-doc expanded corpus (10x the bench tier), min-of-N with the
+    runs INTERLEAVED across the two entries (the ABBA noise protocol)
+    and peak-RSS accounting. Needs only the docs table — not the 48GB
+    clips corpus."""
+    spark = _spark("sf1-docs-entries")
+    _gen_docs(spark)
+    # entries resolve {sf_dir}/documents.parquet: stage a dir view
+    sf_dir = "/tmp/sf1_docs_dir"
+    os.makedirs(sf_dir, exist_ok=True)
+    link = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(DOCS_PATH), link)
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = ["winnow_fingerprints_docs", "link_types_docs"]
+    docs = spark.read.parquet(link)
+    n_docs = docs.count()
+    from pyspark.sql import functions as F
+
+    docs.agg(F.sum(F.length("text"))).collect()  # page-cache warm
+    sampler = RssSampler()
+    sampler.start()
+    raw: dict[str, list[float]] = {n: [] for n in names}
+    for r in range(n_runs):
+        order = names if r % 3 == 0 else list(reversed(names))
+        for name in order:
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            raw[name].append(round(time.monotonic() - t0, 2))
+    mem = sampler.stop()
+    out = {
+        "phase": "docs_entries",
+        "n_docs": n_docs,
+        "cpus": CPUS,
+        "raw_runs_sec": raw,
+        "min_sec": {n: min(raw[n]) for n in names},
+        **mem,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return out
 
 
 def phase_clips(n_runs: int = 3) -> dict:
@@ -443,6 +503,7 @@ def main() -> None:
             "dedup": phase_dedup,
             "ann": phase_ann,
             "scaling": phase_scaling,
+            "docs_entries": phase_docs_entries,
         }[ph]()
 
 

@@ -69,6 +69,70 @@ def test_fused_transport_parity(spark, clips_path):
     assert a == p
 
 
+def test_stereo_and_hires_flac_through_production_pipeline(spark):
+    """Round 7: stereo-decorrelated and 24-bit FLAC clips must decode
+    through the PRODUCTION surface (run_pipeline's fused Arrow UDF),
+    not just the entry-query operators. The stereo clip's channels are
+    m±d, so its decoded features must equal the mono twin clip's
+    EXACTLY; the 24-bit clip carries the same sine at hi-res width.
+    Checked on both fused transports."""
+    import numpy as np
+
+    from go_pkg_spider_spark.operators.flac import (
+        encode_flac_pcm,
+        encode_flac_s16,
+        encode_flac_s16_stereo,
+    )
+    from go_pkg_spider_spark.schemas import CLIPS_SCHEMA
+
+    sr = 8000
+    t = np.arange(2 * sr, dtype=np.float64) / sr
+    m = (0.5 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int64)
+    d = (0.2 * np.sin(2 * np.pi * 333 * t) * 32767).astype(np.int64)
+    text = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        ("mono", bytes(encode_flac_s16(m.astype("<i2"), sr)), sr, 2000, "flac", text),
+        (
+            "stereo-ms",
+            bytes(encode_flac_s16_stereo(m + d, m - d, sr, mode="mid_side")),
+            sr, 2000, "flac", text,
+        ),
+        (
+            "stereo-ls",
+            bytes(
+                encode_flac_s16_stereo(
+                    m + d, m - d, sr, mode="left_side", subframes=("fixed", "lpc")
+                )
+            ),
+            sr, 2000, "flac", text,
+        ),
+        (
+            "hires24",
+            bytes(encode_flac_pcm(m * 256, sr, bps=24, subframe="fixed")),
+            sr, 2000, "flac", text,
+        ),
+    ]
+    df = spark.createDataFrame(rows, CLIPS_SCHEMA)
+    for impl in ("arrow", "pandas"):
+        out = {
+            r.clip_id: r
+            for r in pipeline.run_pipeline(df, with_features=True, fused_impl=impl)
+            .collect()
+        }
+        assert len(out) == 4
+        for cid in ("mono", "stereo-ms", "stereo-ls", "hires24"):
+            a = out[cid].audio
+            assert a.ok and a.err is None, (impl, cid, a)
+            assert a.n_samples == 2 * sr and a.sr_decoded == sr
+        # stereo m±d downmixes to EXACTLY the mono clip's samples
+        for cid in ("stereo-ms", "stereo-ls"):
+            assert out[cid].audio == out["mono"].audio, (impl, cid)
+        # 24-bit m<<8 is the same waveform within one 16-bit quantum
+        assert abs(out["hires24"].audio.rms - out["mono"].audio.rms) < 1e-4
+        # and the text-side decision is identical across payload forms
+        assert len({(out[c].keep, out[c].lang) for c in out}) == 1
+
+
 def test_no_shuffle_in_per_clip_path(spark, clips_path):
     """The per-clip pipeline must be narrow-only: a single stage with no
     Exchange in the physical plan (SURVEY.md §3.1 'one stage, zero

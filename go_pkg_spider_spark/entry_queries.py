@@ -11,6 +11,7 @@ Determinism rules for oracle parity:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -26,6 +27,35 @@ ORACLE: dict[str, str] = {}
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _spread_small_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """A one-file parquet table with a single row group cannot be split
+    by maxPartitionBytes, so an expensive projection over it runs in
+    ONE task no matter how many cores the session has — measured on
+    the round-7 sf1 docs run: winnow over the 32-file 50k-doc corpus
+    beat the SAME query over the 1-file 5k-doc table (3.78s vs 5.5s),
+    and spreading the small scan takes the 5k tier to 0.67s (8x).
+    Guard keeps it scale-honest: repartition ONLY when the scan has
+    fewer input files than the session parallelism AND the table is
+    tiny (<64 MB local) — at production scale the scan has thousands
+    of splits and this is a metadata-only no-op, and a big single file
+    splits by row groups on its own."""
+    par = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files or len(files) >= par:
+        return df
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return df  # remote store: no cheap size check, leave as-is
+        try:
+            total += os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            return df
+    if total >= 64 * 1024 * 1024:
+        return df
+    return df.repartition(par)
 
 
 def query(name: str, sql: str | None = None):
@@ -812,7 +842,7 @@ def winnow_fingerprints_docs(spark, sf_dir):
     comparers' float-exact range)."""
     from .functions.expr_utils import let_col
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread_small_scan(_t(spark, sf_dir, "documents"), spark)
 
     def le_u64(m):  # first 8 md5 bytes little-endian == md5_number_upper
         return F.conv(
@@ -1920,7 +1950,7 @@ def link_types_docs(spark, sf_dir):
     the site-level aggregates."""
     from .operators import links as links_ops
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread_small_scan(_t(spark, sf_dir, "documents"), spark)
     si = F.col("doc_id") % 3
     w = F.expr("doc_id div 3") % 10
     did = F.col("doc_id").cast("string")

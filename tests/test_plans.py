@@ -174,3 +174,27 @@ def test_simtext_argmax_single_python_hop(spark):
     plan = _plan(entry.queries()["simtext_argmax_docs"](spark, SF))
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
+
+
+def test_spread_small_scan_guard_semantics(spark, tmp_path):
+    """Round 7: the small-scan spreader repartitions ONLY a tiny
+    few-file local scan (the unsplittable one-row-group case that ran
+    winnow in one task — 5.5s -> ~1.1s at sf0.1); a scan with >= 
+    parallelism input files passes through untouched, so at production
+    scale (thousands of splits) the helper is a metadata-only no-op."""
+    from go_pkg_spider_spark.entry_queries import _spread_small_scan
+
+    par = spark.sparkContext.defaultParallelism
+    one = str(tmp_path / "one")
+    spark.range(1000).coalesce(1).write.parquet(one)
+    small = spark.read.parquet(one)
+    spread = _spread_small_scan(small, spark)
+    assert "Repartition" in spread._jdf.queryExecution().logical().toString()
+    assert spread.rdd.getNumPartitions() == par
+    assert spread.count() == 1000
+
+    many = str(tmp_path / "many")
+    spark.range(1000).repartition(par).write.parquet(many)
+    wide = spark.read.parquet(many)
+    same = _spread_small_scan(wide, spark)
+    assert "Repartition" not in same._jdf.queryExecution().logical().toString()

@@ -2151,11 +2151,12 @@ def charset_guess_docs(spark, sf_dir):
 @query("audio_decode_docs", _audio_oracle_sql())
 def audio_decode_docs(spark, sf_dir):
     """The north-star audio leg under the hard gate (round-4 verdict
-    #1): 55 deterministic WAV/PCM/FLAC byte fixtures — including
+    #1): 59 deterministic WAV/PCM/FLAC byte fixtures — including
     stereo downmix, FLAC stereo DECORRELATION (left-side / right-side
     / mid-side with predictor-coded 17-bit side channels, fids 49-51),
-    FLAC sample widths beyond 16-bit (24-bit hi-res + 8-bit with hand
-    arithmetic, fids 52-54),
+    sample widths beyond 16-bit in BOTH containers (24-bit hi-res +
+    8-bit + float32, fids 52-58 — the WAV rows are cross-container
+    twins of the FLAC rows, one truth for both parsers),
     odd-chunk RIFF walks, sub-frame clips, and the
     full typed-error family (empty/oversize/non-whitelisted/corrupt
     container/truncated FLAC) — pushed through the REAL production

@@ -99,6 +99,34 @@ def _fmt_chunk(sr: int, channels: int = 1, bps: int = 16, fmt: int = 1) -> bytes
     return struct.pack("<HHIIHH", fmt, channels, sr, sr * block, block, bps)
 
 
+def _wav24(pcm: np.ndarray, sr: int) -> bytes:
+    """24-bit PCM WAV: 3-byte little-endian signed samples, quantized
+    with the SAME truncation convention as the FLAC width rows so the
+    cross-container twins share exact int samples."""
+    v = (pcm * 8388607).astype(np.int64) & 0xFFFFFF
+    b = np.zeros((len(v), 3), dtype=np.uint8)
+    b[:, 0] = v & 0xFF
+    b[:, 1] = (v >> 8) & 0xFF
+    b[:, 2] = (v >> 16) & 0xFF
+    return _riff([(b"fmt ", _fmt_chunk(sr, bps=24)), (b"data", b.tobytes())])
+
+
+def _wav8(pcm: np.ndarray, sr: int) -> bytes:
+    """8-bit PCM WAV — UNSIGNED with the RIFF 128 offset."""
+    v = (128 + (pcm * 127).astype(np.int64)).astype(np.uint8)
+    return _riff([(b"fmt ", _fmt_chunk(sr, bps=8)), (b"data", v.tobytes())])
+
+
+def _wavf32(pcm: np.ndarray, sr: int) -> bytes:
+    """IEEE-float WAV (format tag 3, 32-bit)."""
+    return _riff(
+        [
+            (b"fmt ", _fmt_chunk(sr, bps=32, fmt=3)),
+            (b"data", pcm.astype("<f4").tobytes()),
+        ]
+    )
+
+
 def _flac(pcm: np.ndarray, sr: int) -> bytes:
     from ..operators.flac import encode_flac_s16
 
@@ -249,13 +277,15 @@ def build_rows() -> list[tuple[int, bytes | None, str | None, int | None]]:
     add(_riff([(b"fmt ", _fmt_chunk(16000))]), "wav", 16000)
     # 38: data only, fmt chunk missing
     add(_riff([(b"data", b"\x00" * 64)]), "wav", 16000)
-    # 39: 8-bit wav → unsupported_wav_format
+    # 39: 12-bit wav → unsupported_wav_format (8-bit DECODES since
+    #     round 7 — see fid 56; 12-bit stays outside the WAV surface)
     add(
-        _riff([(b"fmt ", _fmt_chunk(16000, bps=8)), (b"data", b"\x80" * 64)]),
+        _riff([(b"fmt ", _fmt_chunk(16000, bps=12)), (b"data", b"\x80" * 64)]),
         "wav",
         16000,
     )
-    # 40: IEEE-float wav (fmt tag 3) → unsupported_wav_format
+    # 40: IEEE-float wav with an invalid 16-bit width (fmt tag 3 is
+    #     only defined at 32/64) → unsupported_wav_format
     add(
         _riff([(b"fmt ", _fmt_chunk(16000, fmt=3)), (b"data", b"\x00" * 64)]),
         "wav",
@@ -327,6 +357,23 @@ def build_rows() -> list[tuple[int, bytes | None, str | None, int | None]]:
     add(_flac_bps(_sine(2000, 8000, 220.0), 8000, 24, "fixed"), "flac", 8000)
     # 54: 8-bit const +0.25 — trunc(0.25*127)=31 -> float32(31/127)
     add(_flac_bps(_const(2000, 0.25), 16000, 8, "constant"), "flac", 16000)
+
+    # -- I: WAV sample widths beyond 16-bit (round 7) -- fids 55..58.
+    #    CROSS-CONTAINER twins: 55/56/58 quantize the SAME signals at
+    #    the SAME widths as FLAC rows 52/54/53, so their expected
+    #    features are BY CONSTRUCTION identical to those rows' frozen
+    #    values — the two container parsers are value-locked to one
+    #    truth (and 52/54 to hand arithmetic).
+    # 55 == 52: 24-bit PCM WAV, const +0.5
+    add(_wav24(_const(2000, 0.5), 16000), "wav", 16000)
+    # 56 == 54: 8-bit UNSIGNED PCM WAV, const +0.25 — byte value is
+    #     128 + trunc(0.25*127) = 159; decode subtracts the 128 offset
+    add(_wav8(_const(2000, 0.25), 16000), "wav", 16000)
+    # 57: float32 WAV sine (IEEE float tag 3 — no int quantization;
+    #     frozen via derivation, the float-path drift alarm)
+    add(_wavf32(_sine(2000, 16000, 440.0), 16000), "wav", 16000)
+    # 58 == 53: 24-bit PCM WAV, the FLAC-24 sine's exact int samples
+    add(_wav24(_sine(2000, 8000, 220.0), 8000), "wav", 8000)
 
     return rows
 
@@ -472,4 +519,8 @@ EXPECTED: list[tuple] = [
     (52, True, None, 2000, 16000, 0.4999999403953552, 0.4999999403953552, 0.0, 0.4999999403953552, 0.0, 11, 0.0, 0.0, 0.0, 2000),
     (53, True, None, 2000, 8000, 0.42426401048076223, 0.5999999642372131, 0.0, 0.0, 0.054527263631815905, 23, 532.046, 220.0, 0.0, 4000),
     (54, True, None, 2000, 16000, 0.24409449100494385, 0.24409449100494385, 0.0, 0.24409449100494385, 0.0, 11, 0.0, 0.0, 0.0, 2000),
+    (55, True, None, 2000, 16000, 0.4999999403953552, 0.4999999403953552, 0.0, 0.4999999403953552, 0.0, 11, 0.0, 0.0, 0.0, 2000),
+    (56, True, None, 2000, 16000, 0.24409449100494385, 0.24409449100494385, 0.0, 0.24409449100494385, 0.0, 11, 0.0, 0.0, 0.0, 2000),
+    (57, True, None, 2000, 16000, 0.42426406919016113, 0.6000000238418579, 0.0, 6.217248937900877e-18, 0.054527263631815905, 11, 440.001, 440.0, 0.0, 2000),
+    (58, True, None, 2000, 8000, 0.42426401048076223, 0.5999999642372131, 0.0, 0.0, 0.054527263631815905, 23, 532.046, 220.0, 0.0, 4000),
 ]

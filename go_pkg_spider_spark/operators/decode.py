@@ -52,31 +52,68 @@ DECODE_SCHEMA = StructType(
 from . import flac as _flac
 
 
+# (format_tag, bits) -> full-scale divisor. WAV supports PCM (tag 1;
+# 8-bit is UNSIGNED with a 128 offset per the RIFF spec, wider widths
+# signed LE) and IEEE float (tag 3, already in [-1, 1] -> divisor 1).
+_WAV_FORMATS = {
+    (1, 8): 127.0,
+    (1, 16): 32767.0,
+    (1, 24): 8388607.0,
+    (1, 32): 2147483647.0,
+    (3, 32): 1.0,
+    (3, 64): 1.0,
+}
+
+
 def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
-    """Minimal RIFF/WAVE PCM16 mono parser (numpy, no per-sample Python).
-    Raises ValueError on malformed containers."""
+    """Minimal RIFF/WAVE parser (numpy, no per-sample Python) for the
+    real-world sample formats: PCM 8(unsigned)/16/24/32-bit and IEEE
+    float 32/64 (production studio audio is routinely 24-bit PCM or
+    float32 — round 7, the WAV twin of the FLAC width work). Raises
+    ValueError on malformed containers. The 16-bit path keeps its
+    historical exact op order (int16 -> [mean] -> float32 -> /32767),
+    so frozen fixtures are unaffected."""
     if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("bad_riff_header")
-    pos, sr, n_ch, bps, data = 12, None, None, None, None
+    pos, fmt, sr, n_ch, bps, data = 12, None, None, None, None, None
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
         (size,) = struct.unpack_from("<I", blob, pos + 4)
         body = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
             fmt, n_ch, sr, _, _, bps = struct.unpack_from("<HHIIHH", body, 0)
-            if fmt != 1 or bps != 16:
+            if fmt == 0xFFFE and len(body) >= 26:
+                # WAVE_FORMAT_EXTENSIBLE: the real tag leads the GUID
+                (fmt,) = struct.unpack_from("<H", body, 24)
+            if (fmt, bps) not in _WAV_FORMATS:
                 raise ValueError("unsupported_wav_format")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
     if sr is None or data is None or n_ch is None:
         raise ValueError("missing_wav_chunk")
-    pcm = np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+    step = bps // 8
+    usable = len(data) - (len(data) % step)  # trailing partial sample dropped
+    if bps == 24:  # 3-byte little-endian signed: byte-gather + sign extend
+        raw = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
+        v = (
+            raw[:, 0].astype(np.int64)
+            | (raw[:, 1].astype(np.int64) << 8)
+            | (raw[:, 2].astype(np.int64) << 16)
+        )
+        pcm = v - ((v >> 23) << 24)
+    elif (fmt, bps) == (1, 8):
+        pcm = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+    else:
+        dtype = {(1, 16): "<i2", (1, 32): "<i4", (3, 32): "<f4", (3, 64): "<f8"}[
+            (fmt, bps)
+        ]
+        pcm = np.frombuffer(data[:usable], dtype=dtype)
     if n_ch > 1:
         pcm = pcm[: (len(pcm) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
     # float32 halves the bandwidth of the hottest loop in the pipeline;
-    # 16-bit sources lose nothing (float32 has 24 mantissa bits)
-    return pcm.astype(np.float32) / np.float32(32767.0), int(sr)
+    # <=24-bit sources lose nothing (float32 has 24 mantissa bits)
+    return pcm.astype(np.float32) / np.float32(_WAV_FORMATS[(fmt, bps)]), int(sr)
 
 
 def decode_pcm_s16le(blob: bytes, sr_hz: int) -> tuple[np.ndarray, int]:

@@ -15,7 +15,7 @@ from go_pkg_spider_spark.fixtures import audio_fixtures as ax
 
 def test_expected_matches_live_derivation():
     derived = ax.derive_expected()
-    assert len(derived) == len(ax.EXPECTED) == 55
+    assert len(derived) == len(ax.EXPECTED) == 59
     for got, frozen in zip(derived, ax.EXPECTED):
         assert got == frozen, f"fid {frozen[0]} drifted: {got} != {frozen}"
 
@@ -44,8 +44,8 @@ def test_error_rows_are_typed():
         # minimum, so the size guard fires before chunk traversal
         37: "bad_riff_header",
         38: "missing_wav_chunk",
-        39: "unsupported_wav_format",
-        40: "unsupported_wav_format",
+        39: "unsupported_wav_format",  # 12-bit (8-bit decodes since r7)
+        40: "unsupported_wav_format",  # float tag at an invalid 16-bit width
         44: "bad_riff_header",
     }
     for fid, err in want_errs.items():
@@ -54,10 +54,10 @@ def test_error_rows_are_typed():
     # is decoder-internal; ok=false + nonempty err is the contract)
     for fid in (41, 42, 43):
         assert by_fid[fid]["ok"] is False and by_fid[fid]["err"]
-    # every non-error row decoded (55 total, 16 error rows: fid 23
+    # every non-error row decoded (59 total, 16 error rows: fid 23
     # empty_pcm + fids 30-44)
     n_ok = sum(1 for r in ax.EXPECTED if r[1])
-    assert n_ok == 39
+    assert n_ok == 43
 
 
 def test_flac_subframe_variants_match_their_verbatim_twin():
@@ -97,6 +97,18 @@ def test_stereo_decorrelation_rows_match_their_mono_twin():
         # sr_low4 | (channels-1)<<1 | bps_hi1)
         assert (blobs[variant][20] >> 1) & 0x7 == 1
         assert (blobs[twin][20] >> 1) & 0x7 == 0
+
+
+def test_wav_width_rows_match_their_flac_twin():
+    """fids 55/56/58 (round 7): 24-bit and 8-bit WAV rows quantize the
+    SAME signals at the SAME widths as FLAC rows 52/54/53, so the two
+    container parsers must decode to IDENTICAL frozen features — one
+    truth value-locks both (and 52/54 chain to hand arithmetic)."""
+    by_fid = {r[0]: r for r in ax.EXPECTED}
+    for wav_row, flac_row in ((55, 52), (56, 54), (58, 53)):
+        assert by_fid[wav_row][1:] == by_fid[flac_row][1:], (wav_row, flac_row)
+    # the float32 WAV row really decodes (no int quantization path)
+    assert by_fid[57][1] is True and by_fid[57][3] == 2000
 
 
 def test_blobs_are_deterministic():

@@ -66,3 +66,79 @@ def test_prefilter_pushdown(spark, clips_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or "Filter" in plan
     assert df.count() > 0
+
+
+def test_wav_sample_width_family():
+    """Round 7: real-world WAV widths decode — 24-bit PCM (bit-exact
+    vs independent int quantization), 8-bit unsigned (128 offset),
+    float32/float64 (tag 3, no scaling), 32-bit PCM, stereo 24-bit
+    downmix, and WAVE_FORMAT_EXTENSIBLE wrapping; 12-bit stays a typed
+    error."""
+    import struct
+
+    import numpy as np
+
+    from go_pkg_spider_spark.fixtures.audio_fixtures import (
+        _fmt_chunk,
+        _riff,
+        _sine,
+        _wav8,
+        _wav24,
+        _wavf32,
+    )
+
+    sig = _sine(3000, 16000, 440.0)
+    # 24-bit: decode equals the independent quantization exactly
+    pcm, sr = decode.decode_wav(_wav24(sig, 16000))
+    want = ((sig * 8388607).astype(np.int64)).astype(np.float32) / np.float32(
+        8388607.0
+    )
+    assert sr == 16000 and np.array_equal(pcm, want)
+    # 8-bit unsigned round-trips through the 128 offset
+    pcm8, _ = decode.decode_wav(_wav8(sig, 16000))
+    want8 = ((sig * 127).astype(np.int64)).astype(np.float32) / np.float32(127.0)
+    assert np.array_equal(pcm8, want8)
+    # float32: samples pass through exactly
+    pf, _ = decode.decode_wav(_wavf32(sig, 16000))
+    assert np.array_equal(pf, sig.astype("<f4"))
+    # float64
+    blob64 = _riff(
+        [(b"fmt ", _fmt_chunk(16000, bps=64, fmt=3)),
+         (b"data", sig.astype("<f8").tobytes())]
+    )
+    p64, _ = decode.decode_wav(blob64)
+    assert np.allclose(p64, sig, atol=1e-7)
+    # 32-bit PCM
+    v32 = (sig * 2147483647).astype("<i4")
+    blob32 = _riff([(b"fmt ", _fmt_chunk(16000, bps=32)), (b"data", v32.tobytes())])
+    p32, _ = decode.decode_wav(blob32)
+    assert np.allclose(p32, sig, atol=1e-6)
+    # stereo 24-bit downmix: mean of m+d / m-d is exactly m
+    m = (sig * 4000000).astype(np.int64)
+    d = (_sine(3000, 16000, 333.0) * 2000000).astype(np.int64)
+    fr = np.empty(6000, dtype=np.int64)
+    fr[0::2], fr[1::2] = m + d, m - d
+    b3 = np.zeros((6000, 3), dtype=np.uint8)
+    u = fr & 0xFFFFFF
+    b3[:, 0], b3[:, 1], b3[:, 2] = u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF
+    st = _riff(
+        [(b"fmt ", _fmt_chunk(16000, channels=2, bps=24)), (b"data", b3.tobytes())]
+    )
+    ps, _ = decode.decode_wav(st)
+    assert np.array_equal(ps, m.astype(np.float32) / np.float32(8388607.0))
+    # WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping PCM 24-bit
+    base = _fmt_chunk(16000, bps=24, fmt=0xFFFE)
+    ext = base + struct.pack("<HHI", 22, 24, 0x4) + struct.pack("<H", 1) + b"\x00" * 14
+    v = (sig * 8388607).astype(np.int64) & 0xFFFFFF
+    bx = np.zeros((len(v), 3), dtype=np.uint8)
+    bx[:, 0], bx[:, 1], bx[:, 2] = v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF
+    ex = _riff([(b"fmt ", ext), (b"data", bx.tobytes())])
+    pe, _ = decode.decode_wav(ex)
+    assert np.array_equal(pe, want)
+    # 12-bit rejected with the typed reason
+    bad = _riff([(b"fmt ", _fmt_chunk(16000, bps=12)), (b"data", b"\x00" * 32)])
+    try:
+        decode.decode_wav(bad)
+        raise AssertionError("12-bit wav must be rejected")
+    except ValueError as e:
+        assert str(e) == "unsupported_wav_format"

@@ -375,6 +375,27 @@ def build_rows() -> list[tuple[int, bytes | None, str | None, int | None]]:
     # 58 == 53: 24-bit PCM WAV, the FLAC-24 sine's exact int samples
     add(_wav24(_sine(2000, 8000, 220.0), 8000), "wav", 8000)
 
+    # -- J: G.711 telephony + raw-codec twins (round 7) -- fids 59..63.
+    #    The G.711 payload is the full code space bytes(0..255) x 4, so
+    #    every table entry is exercised (tables pinned code-for-code
+    #    against the stdlib audioop oracle in tests/test_decode.py;
+    #    hand values: µ-law 0xFF/0x7F = ±0, 0x80/0x00 = ±32124; A-law
+    #    0x55/0xD5 = ∓8, 0x2A/0xAA = ∓32256).
+    g711 = bytes(range(256)) * 4
+    # 59: µ-law WAV (format tag 7)
+    add(_riff([(b"fmt ", _fmt_chunk(8000, bps=8, fmt=7)), (b"data", g711)]),
+        "wav", 8000)
+    # 60: A-law WAV (format tag 6)
+    add(_riff([(b"fmt ", _fmt_chunk(8000, bps=8, fmt=6)), (b"data", g711)]),
+        "wav", 8000)
+    # 61 == 59: the same µ-law codes as a HEADERLESS pcm_mulaw blob —
+    #     container-vs-raw twin (sr from the sr_hz column)
+    add(g711, "pcm_mulaw", 8000)
+    # 62 == 58 == 53: the 24-bit sine's exact bytes as raw pcm_s24le
+    add(_wav24(_sine(2000, 8000, 220.0), 8000)[44:], "pcm_s24le", 8000)
+    # 63 == 57: the float32 sine's exact bytes as raw pcm_f32le
+    add(_sine(2000, 16000, 440.0).astype("<f4").tobytes(), "pcm_f32le", 16000)
+
     return rows
 
 
@@ -523,4 +544,9 @@ EXPECTED: list[tuple] = [
     (56, True, None, 2000, 16000, 0.24409449100494385, 0.24409449100494385, 0.0, 0.24409449100494385, 0.0, 11, 0.0, 0.0, 0.0, 2000),
     (57, True, None, 2000, 16000, 0.42426406919016113, 0.6000000238418579, 0.0, 6.217248937900877e-18, 0.054527263631815905, 11, 440.001, 440.0, 0.0, 2000),
     (58, True, None, 2000, 8000, 0.42426401048076223, 0.5999999642372131, 0.0, 0.0, 0.054527263631815905, 23, 532.046, 220.0, 0.0, 4000),
+    (59, True, None, 1024, 8000, 0.3093938061113677, 0.9803766012191772, 0.0, 0.0, 0.006842619745845552, 11, 1653.53, 4101.562, 0.0, 2048),
+    (60, True, None, 1024, 8000, 0.31178710586811964, 0.9844050407409668, 0.0, 0.0, 0.006842619745845552, 11, 1191.93, 2781.25, 0.0, 2048),
+    (61, True, None, 1024, 8000, 0.3093938061113677, 0.9803766012191772, 0.0, 0.0, 0.006842619745845552, 11, 1653.53, 4101.562, 0.0, 2048),
+    (62, True, None, 2000, 8000, 0.42426401048076223, 0.5999999642372131, 0.0, 0.0, 0.054527263631815905, 23, 532.046, 220.0, 0.0, 4000),
+    (63, True, None, 2000, 16000, 0.42426406919016113, 0.6000000238418579, 0.0, 6.217248937900877e-18, 0.054527263631815905, 11, 440.001, 440.0, 0.0, 2000),
 ]

@@ -10,10 +10,13 @@ features cross the (potential) shuffle boundary downstream
 (SURVEY.md §4.3 spill-safety: PCM is ~100x input, never materialized as
 a column).
 
-Codecs: 'wav' (RIFF PCM16, numpy parse), 'pcm_s16le' (raw), 'flac'
-(pure-Python/numpy bitstream decoder, operators/flac.py — every codec
-the whitelist advertises actually decodes, matching the reference's
-whitelist-means-decoded contract, http.go:141-170).
+Codecs: 'wav' (RIFF: PCM 8/16/24/32-bit, IEEE float 32/64, G.711
+A-law/µ-law tags, EXTENSIBLE unwrap), raw 'pcm_s16le' / 'pcm_s24le' /
+'pcm_f32le' / 'pcm_mulaw' / 'pcm_alaw', and 'flac' (pure-Python/numpy
+bitstream decoder, operators/flac.py: all spec widths + stereo
+decorrelation) — every codec the whitelist advertises actually
+decodes, matching the reference's whitelist-means-decoded contract
+(http.go:141-170).
 """
 
 from __future__ import annotations
@@ -32,8 +35,44 @@ from pyspark.sql.types import (
     StructType,
 )
 
-CODEC_WHITELIST = ("wav", "pcm_s16le", "flac")  # the textContentTypes analog
+CODEC_WHITELIST = (  # the textContentTypes analog
+    "wav",
+    "pcm_s16le",
+    "flac",
+    "pcm_s24le",
+    "pcm_f32le",
+    "pcm_mulaw",  # G.711 telephony (round 7)
+    "pcm_alaw",
+)
 MAX_CONTENT_LENGTH = 10 * 1024 * 1024  # http.go MaxContentLength 10 MiB
+
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """G.711 decode tables (ITU-T G.711; the classic public-domain
+    expansion arithmetic), computed once at import: code byte ->
+    int16-scale linear sample. µ-law: complement, then
+    magnitude = ((mant<<3)+0x84)<<exp - 0x84, sign bit 0x80 of the
+    complemented code means NEGATIVE (0xFF/0x7F are ±0, 0x80/0x00 are
+    ±32124). A-law: XOR 0x55, segment 0 adds 8, higher segments add
+    0x108 then shift; the sign bit means POSITIVE (no zero code —
+    0x55/0xD5 are ∓8; extremes ±32256). Every entry is pinned against
+    the stdlib audioop oracle in tests/test_decode.py."""
+    codes = np.arange(256, dtype=np.int64)
+    u = ~codes & 0xFF
+    mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
+    ulaw = np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+    a = codes ^ 0x55
+    mant = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    t = np.where(
+        seg == 0, mant + 8, (mant + 0x108) << np.maximum(seg - 1, 0)
+    )
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
 
 DECODE_SCHEMA = StructType(
     [
@@ -54,7 +93,9 @@ from . import flac as _flac
 
 # (format_tag, bits) -> full-scale divisor. WAV supports PCM (tag 1;
 # 8-bit is UNSIGNED with a 128 offset per the RIFF spec, wider widths
-# signed LE) and IEEE float (tag 3, already in [-1, 1] -> divisor 1).
+# signed LE), IEEE float (tag 3, already in [-1, 1] -> divisor 1), and
+# the G.711 telephony companding laws (tag 6 A-law / tag 7 µ-law,
+# 8-bit codes expanding to int16 scale).
 _WAV_FORMATS = {
     (1, 8): 127.0,
     (1, 16): 32767.0,
@@ -62,6 +103,8 @@ _WAV_FORMATS = {
     (1, 32): 2147483647.0,
     (3, 32): 1.0,
     (3, 64): 1.0,
+    (6, 8): 32767.0,
+    (7, 8): 32767.0,
 }
 
 
@@ -104,6 +147,9 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         pcm = v - ((v >> 23) << 24)
     elif (fmt, bps) == (1, 8):
         pcm = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+    elif fmt in (6, 7):  # G.711: one table gather per byte
+        table = _ALAW_TABLE if fmt == 6 else _ULAW_TABLE
+        pcm = table[np.frombuffer(data, dtype=np.uint8)]
     else:
         dtype = {(1, 16): "<i2", (1, 32): "<i4", (3, 32): "<f4", (3, 64): "<f8"}[
             (fmt, bps)
@@ -123,6 +169,31 @@ def decode_pcm_s16le(blob: bytes, sr_hz: int) -> tuple[np.ndarray, int]:
     return pcm.astype(np.float32) / np.float32(32767.0), int(sr_hz)
 
 
+def decode_pcm_raw(blob: bytes, codec: str, sr_hz: int) -> tuple[np.ndarray, int]:
+    """Headerless PCM variants beyond s16le (round 7): 24-bit LE, IEEE
+    float32, and the G.711 telephony laws — the raw-byte twins of the
+    WAV format tags, sharing the same normalization conventions."""
+    if codec == "pcm_s24le":
+        usable = len(blob) - (len(blob) % 3)
+        raw = np.frombuffer(blob[:usable], dtype=np.uint8).reshape(-1, 3)
+        v = (
+            raw[:, 0].astype(np.int64)
+            | (raw[:, 1].astype(np.int64) << 8)
+            | (raw[:, 2].astype(np.int64) << 16)
+        )
+        pcm, scale = v - ((v >> 23) << 24), 8388607.0
+    elif codec == "pcm_f32le":
+        usable = len(blob) - (len(blob) % 4)
+        pcm, scale = np.frombuffer(blob[:usable], dtype="<f4"), 1.0
+    elif codec == "pcm_mulaw":
+        pcm, scale = _ULAW_TABLE[np.frombuffer(blob, dtype=np.uint8)], 32767.0
+    else:  # pcm_alaw
+        pcm, scale = _ALAW_TABLE[np.frombuffer(blob, dtype=np.uint8)], 32767.0
+    if pcm.size == 0:
+        raise ValueError("empty_pcm")
+    return pcm.astype(np.float32) / np.float32(scale), int(sr_hz)
+
+
 def decode_blob(blob: bytes | None, codec: str | None, sr_hz: int | None) -> tuple[np.ndarray | None, int, str | None]:
     """Returns (pcm, sr, err)."""
     if blob is None or len(blob) == 0:
@@ -136,8 +207,10 @@ def decode_blob(blob: bytes | None, codec: str | None, sr_hz: int | None) -> tup
             pcm, sr = decode_wav(blob)
         elif codec == "pcm_s16le":
             pcm, sr = decode_pcm_s16le(blob, sr_hz or 16000)
-        else:  # flac: own bitstream decoder (operators/flac.py)
+        elif codec == "flac":  # own bitstream decoder (operators/flac.py)
             pcm, sr = _flac.decode_flac(blob)
+        else:  # pcm_s24le / pcm_f32le / pcm_mulaw / pcm_alaw
+            pcm, sr = decode_pcm_raw(blob, codec, sr_hz or 16000)
         return pcm, sr, None
     except ValueError as e:
         # our parsers raise snake_case tokens; a ValueError bubbling up

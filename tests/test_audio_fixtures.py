@@ -15,7 +15,7 @@ from go_pkg_spider_spark.fixtures import audio_fixtures as ax
 
 def test_expected_matches_live_derivation():
     derived = ax.derive_expected()
-    assert len(derived) == len(ax.EXPECTED) == 59
+    assert len(derived) == len(ax.EXPECTED) == 64
     for got, frozen in zip(derived, ax.EXPECTED):
         assert got == frozen, f"fid {frozen[0]} drifted: {got} != {frozen}"
 
@@ -54,10 +54,10 @@ def test_error_rows_are_typed():
     # is decoder-internal; ok=false + nonempty err is the contract)
     for fid in (41, 42, 43):
         assert by_fid[fid]["ok"] is False and by_fid[fid]["err"]
-    # every non-error row decoded (59 total, 16 error rows: fid 23
+    # every non-error row decoded (64 total, 16 error rows: fid 23
     # empty_pcm + fids 30-44)
     n_ok = sum(1 for r in ax.EXPECTED if r[1])
-    assert n_ok == 43
+    assert n_ok == 48
 
 
 def test_flac_subframe_variants_match_their_verbatim_twin():
@@ -109,6 +109,14 @@ def test_wav_width_rows_match_their_flac_twin():
         assert by_fid[wav_row][1:] == by_fid[flac_row][1:], (wav_row, flac_row)
     # the float32 WAV row really decodes (no int quantization path)
     assert by_fid[57][1] is True and by_fid[57][3] == 2000
+    # container-vs-raw twins (round 7 G.711/raw family): the same
+    # bytes through the WAV tag path and the headerless codec path
+    # must land on identical frozen features
+    for raw_row, twin in ((61, 59), (62, 58), (63, 57)):
+        assert by_fid[raw_row][1:] == by_fid[twin][1:], (raw_row, twin)
+    # both G.711 laws decode the full code space (256 codes x 4)
+    for f in (59, 60):
+        assert by_fid[f][1] is True and by_fid[f][3] == 1024
 
 
 def test_blobs_are_deterministic():

@@ -142,3 +142,72 @@ def test_wav_sample_width_family():
         raise AssertionError("12-bit wav must be rejected")
     except ValueError as e:
         assert str(e) == "unsupported_wav_format"
+
+
+def test_g711_tables_match_stdlib_oracle():
+    """Round 7: the G.711 expansion tables (computed from the ITU
+    arithmetic) must match the stdlib audioop oracle CODE-FOR-CODE for
+    all 256 values in both laws, plus the published hand values."""
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from go_pkg_spider_spark.operators.decode import _ALAW_TABLE, _ULAW_TABLE
+
+    codes = bytes(range(256))
+    assert np.array_equal(
+        _ULAW_TABLE, np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+    )
+    assert np.array_equal(
+        _ALAW_TABLE, np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+    )
+    # hand values from the ITU tables: µ-law ±0 / ±max, A-law has no
+    # zero code — ∓8 at the center, ∓32256 at the extremes
+    assert (_ULAW_TABLE[0xFF], _ULAW_TABLE[0x7F]) == (0, 0)
+    assert (_ULAW_TABLE[0x80], _ULAW_TABLE[0x00]) == (32124, -32124)
+    assert (_ALAW_TABLE[0x55], _ALAW_TABLE[0xD5]) == (-8, 8)
+    assert (_ALAW_TABLE[0x2A], _ALAW_TABLE[0xAA]) == (-32256, 32256)
+
+
+def test_g711_and_raw_codec_paths():
+    """WAV format tags 6/7 and the headerless codecs decode to the same
+    samples; raw pcm variants honor sr_hz and typed-error on empties."""
+    import numpy as np
+
+    from go_pkg_spider_spark.fixtures.audio_fixtures import _fmt_chunk, _riff
+    from go_pkg_spider_spark.operators.decode import (
+        _ULAW_TABLE,
+        decode_blob,
+        decode_pcm_raw,
+    )
+
+    g711 = bytes(range(256)) * 2
+    wav_mu = _riff([(b"fmt ", _fmt_chunk(8000, bps=8, fmt=7)), (b"data", g711)])
+    p_wav, sr, err = decode_blob(wav_mu, "wav", None)
+    assert err is None and sr == 8000
+    p_raw, sr2, err2 = decode_blob(g711, "pcm_mulaw", 8000)
+    assert err2 is None and sr2 == 8000
+    assert np.array_equal(p_wav, p_raw)
+    want = _ULAW_TABLE[np.frombuffer(g711, np.uint8)].astype(
+        np.float32
+    ) / np.float32(32767.0)
+    assert np.array_equal(p_raw, want)
+    # raw 24-bit and float32 paths
+    sig = np.linspace(-0.9, 0.9, 300)
+    v = (sig * 8388607).astype(np.int64) & 0xFFFFFF
+    b3 = np.zeros((300, 3), np.uint8)
+    b3[:, 0], b3[:, 1], b3[:, 2] = v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF
+    p24, _ = decode_pcm_raw(b3.tobytes(), "pcm_s24le", 16000)
+    assert np.allclose(p24, sig, atol=2e-7)
+    pf, _ = decode_pcm_raw(sig.astype("<f4").tobytes(), "pcm_f32le", 16000)
+    assert np.array_equal(pf, sig.astype("<f4"))
+    # empties stay typed errors
+    for codec in ("pcm_s24le", "pcm_f32le", "pcm_mulaw", "pcm_alaw"):
+        _, _, e = decode_blob(b"", codec, 8000)
+        assert e == "empty_bytes"
+        _, _, e2 = decode_blob(b"\x01", "pcm_s24le", 8000)
+        assert e2 == "empty_pcm"

@@ -2151,10 +2151,10 @@ def charset_guess_docs(spark, sf_dir):
 @query("audio_decode_docs", _audio_oracle_sql())
 def audio_decode_docs(spark, sf_dir):
     """The north-star audio leg under the hard gate (round-4 verdict
-    #1): 64 deterministic WAV/PCM/FLAC byte fixtures — including
+    #1): 65 deterministic WAV/PCM/FLAC byte fixtures — including
     G.711 telephony (µ-law/A-law WAV tags + headerless codecs over the
     full 256-code space, tables pinned against the stdlib audioop
-    oracle, fids 59-63),
+    oracle, fids 59-63) and IMA ADPCM (fid 64),
     stereo downmix, FLAC stereo DECORRELATION (left-side / right-side
     / mid-side with predictor-coded 17-bit side channels, fids 49-51),
     sample widths beyond 16-bit in BOTH containers (24-bit hi-res +

@@ -127,6 +127,49 @@ def _wavf32(pcm: np.ndarray, sr: int) -> bytes:
     )
 
 
+def _wav_ima(pcm: np.ndarray, sr: int, block_align: int = 256) -> bytes:
+    """IMA ADPCM WAV (format tag 0x11, mono): per block, a 4-byte
+    header (predictor int16 = the first sample, running step index,
+    reserved) then low-nibble-first 4-bit codes. The encoder chooses
+    each nibble with the canonical greedy quantizer and advances state
+    with the DECODER's own recurrence (which is pinned code-for-code
+    against the stdlib audioop oracle), so encode->decode drift is
+    bounded by the format's quantization only. Sample count must fill
+    whole blocks (1 + 2*(block_align-4) samples each)."""
+    from ..operators.decode import _IMA_STEPS, _ima_decode_nibbles
+
+    v = [int(x) for x in _i16(pcm)]
+    spb = 1 + 2 * (block_align - 4)
+    assert len(v) % spb == 0, "fixture length must fill whole ADPCM blocks"
+    out = bytearray()
+    index = 0
+    for b0 in range(0, len(v), spb):
+        pred = v[b0]
+        out += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in v[b0 + 1 : b0 + spb]:
+            step = int(_IMA_STEPS[index])
+            delta = s - pred
+            n = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                n |= 4
+                delta -= step
+            if delta >= step >> 1:
+                n |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                n |= 1
+            nibbles.append(n)
+            dec, pred, index = _ima_decode_nibbles([n], pred, index)
+        for i in range(0, len(nibbles), 2):
+            out.append(nibbles[i] | (nibbles[i + 1] << 4))
+    fmt = struct.pack(
+        "<HHIIHH", 0x11, 1, sr, sr * block_align // spb, block_align, 4
+    )
+    return _riff([(b"fmt ", fmt), (b"data", bytes(out))])
+
+
 def _flac(pcm: np.ndarray, sr: int) -> bytes:
     from ..operators.flac import encode_flac_s16
 
@@ -395,6 +438,11 @@ def build_rows() -> list[tuple[int, bytes | None, str | None, int | None]]:
     add(_wav24(_sine(2000, 8000, 220.0), 8000)[44:], "pcm_s24le", 8000)
     # 63 == 57: the float32 sine's exact bytes as raw pcm_f32le
     add(_sine(2000, 16000, 440.0).astype("<f4").tobytes(), "pcm_f32le", 16000)
+    # 64: IMA ADPCM WAV (format tag 0x11) — 2 blocks x 505 samples of
+    #     a 220Hz sine; lossy 4-bit compression, truth = frozen decode
+    #     (the nibble recurrence is audioop-pinned; the unit test also
+    #     gates encode->decode SNR)
+    add(_wav_ima(_sine(1010, 8000, 220.0), 8000), "wav", 8000)
 
     return rows
 
@@ -549,4 +597,5 @@ EXPECTED: list[tuple] = [
     (61, True, None, 1024, 8000, 0.3093938061113677, 0.9803766012191772, 0.0, 0.0, 0.006842619745845552, 11, 1653.53, 4101.562, 0.0, 2048),
     (62, True, None, 2000, 8000, 0.42426401048076223, 0.5999999642372131, 0.0, 0.0, 0.054527263631815905, 23, 532.046, 220.0, 0.0, 4000),
     (63, True, None, 2000, 16000, 0.42426406919016113, 0.6000000238418579, 0.0, 6.217248937900877e-18, 0.054527263631815905, 11, 440.001, 440.0, 0.0, 2000),
+    (64, True, None, 1010, 8000, 0.4225098396017811, 0.6080812811851501, 0.0, 0.00014793936089418903, 0.05450941526263627, 11, 1018.445, 2114.851, 0.0, 2020),
 ]

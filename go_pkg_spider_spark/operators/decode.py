@@ -74,6 +74,69 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
 
 _ULAW_TABLE, _ALAW_TABLE = _g711_tables()
 
+# IMA/DVI ADPCM (WAV format tag 0x11) — the classic 4-bit speech
+# compression. Public tables (IMA ADPCM reference algorithm; the same
+# core recurrence as the stdlib audioop DVI variant, which pins it in
+# tests/test_decode.py).
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_decode_nibbles(nibbles, pred: int, index: int) -> tuple[list[int], int, int]:
+    """Decode a sequence of 4-bit IMA codes from (pred, index) state.
+    Inherently sequential (the step index evolves per sample), so this
+    is a bounded per-block Python loop — the same confinement as the
+    FLAC LPC recurrence; blocks are independent and short (block_align
+    bytes), and ADPCM only appears on cold ingest paths."""
+    out = []
+    steps, idxtab = _IMA_STEPS, _IMA_INDEX
+    for n in nibbles:
+        step = int(steps[index])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        out.append(pred)
+        index = max(0, min(88, index + int(idxtab[n & 7])))
+    return out, pred, index
+
+
+def _decode_ima_adpcm(data: bytes, block_align: int) -> np.ndarray:
+    """WAV IMA ADPCM data chunk -> int16 samples (mono). Block layout:
+    4-byte header (predictor int16 LE = the block's FIRST sample,
+    step-index u8, reserved) then low-nibble-first 4-bit codes."""
+    if block_align < 5:
+        raise ValueError("unsupported_wav_format")
+    out: list[int] = []
+    for off in range(0, len(data) - 3, block_align):
+        block = data[off : off + block_align]
+        pred = struct.unpack_from("<h", block, 0)[0]
+        index = max(0, min(88, block[2]))
+        out.append(pred)
+        payload = np.frombuffer(block[4:], dtype=np.uint8)
+        nibbles = np.empty(payload.size * 2, dtype=np.uint8)
+        nibbles[0::2] = payload & 0x0F  # low nibble first per the spec
+        nibbles[1::2] = payload >> 4
+        decoded, _, _ = _ima_decode_nibbles(nibbles.tolist(), pred, index)
+        out.extend(decoded)
+    return np.array(out, dtype=np.int16)
+
 DECODE_SCHEMA = StructType(
     [
         StructField("ok", BooleanType()),
@@ -105,6 +168,7 @@ _WAV_FORMATS = {
     (3, 64): 1.0,
     (6, 8): 32767.0,
     (7, 8): 32767.0,
+    (0x11, 4): 32767.0,  # IMA ADPCM (4-bit block-compressed speech)
 }
 
 
@@ -118,13 +182,15 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     so frozen fixtures are unaffected."""
     if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("bad_riff_header")
-    pos, fmt, sr, n_ch, bps, data = 12, None, None, None, None, None
+    pos, fmt, sr, n_ch, bps, block_align, data = 12, None, None, None, None, 0, None
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
         (size,) = struct.unpack_from("<I", blob, pos + 4)
         body = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
-            fmt, n_ch, sr, _, _, bps = struct.unpack_from("<HHIIHH", body, 0)
+            fmt, n_ch, sr, _, block_align, bps = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
             if fmt == 0xFFFE and len(body) >= 26:
                 # WAVE_FORMAT_EXTENSIBLE: the real tag leads the GUID
                 (fmt,) = struct.unpack_from("<H", body, 24)
@@ -135,6 +201,11 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)
     if sr is None or data is None or n_ch is None:
         raise ValueError("missing_wav_chunk")
+    if fmt == 0x11:  # IMA ADPCM: block-structured, mono supported
+        if n_ch != 1:
+            raise ValueError("unsupported_wav_format")
+        pcm = _decode_ima_adpcm(data, block_align)
+        return pcm.astype(np.float32) / np.float32(32767.0), int(sr)
     step = bps // 8
     usable = len(data) - (len(data) % step)  # trailing partial sample dropped
     if bps == 24:  # 3-byte little-endian signed: byte-gather + sign extend

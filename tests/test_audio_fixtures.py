@@ -15,7 +15,7 @@ from go_pkg_spider_spark.fixtures import audio_fixtures as ax
 
 def test_expected_matches_live_derivation():
     derived = ax.derive_expected()
-    assert len(derived) == len(ax.EXPECTED) == 64
+    assert len(derived) == len(ax.EXPECTED) == 65
     for got, frozen in zip(derived, ax.EXPECTED):
         assert got == frozen, f"fid {frozen[0]} drifted: {got} != {frozen}"
 
@@ -54,10 +54,10 @@ def test_error_rows_are_typed():
     # is decoder-internal; ok=false + nonempty err is the contract)
     for fid in (41, 42, 43):
         assert by_fid[fid]["ok"] is False and by_fid[fid]["err"]
-    # every non-error row decoded (64 total, 16 error rows: fid 23
+    # every non-error row decoded (65 total, 16 error rows: fid 23
     # empty_pcm + fids 30-44)
     n_ok = sum(1 for r in ax.EXPECTED if r[1])
-    assert n_ok == 48
+    assert n_ok == 49
 
 
 def test_flac_subframe_variants_match_their_verbatim_twin():

@@ -18,7 +18,9 @@ query list (pass 1 forward, passes 2-3 reverse, pass 4 forward) so one
 contended host window lands in at most one or two of each entry's runs
 — back-to-back min-of-2 could not reject a window that covered both
 runs (BENCH_r05: uniform 1.5-3x inflation on every sub-second entry).
-Raw per-run times are kept in the artifact so noise stays adjudicable.
+Raw per-run times go to BENCH/bench_raw_runs.json (referenced by path
+from the printed line) so noise stays adjudicable without bloating the
+one-line artifact a truncating capture could cut (VERDICT r6 #1).
 """
 
 from __future__ import annotations

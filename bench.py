@@ -54,9 +54,10 @@ def _noop_write(df) -> None:
 
 def clips_path(sf_name: str, spark) -> str:
     n = CLIPS_BY_SF.get(sf_name, 5_000)
+    # v5: invalid-codec label mp3->speex (mp3 whitelisted round 8)
     # v4: real flac blobs (operators/flac.py); small parquet row groups
     # (binary-payload requirement — datagen.CLIPS_ROW_GROUP_SIZE)
-    path = f"/tmp/bench_clips_v4_{sf_name}_{n}.parquet"
+    path = f"/tmp/bench_clips_v5_{sf_name}_{n}.parquet"
     if not os.path.exists(path):
         from go_pkg_spider_spark import datagen
 

@@ -146,7 +146,12 @@ def make_row(i: int) -> tuple[str, bytes, int, int, str, str]:
     if r < 2:
         blob = blob[: max(len(blob) // 3, 4)]  # truncated/corrupt
     elif r < 4:
-        codec = "mp3"  # invalid codec value (whitelist reject)
+        # invalid codec value (whitelist reject). 'speex' since round 8:
+        # 'mp3' is now a whitelisted import-gated slot whose outcome
+        # depends on installed libraries — the corpus must stay
+        # environment-stable (same decision everywhere), so the
+        # always-rejected label keeps the original intent.
+        codec = "speex"
 
     tpl, _ = POOL[i % len(POOL)]
     transcript = tpl

@@ -452,6 +452,24 @@ def ngram_jaccard_pairs_docs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, "text", "doc_id", "source", threshold=0.3)
 
 
+def ngram_cap_parity_guard(spark, sf_dir) -> dict[str, int]:
+    """Gate-side replica of the ngram group cap's drop accounting
+    (ADVICE r7: the DuckDB oracle does NOT model the max_group_size
+    cap, so parity holds only while headroom exists — this guard makes
+    a corpus that crosses the cap FAIL the gate loudly instead of
+    quietly diverging). Re-runs the entry's exact frame with a held
+    Observation and returns the observed metrics; the caller
+    (tools/check_oracles.py) fails when dropped_members > 0."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    d = _t(spark, sf_dir, "documents").filter(F.col("source").isin("src6", "src7"))
+    dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", "source", threshold=0.3, observation=obs
+    ).count()
+    return {k: int(v) for k, v in obs.get.items()}
+
+
 @query("minhash_lsh_docs", oracle_sql_gen.minhash_lsh_sql())
 def minhash_lsh_docs(spark, sf_dir):
     """MinHash+LSH near-dup candidates (banded signatures). Hard-gate
@@ -2151,10 +2169,11 @@ def charset_guess_docs(spark, sf_dir):
 @query("audio_decode_docs", _audio_oracle_sql())
 def audio_decode_docs(spark, sf_dir):
     """The north-star audio leg under the hard gate (round-4 verdict
-    #1): 65 deterministic WAV/PCM/FLAC byte fixtures — including
+    #1): 67 deterministic WAV/PCM/FLAC byte fixtures — including
     G.711 telephony (µ-law/A-law WAV tags + headerless codecs over the
     full 256-code space, tables pinned against the stdlib audioop
-    oracle, fids 59-63) and IMA ADPCM (fid 64),
+    oracle, fids 59-63) and IMA ADPCM (fid 64; round 8 adds the
+    STEREO interleave and 'fact'-chunk truncation twins, fids 65-66),
     stereo downmix, FLAC stereo DECORRELATION (left-side / right-side
     / mid-side with predictor-coded 17-bit side channels, fids 49-51),
     sample widths beyond 16-bit in BOTH containers (24-bit hi-res +

@@ -127,25 +127,22 @@ def _wavf32(pcm: np.ndarray, sr: int) -> bytes:
     )
 
 
-def _wav_ima(pcm: np.ndarray, sr: int, block_align: int = 256) -> bytes:
-    """IMA ADPCM WAV (format tag 0x11, mono): per block, a 4-byte
-    header (predictor int16 = the first sample, running step index,
-    reserved) then low-nibble-first 4-bit codes. The encoder chooses
-    each nibble with the canonical greedy quantizer and advances state
-    with the DECODER's own recurrence (which is pinned code-for-code
-    against the stdlib audioop oracle), so encode->decode drift is
-    bounded by the format's quantization only. Sample count must fill
-    whole blocks (1 + 2*(block_align-4) samples each)."""
+def _ima_encode_blocks(pcm: np.ndarray, block_align: int) -> list[tuple[int, int, bytes]]:
+    """Greedy IMA ADPCM encode of whole mono blocks -> list of
+    (predictor, start_index, code_bytes). The quantizer advances state
+    with the DECODER's own recurrence (pinned code-for-code against the
+    stdlib audioop oracle), so encode->decode drift is bounded by the
+    format's quantization only."""
     from ..operators.decode import _IMA_STEPS, _ima_decode_nibbles
 
     v = [int(x) for x in _i16(pcm)]
     spb = 1 + 2 * (block_align - 4)
     assert len(v) % spb == 0, "fixture length must fill whole ADPCM blocks"
-    out = bytearray()
+    blocks = []
     index = 0
     for b0 in range(0, len(v), spb):
         pred = v[b0]
-        out += struct.pack("<hBB", pred, index, 0)
+        start_index = index
         nibbles = []
         for s in v[b0 + 1 : b0 + spb]:
             step = int(_IMA_STEPS[index])
@@ -162,10 +159,61 @@ def _wav_ima(pcm: np.ndarray, sr: int, block_align: int = 256) -> bytes:
                 n |= 1
             nibbles.append(n)
             dec, pred, index = _ima_decode_nibbles([n], pred, index)
+        code = bytearray()
         for i in range(0, len(nibbles), 2):
-            out.append(nibbles[i] | (nibbles[i + 1] << 4))
+            code.append(nibbles[i] | (nibbles[i + 1] << 4))
+        blocks.append((v[b0], start_index, bytes(code)))
+    return blocks
+
+
+def _wav_ima(
+    pcm: np.ndarray,
+    sr: int,
+    block_align: int = 256,
+    fact_samples: int | None = None,
+) -> bytes:
+    """IMA ADPCM WAV (format tag 0x11, mono): per block, a 4-byte
+    header (predictor int16 = the first sample, running step index,
+    reserved) then low-nibble-first 4-bit codes. Sample count must fill
+    whole blocks (1 + 2*(block_align-4) samples each). When
+    fact_samples is given, a 'fact' chunk advertises that dwSampleLength
+    — the decoder truncates trailing padding samples to it (round 8)."""
+    spb = 1 + 2 * (block_align - 4)
+    out = bytearray()
+    for pred, index, code in _ima_encode_blocks(pcm, block_align):
+        out += struct.pack("<hBB", pred, index, 0)
+        out += code
     fmt = struct.pack(
         "<HHIIHH", 0x11, 1, sr, sr * block_align // spb, block_align, 4
+    )
+    chunks = [(b"fmt ", fmt)]
+    if fact_samples is not None:
+        chunks.append((b"fact", struct.pack("<I", fact_samples)))
+    chunks.append((b"data", bytes(out)))
+    return _riff(chunks)
+
+
+def _wav_ima_stereo_dup(pcm: np.ndarray, sr: int, block_align: int = 256) -> bytes:
+    """Stereo IMA ADPCM WAV whose channels BOTH carry the mono encode
+    of `pcm`: per block, two 4-byte headers (identical state) then the
+    code stream interleaved as 4-byte words ch0/ch1/ch0/... with every
+    word duplicated. Mean-downmix of two identical channels is the
+    channel itself, so the expected features equal the mono twin's
+    frozen values BY CONSTRUCTION (round 8 — the FLAC m±d precedent).
+    The mono code payload must be a whole number of 4-byte words."""
+    mono_blocks = _ima_encode_blocks(pcm, block_align)
+    spb = 1 + 2 * (block_align - 4)
+    st_align = 8 + 2 * (block_align - 4)
+    out = bytearray()
+    for pred, index, code in mono_blocks:
+        assert len(code) % 4 == 0, "stereo dup needs whole 4-byte words"
+        hdr = struct.pack("<hBB", pred, index, 0)
+        out += hdr + hdr  # ch0 + ch1 headers, identical state
+        for w0 in range(0, len(code), 4):
+            word = code[w0 : w0 + 4]
+            out += word + word  # ch0 word, ch1 word
+    fmt = struct.pack(
+        "<HHIIHH", 0x11, 2, sr, sr * st_align // spb, st_align, 4
     )
     return _riff([(b"fmt ", fmt), (b"data", bytes(out))])
 
@@ -309,7 +357,12 @@ def build_rows() -> list[tuple[int, bytes | None, str | None, int | None]]:
     # -- E: error rows (the typed-error contract) -- fids 30..44
     add(b"", "wav", 16000)  # 30 empty_bytes
     add(None, "wav", 16000)  # 31 empty_bytes (NULL blob)
-    add(_wav(_sine(400, 8000, 110.0), 8000), "mp3", 8000)  # 32 not whitelisted
+    # 32: codec outside the whitelist — 'speex' stays permanently
+    #     unlisted (was 'mp3' through round 7; mp3 is whitelisted since
+    #     round 8 behind the import-gated compressed-codec slot, whose
+    #     error is environment-dependent and so lives in unit tests,
+    #     not this frozen corpus)
+    add(_wav(_sine(400, 8000, 110.0), 8000), "speex", 8000)
     add(_wav(_sine(400, 8000, 110.0), 8000), None, 8000)  # 33 NULL codec
     # 34: over the 10 MiB cap (content-length guard, http.go:61)
     add(b"\x00" * (MAX_CONTENT_LENGTH + 2), "pcm_s16le", 16000)
@@ -443,6 +496,22 @@ def build_rows() -> list[tuple[int, bytes | None, str | None, int | None]]:
     #     (the nibble recurrence is audioop-pinned; the unit test also
     #     gates encode->decode SNR)
     add(_wav_ima(_sine(1010, 8000, 220.0), 8000), "wav", 8000)
+
+    # -- K: IMA ADPCM twins (round 8) -- fids 65..66, both frozen
+    #    BY CONSTRUCTION to fid 64's values.
+    # 65 == 64: STEREO IMA ADPCM carrying fid 64's exact code stream on
+    #     both channels — mean-downmix of identical channels is the
+    #     mono signal (VERDICT r7 #3: stereo ADPCM was a typed error)
+    add(_wav_ima_stereo_dup(_sine(1010, 8000, 220.0), 8000), "wav", 8000)
+    # 66 == 64: a LONGER encode of the same sine (3 whole blocks, 1515
+    #     samples — _sine is prefix-stable, so blocks 1-2 are byte-
+    #     identical to fid 64's) with a 'fact' chunk advertising 1010
+    #     frames; the decoder truncates the padding block (ADVICE r7:
+    #     without fact, partial final blocks decode phantom samples)
+    add(
+        _wav_ima(_sine(1515, 8000, 220.0), 8000, fact_samples=1010),
+        "wav", 8000,
+    )
 
     return rows
 
@@ -598,4 +667,6 @@ EXPECTED: list[tuple] = [
     (62, True, None, 2000, 8000, 0.42426401048076223, 0.5999999642372131, 0.0, 0.0, 0.054527263631815905, 23, 532.046, 220.0, 0.0, 4000),
     (63, True, None, 2000, 16000, 0.42426406919016113, 0.6000000238418579, 0.0, 6.217248937900877e-18, 0.054527263631815905, 11, 440.001, 440.0, 0.0, 2000),
     (64, True, None, 1010, 8000, 0.4225098396017811, 0.6080812811851501, 0.0, 0.00014793936089418903, 0.05450941526263627, 11, 1018.445, 2114.851, 0.0, 2020),
+    (65, True, None, 1010, 8000, 0.4225098396017811, 0.6080812811851501, 0.0, 0.00014793936089418903, 0.05450941526263627, 11, 1018.445, 2114.851, 0.0, 2020),
+    (66, True, None, 1010, 8000, 0.4225098396017811, 0.6080812811851501, 0.0, 0.00014793936089418903, 0.05450941526263627, 11, 1018.445, 2114.851, 0.0, 2020),
 ]

@@ -85,6 +85,7 @@ def run_lease(root: str, run_id: str, ttl_sec: int = 6 * 3600):
     # where a contender read {} and "expired" a live lease).
     tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     acquired = False
+    degraded = False
     try:
         for _ in range(2):  # at most one stale takeover attempt
             with open(tmp, "w", encoding="utf-8") as f:
@@ -104,6 +105,15 @@ def run_lease(root: str, run_id: str, ttl_sec: int = 6 * 3600):
                 break
             except FileExistsError:
                 pass
+            except OSError:
+                # filesystem without hard-link support (FUSE/object-store
+                # gateway, exFAT — ENOTSUP/EPERM/EXDEV): the atomic-link
+                # publish can't work here, so degrade to the documented
+                # no-op lease, mirroring the makedirs guard above
+                # (ADVICE r7: the docstring promised degrade-to-no-op
+                # for non-POSIX roots; raising would crash the job).
+                degraded = True
+                break
             try:
                 st = os.stat(path)
                 with open(path, encoding="utf-8") as f:
@@ -149,11 +159,14 @@ def run_lease(root: str, run_id: str, ttl_sec: int = 6 * 3600):
                 f"{info.get('host', '?')}); wait for it, or delete "
                 f"{path} if you know it is dead"
             ) from None
-        if not acquired:
+        if not acquired and not degraded:
             raise LeaseHeldError(f"could not acquire {path} after stale takeover")
     finally:
         with contextlib.suppress(OSError):
             os.unlink(tmp)
+    if degraded:
+        yield  # no hard links on this root: lease unsupported, no-op
+        return
     try:
         yield
     finally:

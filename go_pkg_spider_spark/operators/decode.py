@@ -11,17 +11,24 @@ features cross the (potential) shuffle boundary downstream
 a column).
 
 Codecs: 'wav' (RIFF: PCM 8/16/24/32-bit, IEEE float 32/64, G.711
-A-law/µ-law tags, EXTENSIBLE unwrap), raw 'pcm_s16le' / 'pcm_s24le' /
-'pcm_f32le' / 'pcm_mulaw' / 'pcm_alaw', and 'flac' (pure-Python/numpy
-bitstream decoder, operators/flac.py: all spec widths + stereo
-decorrelation) — every codec the whitelist advertises actually
-decodes, matching the reference's whitelist-means-decoded contract
-(http.go:141-170).
+A-law/µ-law tags, IMA ADPCM mono+stereo with 'fact'-chunk truncation,
+EXTENSIBLE unwrap), raw 'pcm_s16le' / 'pcm_s24le' / 'pcm_f32le' /
+'pcm_mulaw' / 'pcm_alaw', and 'flac' (pure-Python/numpy bitstream
+decoder, operators/flac.py: all spec widths + stereo decorrelation) —
+every self-contained codec the whitelist advertises actually decodes,
+matching the reference's whitelist-means-decoded contract
+(http.go:141-170). The lossy-compressed family (mp3/vorbis/opus/aac)
+decodes through an import-gated library slot (soundfile / ffmpeg CLI)
+and degrades to TYPED no_codec:<codec> error rows when no library is
+installed — the operators/visual.py PIL/cv2 pattern (round 8).
 """
 
 from __future__ import annotations
 
+import hashlib
+import shutil
 import struct
+import subprocess
 
 import numpy as np
 import pandas as pd
@@ -35,6 +42,16 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# Lossy-compressed codecs decode through an IMPORT-GATED library slot
+# (soundfile if importable, else the ffmpeg CLI if on PATH — the
+# operators/visual.py PIL/cv2 pattern): whitelisted because a real
+# crawl-derived audio corpus is predominantly compressed, but when no
+# codec library is installed the row becomes a TYPED error
+# (err="no_codec:<codec>") rather than the catch-all
+# codec_not_whitelisted — callers can tell "install a codec" apart
+# from "this codec is out of contract" (round 8, VERDICT r7 #1).
+COMPRESSED_CODECS = ("mp3", "vorbis", "opus", "aac")
+
 CODEC_WHITELIST = (  # the textContentTypes analog
     "wav",
     "pcm_s16le",
@@ -43,8 +60,72 @@ CODEC_WHITELIST = (  # the textContentTypes analog
     "pcm_f32le",
     "pcm_mulaw",  # G.711 telephony (round 7)
     "pcm_alaw",
-)
+) + COMPRESSED_CODECS
 MAX_CONTENT_LENGTH = 10 * 1024 * 1024  # http.go MaxContentLength 10 MiB
+
+try:  # library slot for compressed audio (absent in this sandbox)
+    import soundfile as _soundfile  # type: ignore
+except Exception:  # noqa: BLE001
+    _soundfile = None
+
+_FFMPEG_BIN = shutil.which("ffmpeg")  # CLI slot (absent in this sandbox)
+
+
+def _fake_pcm(blob: bytes, sr: int) -> np.ndarray:
+    """DETERMINISTIC FAKE decode for compressed payloads: a short PCM
+    buffer seeded by the payload digest — a pure function of the bytes,
+    so tests can re-derive expectations (the visual.py _fake_pixels
+    twin). Tests-only: production callers never request it."""
+    seed = int.from_bytes(hashlib.md5(blob).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    n = 800 + int(seed % 800)
+    return (rng.random(n, dtype=np.float64).astype(np.float32) - 0.5)
+
+
+def _decode_compressed(
+    blob: bytes, codec: str, sr_hz: int | None, allow_fake: bool = False
+) -> tuple[np.ndarray, int]:
+    """mp3/vorbis/opus/aac via the import-gated slots. soundfile decodes
+    in-memory (its own normalization convention, /2^(n-1)); the ffmpeg
+    fallback transcodes to a WAV pipe that our own decode_wav parses
+    (16-bit quantization — the CLI slot's documented precision). With a
+    slot installed, a failure means the payload is corrupt
+    (decode_error); with NO slot installed the typed no_codec:<codec>
+    row tells the operator to install one. allow_fake is the tests-only
+    plumbing escape hatch, exactly visual.py's contract."""
+    if _soundfile is not None:  # pragma: no cover — lib absent here
+        import io
+
+        try:
+            data, sr = _soundfile.read(
+                io.BytesIO(blob), dtype="float32", always_2d=True
+            )
+            if data.shape[0] == 0:
+                raise ValueError("empty_pcm")
+            return data.mean(axis=1).astype(np.float32), int(sr)
+        except ValueError:
+            raise
+        except Exception:  # noqa: BLE001 — unsupported by this libsndfile
+            if _FFMPEG_BIN is None:
+                raise ValueError("decode_error") from None
+    if _FFMPEG_BIN is not None:  # pragma: no cover — CLI absent here
+        proc = subprocess.run(
+            [
+                _FFMPEG_BIN, "-v", "error",
+                "-i", "pipe:0",
+                "-f", "wav", "-acodec", "pcm_s16le", "pipe:1",
+            ],
+            input=blob,
+            capture_output=True,
+            timeout=60,
+            check=False,
+        )
+        if proc.returncode != 0 or len(proc.stdout) < 44:
+            raise ValueError("decode_error")
+        return decode_wav(proc.stdout)
+    if allow_fake:  # tests-only: exercises batch plumbing without codecs
+        return _fake_pcm(blob, sr_hz or 16000), int(sr_hz or 16000)
+    raise ValueError(f"no_codec:{codec}")
 
 
 def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
@@ -117,25 +198,42 @@ def _ima_decode_nibbles(nibbles, pred: int, index: int) -> tuple[list[int], int,
     return out, pred, index
 
 
-def _decode_ima_adpcm(data: bytes, block_align: int) -> np.ndarray:
-    """WAV IMA ADPCM data chunk -> int16 samples (mono). Block layout:
-    4-byte header (predictor int16 LE = the block's FIRST sample,
-    step-index u8, reserved) then low-nibble-first 4-bit codes."""
-    if block_align < 5:
+def _decode_ima_adpcm(data: bytes, block_align: int, n_ch: int = 1) -> np.ndarray:
+    """WAV IMA ADPCM data chunk -> int16 frames, channels downmixed by
+    mean (the same posture as every other multi-channel path). Block
+    layout per the IMA/Microsoft spec: one 4-byte header PER CHANNEL
+    (predictor int16 LE = that channel's FIRST sample, step-index u8,
+    reserved), then the code stream interleaves 4-BYTE WORDS per
+    channel — 8 samples of ch0, 8 samples of ch1, ... (round 8,
+    VERDICT r7 #3: stereo was a typed unsupported_wav_format edge).
+    Nibbles within each byte are low-first."""
+    if n_ch < 1 or block_align < 4 * n_ch + (1 if n_ch == 1 else 0):
         raise ValueError("unsupported_wav_format")
-    out: list[int] = []
-    for off in range(0, len(data) - 3, block_align):
+    per_ch: list[list[int]] = [[] for _ in range(n_ch)]
+    hdr = 4 * n_ch
+    for off in range(0, len(data) - (hdr - 1), block_align):
         block = data[off : off + block_align]
-        pred = struct.unpack_from("<h", block, 0)[0]
-        index = max(0, min(88, block[2]))
-        out.append(pred)
-        payload = np.frombuffer(block[4:], dtype=np.uint8)
-        nibbles = np.empty(payload.size * 2, dtype=np.uint8)
-        nibbles[0::2] = payload & 0x0F  # low nibble first per the spec
-        nibbles[1::2] = payload >> 4
-        decoded, _, _ = _ima_decode_nibbles(nibbles.tolist(), pred, index)
-        out.extend(decoded)
-    return np.array(out, dtype=np.int16)
+        payload = np.frombuffer(block[hdr:], dtype=np.uint8)
+        if n_ch > 1:
+            # drop a trailing partial interleave group (corrupt/truncated)
+            n_words = payload.size // (4 * n_ch)
+            words = payload[: n_words * 4 * n_ch].reshape(-1, n_ch, 4)
+        for ch in range(n_ch):
+            pred = struct.unpack_from("<h", block, 4 * ch)[0]
+            index = max(0, min(88, block[4 * ch + 2]))
+            per_ch[ch].append(pred)
+            # mono code bytes are NOT word-grouped: use every byte
+            chbytes = payload if n_ch == 1 else words[:, ch, :].reshape(-1)
+            nibbles = np.empty(chbytes.size * 2, dtype=np.uint8)
+            nibbles[0::2] = chbytes & 0x0F  # low nibble first per the spec
+            nibbles[1::2] = chbytes >> 4
+            decoded, _, _ = _ima_decode_nibbles(nibbles.tolist(), pred, index)
+            per_ch[ch].extend(decoded)
+    if n_ch == 1:
+        return np.array(per_ch[0], dtype=np.int16)
+    n = min(len(c) for c in per_ch)
+    stacked = np.stack([np.array(c[:n], dtype=np.int16) for c in per_ch], axis=1)
+    return stacked.mean(axis=1)
 
 DECODE_SCHEMA = StructType(
     [
@@ -159,6 +257,17 @@ from . import flac as _flac
 # signed LE), IEEE float (tag 3, already in [-1, 1] -> divisor 1), and
 # the G.711 telephony companding laws (tag 6 A-law / tag 7 µ-law,
 # 8-bit codes expanding to int16 scale).
+#
+# Normalization CONTRACT (ADVICE r7, documented rather than changed):
+# every integer width divides by its POSITIVE full scale (2^(n-1)-1),
+# so the most-negative code lands slightly below -1.0 — -1.00003 at 16
+# bits, -1.0079 at 8 bits (the only width where the overshoot is
+# visible at 3 decimals). clip_ratio's |x| >= 0.999 gate counts both
+# rails at every width, which is the intended semantics; switching
+# 8-bit to /128 would make it the one width whose normalization
+# convention differs AND would invalidate the frozen fid 54/56 fixture
+# rows for no behavioral gain. Pinned in
+# tests/test_decode.py::test_pcm8_normalization_contract.
 _WAV_FORMATS = {
     (1, 8): 127.0,
     (1, 16): 32767.0,
@@ -183,6 +292,7 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("bad_riff_header")
     pos, fmt, sr, n_ch, bps, block_align, data = 12, None, None, None, None, 0, None
+    fact_samples = None
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
         (size,) = struct.unpack_from("<I", blob, pos + 4)
@@ -196,15 +306,21 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
                 (fmt,) = struct.unpack_from("<H", body, 24)
             if (fmt, bps) not in _WAV_FORMATS:
                 raise ValueError("unsupported_wav_format")
+        elif cid == b"fact" and len(body) >= 4:
+            # dwSampleLength: frames (samples per channel) actually
+            # encoded — mandatory for compressed formats, where the
+            # final block may be partially filled (ADVICE r7: without
+            # it, padding nibbles decode as phantom trailing samples)
+            (fact_samples,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
     if sr is None or data is None or n_ch is None:
         raise ValueError("missing_wav_chunk")
-    if fmt == 0x11:  # IMA ADPCM: block-structured, mono supported
-        if n_ch != 1:
-            raise ValueError("unsupported_wav_format")
-        pcm = _decode_ima_adpcm(data, block_align)
+    if fmt == 0x11:  # IMA ADPCM: block-structured, mono or stereo
+        pcm = _decode_ima_adpcm(data, block_align, n_ch)
+        if fact_samples is not None:
+            pcm = pcm[:fact_samples]
         return pcm.astype(np.float32) / np.float32(32767.0), int(sr)
     step = bps // 8
     usable = len(data) - (len(data) % step)  # trailing partial sample dropped
@@ -265,8 +381,14 @@ def decode_pcm_raw(blob: bytes, codec: str, sr_hz: int) -> tuple[np.ndarray, int
     return pcm.astype(np.float32) / np.float32(scale), int(sr_hz)
 
 
-def decode_blob(blob: bytes | None, codec: str | None, sr_hz: int | None) -> tuple[np.ndarray | None, int, str | None]:
-    """Returns (pcm, sr, err)."""
+def decode_blob(
+    blob: bytes | None,
+    codec: str | None,
+    sr_hz: int | None,
+    allow_fake: bool = False,
+) -> tuple[np.ndarray | None, int, str | None]:
+    """Returns (pcm, sr, err). allow_fake affects ONLY the compressed
+    codecs' library slot (tests-only plumbing, visual.py contract)."""
     if blob is None or len(blob) == 0:
         return None, 0, "empty_bytes"
     if len(blob) > MAX_CONTENT_LENGTH:
@@ -280,6 +402,8 @@ def decode_blob(blob: bytes | None, codec: str | None, sr_hz: int | None) -> tup
             pcm, sr = decode_pcm_s16le(blob, sr_hz or 16000)
         elif codec == "flac":  # own bitstream decoder (operators/flac.py)
             pcm, sr = _flac.decode_flac(blob)
+        elif codec in COMPRESSED_CODECS:  # import-gated library slot
+            pcm, sr = _decode_compressed(blob, codec, sr_hz, allow_fake)
         else:  # pcm_s24le / pcm_f32le / pcm_mulaw / pcm_alaw
             pcm, sr = decode_pcm_raw(blob, codec, sr_hz or 16000)
         return pcm, sr, None

@@ -15,7 +15,7 @@ from go_pkg_spider_spark.fixtures import audio_fixtures as ax
 
 def test_expected_matches_live_derivation():
     derived = ax.derive_expected()
-    assert len(derived) == len(ax.EXPECTED) == 65
+    assert len(derived) == len(ax.EXPECTED) == 67
     for got, frozen in zip(derived, ax.EXPECTED):
         assert got == frozen, f"fid {frozen[0]} drifted: {got} != {frozen}"
 
@@ -54,10 +54,10 @@ def test_error_rows_are_typed():
     # is decoder-internal; ok=false + nonempty err is the contract)
     for fid in (41, 42, 43):
         assert by_fid[fid]["ok"] is False and by_fid[fid]["err"]
-    # every non-error row decoded (65 total, 16 error rows: fid 23
+    # every non-error row decoded (67 total, 16 error rows: fid 23
     # empty_pcm + fids 30-44)
     n_ok = sum(1 for r in ax.EXPECTED if r[1])
-    assert n_ok == 49
+    assert n_ok == 51
 
 
 def test_flac_subframe_variants_match_their_verbatim_twin():
@@ -138,3 +138,26 @@ def test_sub_frame_clip_has_zero_frames():
     assert _frames(np.zeros(399), 16000).shape[0] == 0
     assert _frames(np.zeros(400), 16000).shape[0] == 1
     assert _frames(np.zeros(0), 16000).shape[0] == 0
+
+
+def test_ima_adpcm_twins_match_their_mono_twin():
+    """fids 65-66 (round 8): (65) STEREO IMA ADPCM carrying fid 64's
+    exact code stream on both channels — mean-downmix of identical
+    channels is the mono signal; (66) a 3-block encode of the same
+    prefix-stable sine with a 'fact' chunk truncating to 1010 frames.
+    Both must equal fid 64's frozen row EXACTLY (by-construction
+    truth: the stereo interleave and the fact truncation are
+    value-gated without new hand arithmetic)."""
+    by_fid = {r[0]: r for r in ax.EXPECTED}
+    for variant in (65, 66):
+        assert by_fid[variant][1:] == by_fid[64][1:], variant
+    blobs = {f: b for f, b, _c, _s in ax.build_rows()}
+    assert blobs[65] != blobs[64] and blobs[66] != blobs[64]
+    # 65 really declares 2 channels in its fmt chunk (offset 22 in a
+    # fmt-first RIFF: 12 riff/wave + 8 chunk header + 2 fmt tag)
+    assert blobs[65][22] == 2 and blobs[64][22] == 1
+    # 65's data payload is exactly double 64's (dup channel), plus one
+    # extra 4-byte header per block (2 blocks)
+    # 66 carries a 'fact' chunk and a LONGER data payload than 64
+    assert b"fact" in blobs[66] and b"fact" not in blobs[64]
+    assert len(blobs[66]) > len(blobs[64])

@@ -69,3 +69,16 @@ def test_canon_frame_arrays():
     pdf = pd.DataFrame({"v": [np.array([1.0, 2.0]), np.array([3.0, 4.0])]})
     rows, kinds, cols = canon_frame(pdf)
     assert kinds == {"v": "O"} and len(rows) == 2
+
+
+def test_ngram_cap_parity_guard_reports_headroom(spark):
+    """ADVICE r7: the parity gate must read the ngram group cap's drop
+    accounting — at the gate tier the corpus has headroom
+    (dropped_members == 0) and the guard surfaces the observed max
+    group size; tools/check_oracles.py fails the entry when drops > 0."""
+    from go_pkg_spider_spark.entry_queries import ngram_cap_parity_guard
+
+    m = ngram_cap_parity_guard(spark, "/root/testdata/sf0.01")
+    assert m["dropped_members"] == 0
+    assert 2 <= m["max_group_members"] < 1024
+    assert m["n_groups"] >= 2

@@ -40,7 +40,7 @@ def test_wav_roundtrip_snr():
 
 def test_reject_paths():
     assert decode.decode_blob(None, "wav", 16000)[2] == "empty_bytes"
-    assert decode.decode_blob(b"x" * 10, "mp3", 16000)[2] == "codec_not_whitelisted"
+    assert decode.decode_blob(b"x" * 10, "speex", 16000)[2] == "codec_not_whitelisted"
     assert decode.decode_blob(b"notriff" + b"\0" * 100, "wav", 16000)[2] == "bad_riff_header"
     big = b"RIFF" + b"\0" * (decode.MAX_CONTENT_LENGTH + 1)
     assert decode.decode_blob(big, "wav", 16000)[2] == "max_content_length"
@@ -147,14 +147,19 @@ def test_wav_sample_width_family():
 def test_g711_tables_match_stdlib_oracle():
     """Round 7: the G.711 expansion tables (computed from the ITU
     arithmetic) must match the stdlib audioop oracle CODE-FOR-CODE for
-    all 256 values in both laws, plus the published hand values."""
+    all 256 values in both laws, plus the published hand values.
+
+    audioop left the stdlib in 3.13 (PEP 594): skip there — the frozen
+    fixture rows (tests/test_audio_fixtures.py) remain the truth; this
+    test is the extra code-for-code pin where the oracle exists."""
     import warnings
 
     import numpy as np
+    import pytest
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", DeprecationWarning)
-        import audioop
+        audioop = pytest.importorskip("audioop")
 
     from go_pkg_spider_spark.operators.decode import _ALAW_TABLE, _ULAW_TABLE
 
@@ -218,14 +223,18 @@ def test_ima_adpcm_recurrence_matches_stdlib_and_roundtrips():
     audioop DVI decoder EXACTLY (same step/index tables — audioop reads
     the HIGH nibble first, so the comparison feeds that order), and a
     full WAV encode->decode roundtrip of a smooth sine must land above
-    a lossy-format SNR floor with the exact sample count."""
+    a lossy-format SNR floor with the exact sample count.
+
+    audioop left the stdlib in 3.13 (PEP 594): skip there — the frozen
+    fixture rows remain the truth (see test_g711_tables docstring)."""
     import warnings
 
     import numpy as np
+    import pytest
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", DeprecationWarning)
-        import audioop
+        audioop = pytest.importorskip("audioop")
 
     from go_pkg_spider_spark.fixtures.audio_fixtures import _sine, _wav_ima
     from go_pkg_spider_spark.operators.decode import _ima_decode_nibbles
@@ -246,12 +255,165 @@ def test_ima_adpcm_recurrence_matches_stdlib_and_roundtrips():
         np.mean(sig**2) / np.mean((pcm.astype(np.float64) - sig) ** 2)
     )
     assert snr > 18.0, snr  # 4-bit greedy IMA on a smooth sine
-    # stereo ADPCM is out of surface -> typed error, not garbage
+    # stereo DECODES since round 8; a block_align too small to hold the
+    # per-channel headers stays the typed error, not garbage
     from go_pkg_spider_spark.fixtures.audio_fixtures import _riff
     import struct as _s
 
-    fmt2 = _s.pack("<HHIIHH", 0x11, 2, 8000, 8000, 256, 4)
+    fmt2 = _s.pack("<HHIIHH", 0x11, 2, 8000, 8000, 7, 4)
     _, _, e = decode.decode_blob(
         _riff([(b"fmt ", fmt2), (b"data", b"\x00" * 256)]), "wav", 8000
     )
     assert e == "unsupported_wav_format"
+
+
+def test_stereo_ima_adpcm_decodes_and_downmixes():
+    """Round 8 (VERDICT r7 #3): stereo IMA ADPCM — per-channel 4-byte
+    headers then interleaved 4-byte code words — decodes with mean
+    downmix; a dup-channel stream must equal its mono twin exactly."""
+    import numpy as np
+
+    from go_pkg_spider_spark.fixtures.audio_fixtures import (
+        _sine,
+        _wav_ima,
+        _wav_ima_stereo_dup,
+    )
+
+    sig = _sine(1010, 8000, 220.0)
+    mono, sr_m, err_m = decode.decode_blob(_wav_ima(sig, 8000), "wav", 8000)
+    st, sr_s, err_s = decode.decode_blob(
+        _wav_ima_stereo_dup(sig, 8000), "wav", 8000
+    )
+    assert err_m is None and err_s is None and sr_m == sr_s == 8000
+    assert len(st) == len(mono) == 1010
+    assert np.array_equal(st, mono)
+
+
+def test_ima_adpcm_fact_chunk_truncates_padding():
+    """ADVICE r7: a partially-filled final ADPCM block decodes padding
+    nibbles as phantom trailing samples unless the 'fact' chunk's
+    dwSampleLength truncates them. Without fact: 1515 samples (3 whole
+    blocks); with fact=1010: exactly 1010, equal to the short encode's
+    prefix."""
+    import numpy as np
+
+    from go_pkg_spider_spark.fixtures.audio_fixtures import _sine, _wav_ima
+
+    sig = _sine(1515, 8000, 220.0)
+    full, _, err = decode.decode_blob(_wav_ima(sig, 8000), "wav", 8000)
+    assert err is None and len(full) == 1515
+    cut, _, err = decode.decode_blob(
+        _wav_ima(sig, 8000, fact_samples=1010), "wav", 8000
+    )
+    assert err is None and len(cut) == 1010
+    assert np.array_equal(cut, full[:1010])
+    # prefix-stability vs the independent 2-block encode
+    short, _, _ = decode.decode_blob(
+        _wav_ima(_sine(1010, 8000, 220.0), 8000), "wav", 8000
+    )
+    assert np.array_equal(cut, short)
+
+
+def test_pcm8_normalization_contract():
+    """ADVICE r7, documented as contract: every integer width divides
+    by its POSITIVE full scale, so the most-negative code overshoots
+    -1.0 slightly — byte 0 at 8 bits lands at exactly
+    float32(-128/127) ~= -1.0079, and clip_ratio counts both rails."""
+    import numpy as np
+    import struct as _s
+
+    from go_pkg_spider_spark.fixtures.audio_fixtures import _fmt_chunk, _riff
+
+    # bytes: full-negative, center, full-positive
+    blob = _riff(
+        [(b"fmt ", _fmt_chunk(8000, bps=8)), (b"data", bytes([0, 128, 255]))]
+    )
+    pcm, sr, err = decode.decode_blob(blob, "wav", 8000)
+    assert err is None
+    assert pcm[0] == np.float32(-128.0 / 127.0)  # the documented overshoot
+    assert pcm[1] == 0.0
+    assert pcm[2] == np.float32(127.0 / 127.0) == 1.0
+    # 16-bit shares the convention: int16 min overshoots by 1/32767
+    blob16 = _riff(
+        [(b"fmt ", _fmt_chunk(8000)), (b"data", _s.pack("<hh", -32768, 32767))]
+    )
+    pcm16, _, err = decode.decode_blob(blob16, "wav", 8000)
+    assert err is None and pcm16[0] == np.float32(-32768.0 / 32767.0)
+    # both rails count as clipped under the |x| >= 0.999 gate
+    from go_pkg_spider_spark.operators.decode import _features
+
+    assert _features(pcm, sr)[4] == 2.0 / 3.0  # clip_ratio
+
+
+def test_compressed_codecs_are_whitelisted_with_typed_no_codec_rows():
+    """Round 8 (VERDICT r7 #1): mp3/vorbis/opus/aac pass the whitelist
+    and decode through the import-gated soundfile/ffmpeg slot; with no
+    library installed the row is the TYPED no_codec:<codec> error, not
+    the catch-all codec_not_whitelisted. The deterministic fake is the
+    tests-only plumbing path (visual.py contract)."""
+    import numpy as np
+    import pytest
+
+    from go_pkg_spider_spark.operators.decode import _FFMPEG_BIN, _soundfile
+
+    for c in decode.COMPRESSED_CODECS:
+        assert c in decode.CODEC_WHITELIST
+    if _soundfile is not None or _FFMPEG_BIN is not None:
+        pytest.skip("codec library present: no_codec rows not reachable")
+    for c in decode.COMPRESSED_CODECS:
+        pcm, sr, err = decode.decode_blob(b"\xff\xfb\x90" * 40, c, 16000)
+        assert pcm is None and err == f"no_codec:{c}"
+    # guards still outrank the slot
+    assert decode.decode_blob(b"", "mp3", 16000)[2] == "empty_bytes"
+    assert (
+        decode.decode_blob(
+            b"\x00" * (decode.MAX_CONTENT_LENGTH + 1), "mp3", 16000
+        )[2]
+        == "max_content_length"
+    )
+    # tests-only deterministic fake: same bytes -> same PCM, marked ok
+    blob = b"\xff\xfb\x90" * 64
+    p1, s1, e1 = decode.decode_blob(blob, "mp3", 22050, allow_fake=True)
+    p2, s2, e2 = decode.decode_blob(blob, "mp3", 22050, allow_fake=True)
+    assert e1 is None and e2 is None and s1 == s2 == 22050
+    assert np.array_equal(p1, p2) and len(p1) >= 800
+    # a different payload must give a different fake (digest-seeded)
+    p3, _, _ = decode.decode_blob(blob + b"x", "mp3", 22050, allow_fake=True)
+    assert len(p3) != len(p1) or not np.array_equal(p3, p1)
+
+
+def test_compressed_codec_rows_flow_through_decode_udf(spark):
+    """e2e through the production UDF surface (the 187edbe FLAC-test
+    pattern): an mp3-labelled row reaches the decode stage, passes
+    decode_prefilter (whitelisted!), and lands as a typed error row in
+    this library-less sandbox."""
+    import pytest
+
+    from go_pkg_spider_spark.operators.decode import (
+        _FFMPEG_BIN,
+        _soundfile,
+        decode_prefilter,
+        with_decode_features,
+    )
+
+    if _soundfile is not None or _FFMPEG_BIN is not None:
+        pytest.skip("codec library present: no_codec rows not reachable")
+    df = spark.createDataFrame(
+        [("a", b"\xff\xfb\x90" * 10, "mp3", 44100),
+         ("b", b"OggS" + b"\x00" * 40, "vorbis", 48000),
+         ("c", b"\x00" * 50, "speex", 16000)],
+        "clip_id string, bytes binary, codec string, sr_hz int",
+    )
+    out = {
+        r["clip_id"]: r
+        for r in with_decode_features(df)
+        .select("clip_id", "audio.ok", "audio.err")
+        .collect()
+    }
+    assert out["a"]["err"] == "no_codec:mp3"
+    assert out["b"]["err"] == "no_codec:vorbis"
+    assert out["c"]["err"] == "codec_not_whitelisted"
+    # prefilter admits the compressed rows (they're in contract) and
+    # still rejects the unlisted codec
+    kept = df.filter(decode_prefilter()).select("clip_id").collect()
+    assert sorted(r[0] for r in kept) == ["a", "b"]

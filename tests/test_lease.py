@@ -177,3 +177,29 @@ def test_manifested_run_fails_fast_when_root_held(spark, tmp_path):
     # and the lease-holder gone, the same run object proceeds normally
     summary = run.run(clips, pipeline.run_pipeline, "decisions")
     assert summary["buckets_run"] == 2
+
+
+def test_lease_degrades_to_noop_without_hardlink_support(tmp_path, monkeypatch):
+    """ADVICE r7: filesystems without hard-link support (FUSE /
+    object-store gateways, exFAT) raise OSError from os.link — the
+    lease must degrade to the documented no-op (the makedirs-guard
+    posture), not crash the job; and no lock or tmp file may be left
+    behind."""
+    import errno
+    import os as _os
+
+    root = str(tmp_path / "nolink")
+
+    def no_link(src, dst):
+        raise OSError(errno.ENOTSUP, "hard links not supported")
+
+    monkeypatch.setattr(_os, "link", no_link)
+    ran = False
+    with run_lease(root, "job-a"):
+        ran = True
+        # degraded: a second invocation is NOT blocked (documented)
+        with run_lease(root, "job-b"):
+            pass
+    assert ran
+    leftovers = [p for p in _os.listdir(root) if p.startswith("_run_lock")]
+    assert leftovers == []

@@ -182,6 +182,25 @@ def main():
             failures += 1
             continue
         problems = compare(spdf, dpdf)
+        if name == "ngram_jaccard_pairs_docs" and not problems:
+            # ADVICE r7: the oracle does not model the group cap — the
+            # parity PASS is only meaningful while no member was
+            # dropped. A corpus past the cap must fail the gate loudly.
+            from go_pkg_spider_spark.entry_queries import ngram_cap_parity_guard
+
+            m = ngram_cap_parity_guard(spark, sf_dir)
+            if m.get("dropped_members", 0) > 0:
+                problems = [
+                    f"group cap engaged (dropped_members={m['dropped_members']},"
+                    f" max_group_members={m.get('max_group_members')}) — oracle"
+                    " does not model the cap; this corpus belongs on the"
+                    " minhash_lsh path"
+                ]
+            else:
+                print(
+                    f"  ngram cap headroom: max_group_members="
+                    f"{m.get('max_group_members')}, dropped_members=0"
+                )
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1

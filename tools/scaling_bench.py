@@ -75,7 +75,7 @@ def hw_ceiling(lo: int, hi: int) -> float:
 
 
 def ensure_clips(n_clips: int) -> str:
-    path = f"/tmp/bench_clips_v4_sf0.1_{n_clips}.parquet"
+    path = f"/tmp/bench_clips_v5_sf0.1_{n_clips}.parquet"
     if not os.path.exists(path):
         code = (
             f"import sys; sys.path.insert(0, {REPO!r})\n"

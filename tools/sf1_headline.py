@@ -7,7 +7,7 @@ BENCH/BASELINE.md — so the 100 TB scale claims rest on a measured
 decade jump, not extrapolation from 50k rows.
 
 Phases (each skippable; default = all):
-  gen    build /tmp/bench_clips_v4_sf1_500000.parquet (~48GB, the same
+  gen    build /tmp/bench_clips_v5_sf1_500000.parquet (~48GB, the same
          deterministic datagen rows as every other tier — bench.py's
          CLIPS_BY_SF["sf1"] points at the same path) and
          /tmp/docs_sf1.parquet (50k docs: the sf0.1 documents table
@@ -55,7 +55,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF1_CLIPS = 500_000
-CLIPS_PATH = f"/tmp/bench_clips_v4_sf1_{SF1_CLIPS}.parquet"
+CLIPS_PATH = f"/tmp/bench_clips_v5_sf1_{SF1_CLIPS}.parquet"
 DOCS_SRC = "/root/testdata/sf0.1/documents.parquet"
 DOCS_PATH = "/tmp/docs_sf1.parquet"
 DEDUP_ROOT = "/tmp/dedup_sf1"

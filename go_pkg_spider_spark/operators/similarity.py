@@ -545,6 +545,21 @@ def ivf_topk_batch(
     )
 
 
+# chunk-persisted index projections awaiting release (see
+# ivf_topk_batch_gemm's multi-chunk index reuse note)
+_SERVE_CACHES: list = []
+
+
+def release_serve_caches(spark=None) -> int:
+    """Unpersist every index projection ivf_topk_batch_gemm cached for
+    a multi-chunk serve. Call AFTER materializing the returned frame
+    (the serve stage does); returns the number of caches released."""
+    n = len(_SERVE_CACHES)
+    while _SERVE_CACHES:
+        _SERVE_CACHES.pop().unpersist()
+    return n
+
+
 def ivf_topk_batch_gemm(
     index_df: DataFrame,
     queries_df: DataFrame,
@@ -557,6 +572,7 @@ def ivf_topk_batch_gemm(
     round_digits: int = 6,
     cell_col: str | None = None,
     max_probe_rows_per_chunk: int = 100_000,
+    persist_index_across_chunks: bool = True,
 ) -> DataFrame:
     """ivf_topk_batch's GEMM scorer: same probe selection (bit-identical
     — the shared _probe_cells plan collected to the driver; the query
@@ -590,7 +606,23 @@ def ivf_topk_batch_gemm(
     runs over the UNION of all chunk bands, so chunk boundaries are
     invisible to the result (each probe row is scored exactly once
     wherever it lands) and a 10M-query serving frame costs multiple
-    index passes instead of an unbounded driver collect."""
+    index passes instead of an unbounded driver collect.
+
+    Multi-chunk index reuse (round 8, VERDICT r7 #4): each chunk is a
+    separate mapInPandas branch over the cell-assigned index
+    projection, so a C-chunk serve re-scans (and, when cell_col is
+    None, re-computes the cell assignment of) the index C times. When
+    more than one chunk exists and persist_index_across_chunks is on,
+    the projection is persisted MEMORY_AND_DISK before the job runs —
+    the first branch materializes it, the rest read the cache
+    (measured: BENCH/BASELINE.md round-8 section). The cache is scoped
+    to the returned plan: callers that materialize once (every oracled
+    entry, the serve stage) should release it afterwards via
+    release_serve_caches(spark) — jobs/run_ann_index.py does. At an
+    index far larger than cluster storage-memory the cache degrades to
+    disk-spill reads, which is the same order as the repeated columnar
+    scan it replaces; set persist_index_across_chunks=False to keep
+    the pure re-scan behavior."""
     from pyspark.sql import Window
 
     probes = _probe_cells(queries_df, vec_col, qid_col, centroids, n_probe)
@@ -719,6 +751,15 @@ def ivf_topk_batch_gemm(
                 f"qid {qid_field}, _id {id_field}, _cos double",
             )
         )
+
+    if len(chunk_dfs) > 1 and persist_index_across_chunks:
+        # one cache fill beats C-1 extra index scans (and C-1 repeated
+        # ivf_assign computations when cell_col is None); released by
+        # the caller via release_serve_caches once materialized
+        from pyspark import StorageLevel
+
+        idx.persist(StorageLevel.MEMORY_AND_DISK)
+        _SERVE_CACHES.append(idx)
 
     scored_raw = chunk_dfs[0]
     for extra in chunk_dfs[1:]:

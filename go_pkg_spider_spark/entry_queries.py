@@ -2169,11 +2169,14 @@ def charset_guess_docs(spark, sf_dir):
 @query("audio_decode_docs", _audio_oracle_sql())
 def audio_decode_docs(spark, sf_dir):
     """The north-star audio leg under the hard gate (round-4 verdict
-    #1): 67 deterministic WAV/PCM/FLAC byte fixtures — including
-    G.711 telephony (µ-law/A-law WAV tags + headerless codecs over the
-    full 256-code space, tables pinned against the stdlib audioop
-    oracle, fids 59-63) and IMA ADPCM (fid 64; round 8 adds the
-    STEREO interleave and 'fact'-chunk truncation twins, fids 65-66),
+    #1): 72 deterministic WAV/PCM/FLAC/AU/AIFF byte fixtures —
+    including G.711 telephony (µ-law/A-law WAV tags + headerless
+    codecs over the full 256-code space, tables pinned against the
+    stdlib audioop oracle, fids 59-63), IMA ADPCM (fid 64; round 8
+    adds the STEREO interleave and 'fact'-chunk truncation twins,
+    fids 65-66), and the round-8 Sun-.au / AIFF containers as
+    cross-container twins of frozen rows (fids 67-71 — the 24-bit
+    truth is locked across FLAC/WAV/raw/AIFF),
     stereo downmix, FLAC stereo DECORRELATION (left-side / right-side
     / mid-side with predictor-coded 17-bit side channels, fids 49-51),
     sample widths beyond 16-bit in BOTH containers (24-bit hi-res +

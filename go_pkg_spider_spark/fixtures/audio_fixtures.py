@@ -218,6 +218,38 @@ def _wav_ima_stereo_dup(pcm: np.ndarray, sr: int, block_align: int = 256) -> byt
     return _riff([(b"fmt ", fmt), (b"data", bytes(out))])
 
 
+def _au(payload: bytes, sr: int, encoding: int, channels: int = 1) -> bytes:
+    """Sun/NeXT .au: 24-byte big-endian header + payload (round 8)."""
+    return (
+        b".snd"
+        + struct.pack(">IIIII", 24, len(payload), encoding, sr, channels)
+        + payload
+    )
+
+
+def _ieee_extended(v: int) -> bytes:
+    """80-bit IEEE extended encode of a positive integer (AIFF COMM
+    sample rate): exponent 16383+p for msb position p, explicit-1
+    mantissa left-aligned at bit 63."""
+    assert v > 0
+    p = v.bit_length() - 1
+    mant = v << (63 - p)
+    return struct.pack(">HII", 16383 + p, (mant >> 32) & 0xFFFFFFFF, mant & 0xFFFFFFFF)
+
+
+def _aiff(frames: bytes, sr: int, n_frames: int, bps: int, channels: int = 1) -> bytes:
+    """Minimal AIFF: FORM/AIFF with COMM (80-bit-extended rate) and
+    SSND (zero offset/blockSize) chunks (round 8)."""
+    comm = struct.pack(">HIH", channels, n_frames, bps) + _ieee_extended(sr)
+    ssnd = struct.pack(">II", 0, 0) + frames
+    body = b"AIFF"
+    for cid, payload in ((b"COMM", comm), (b"SSND", ssnd)):
+        body += cid + struct.pack(">I", len(payload)) + payload
+        if len(payload) % 2:
+            body += b"\x00"
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
 def _flac(pcm: np.ndarray, sr: int) -> bytes:
     from ..operators.flac import encode_flac_s16
 
@@ -513,6 +545,27 @@ def build_rows() -> list[tuple[int, bytes | None, str | None, int | None]]:
         "wav", 8000,
     )
 
+    # -- L: AU + AIFF containers (round 8) -- fids 67..71, every decode
+    #    row a CROSS-CONTAINER twin of an existing frozen truth.
+    # 67 == 19: AU int16 BE of the raw pcm_s16le sine's exact samples
+    add(
+        _au(_i16(_sine(4000, 16000, 440.0)).astype(">i2").tobytes(), 16000, 3),
+        "au", None,
+    )
+    # 68 == 59/61: AU G.711 µ-law over the full code space
+    add(_au(g711, 8000, 1), "au", None)
+    # 69 == 19 == 67: AIFF 16-bit BE, third parser on one truth
+    s16 = _i16(_sine(4000, 16000, 440.0))
+    add(_aiff(s16.astype(">i2").tobytes(), 16000, len(s16), 16), "aiff", None)
+    # 70 == 53 == 58 == 62: AIFF 24-bit BE of the 24-bit sine — the
+    #     24-bit truth now locked across FOUR parsers (FLAC/WAV/raw/AIFF)
+    v24 = (_sine(2000, 8000, 220.0) * 8388607).astype(np.int64) & 0xFFFFFF
+    b24 = np.zeros((len(v24), 3), dtype=np.uint8)
+    b24[:, 0], b24[:, 1], b24[:, 2] = (v24 >> 16) & 0xFF, (v24 >> 8) & 0xFF, v24 & 0xFF
+    add(_aiff(b24.tobytes(), 8000, len(v24), 24), "aiff", None)
+    # 71: AU with an unknown encoding id -> typed error row
+    add(_au(b"\x00" * 64, 8000, 99), "au", None)
+
     return rows
 
 
@@ -669,4 +722,9 @@ EXPECTED: list[tuple] = [
     (64, True, None, 1010, 8000, 0.4225098396017811, 0.6080812811851501, 0.0, 0.00014793936089418903, 0.05450941526263627, 11, 1018.445, 2114.851, 0.0, 2020),
     (65, True, None, 1010, 8000, 0.4225098396017811, 0.6080812811851501, 0.0, 0.00014793936089418903, 0.05450941526263627, 11, 1018.445, 2114.851, 0.0, 2020),
     (66, True, None, 1010, 8000, 0.4225098396017811, 0.6080812811851501, 0.0, 0.00014793936089418903, 0.05450941526263627, 11, 1018.445, 2114.851, 0.0, 2020),
+    (67, True, None, 4000, 16000, 0.4242500966620093, 0.599993884563446, 0.0, 0.0, 0.05476369092273068, 23, 440.576, 440.0, 0.0, 4000),
+    (68, True, None, 1024, 8000, 0.3093938061113677, 0.9803766012191772, 0.0, 0.0, 0.006842619745845552, 11, 1653.53, 4101.562, 0.0, 2048),
+    (69, True, None, 4000, 16000, 0.4242500966620093, 0.599993884563446, 0.0, 0.0, 0.05476369092273068, 23, 440.576, 440.0, 0.0, 4000),
+    (70, True, None, 2000, 8000, 0.42426401048076223, 0.5999999642372131, 0.0, 0.0, 0.054527263631815905, 23, 532.046, 220.0, 0.0, 4000),
+    (71, False, 'unsupported_au_encoding', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
 ]

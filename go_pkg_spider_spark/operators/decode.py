@@ -13,8 +13,10 @@ a column).
 Codecs: 'wav' (RIFF: PCM 8/16/24/32-bit, IEEE float 32/64, G.711
 A-law/µ-law tags, IMA ADPCM mono+stereo with 'fact'-chunk truncation,
 EXTENSIBLE unwrap), raw 'pcm_s16le' / 'pcm_s24le' / 'pcm_f32le' /
-'pcm_mulaw' / 'pcm_alaw', and 'flac' (pure-Python/numpy bitstream
-decoder, operators/flac.py: all spec widths + stereo decorrelation) —
+'pcm_mulaw' / 'pcm_alaw', 'au' (Sun/NeXT: G.711 both laws, int8/16,
+float32 BE), 'aiff' (AIFF + AIFF-C NONE/sowt, widths 8-32), and
+'flac' (pure-Python/numpy bitstream decoder, operators/flac.py: all
+spec widths + stereo decorrelation) —
 every self-contained codec the whitelist advertises actually decodes,
 matching the reference's whitelist-means-decoded contract
 (http.go:141-170). The lossy-compressed family (mp3/vorbis/opus/aac)
@@ -60,6 +62,8 @@ CODEC_WHITELIST = (  # the textContentTypes analog
     "pcm_f32le",
     "pcm_mulaw",  # G.711 telephony (round 7)
     "pcm_alaw",
+    "au",  # Sun/NeXT .au/.snd (round 8)
+    "aiff",  # AIFF / AIFF-C NONE+sowt (round 8)
 ) + COMPRESSED_CODECS
 MAX_CONTENT_LENGTH = 10 * 1024 * 1024  # http.go MaxContentLength 10 MiB
 
@@ -349,6 +353,122 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     return pcm.astype(np.float32) / np.float32(_WAV_FORMATS[(fmt, bps)]), int(sr)
 
 
+def decode_au(blob: bytes) -> tuple[np.ndarray, int]:
+    """Sun/NeXT .au (.snd) container (round 8): big-endian header
+    (magic '.snd', data offset, data size, encoding, sample rate,
+    channels). Encodings: 1 G.711 µ-law, 27 G.711 A-law (the classic
+    telephony pair — same expansion tables as the WAV tags), 2 signed
+    int8, 3 int16 BE, 6 float32 BE. Channels interleave per frame and
+    downmix by mean like every other multi-channel path."""
+    if len(blob) < 24 or blob[:4] != b".snd":
+        raise ValueError("bad_au_header")
+    off, size, enc, sr, n_ch = struct.unpack_from(">IIIII", blob, 4)
+    if off < 24 or off > len(blob) or sr == 0 or n_ch == 0:
+        raise ValueError("bad_au_header")
+    end = len(blob) if size == 0xFFFFFFFF else min(len(blob), off + size)
+    data = blob[off:end]
+    if enc == 1:
+        pcm, scale = _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)], 32767.0
+    elif enc == 27:
+        pcm, scale = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)], 32767.0
+    elif enc == 2:
+        pcm, scale = np.frombuffer(data, dtype=np.int8), 127.0
+    elif enc == 3:
+        usable = len(data) - (len(data) % 2)
+        pcm, scale = np.frombuffer(data[:usable], dtype=">i2"), 32767.0
+    elif enc == 6:
+        usable = len(data) - (len(data) % 4)
+        pcm, scale = np.frombuffer(data[:usable], dtype=">f4"), 1.0
+    else:
+        raise ValueError("unsupported_au_encoding")
+    if pcm.size == 0:
+        raise ValueError("empty_pcm")
+    if n_ch > 1:
+        pcm = pcm[: (len(pcm) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return pcm.astype(np.float32) / np.float32(scale), int(sr)
+
+
+def _parse_ieee_extended(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (AIFF COMM sample rate): 1 sign,
+    15 exponent (bias 16383), 64 explicit-integer-bit mantissa."""
+    (se,) = struct.unpack_from(">H", b, 0)
+    hi, lo = struct.unpack_from(">II", b, 2)
+    mant = (hi << 32) | lo
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:  # inf/nan — no valid sample rate
+        raise ValueError("bad_aiff_header")
+    val = mant * 2.0 ** (exp - 16383 - 63)
+    return -val if se & 0x8000 else val
+
+
+def decode_aiff(blob: bytes) -> tuple[np.ndarray, int]:
+    """AIFF / AIFF-C container (round 8): IFF 'FORM' with a COMM chunk
+    (channels, frame count, bits, 80-bit-extended sample rate) and an
+    SSND chunk (offset/blockSize header then interleaved PCM). AIFF
+    data is big-endian; AIFF-C is supported for compression types
+    'NONE' (BE) and 'sowt' (byte-swapped LE — the classic Mac layout).
+    Widths 8 (signed) / 16 / 24 / 32; downmix by mean."""
+    if len(blob) < 12 or blob[:4] != b"FORM" or blob[8:12] not in (
+        b"AIFF",
+        b"AIFC",
+    ):
+        raise ValueError("bad_aiff_header")
+    is_aifc = blob[8:12] == b"AIFC"
+    pos, comm, data, comp = 12, None, None, b"NONE"
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"COMM" and len(body) >= 18:
+            n_ch, n_frames, bps = struct.unpack_from(">HIH", body, 0)
+            sr = _parse_ieee_extended(body[8:18])
+            if is_aifc and len(body) >= 22:
+                comp = body[18:22]
+            comm = (n_ch, n_frames, bps, sr)
+        elif cid == b"SSND" and len(body) >= 8:
+            (offset, _blk) = struct.unpack_from(">II", body, 0)
+            data = body[8 + offset :]
+        pos += 8 + size + (size & 1)
+    if comm is None or data is None:
+        raise ValueError("missing_aiff_chunk")
+    n_ch, n_frames, bps, sr = comm
+    if n_ch == 0 or sr <= 0 or comp not in (b"NONE", b"sowt"):
+        raise ValueError("unsupported_aiff_format")
+    e = "<" if comp == b"sowt" else ">"
+    if bps == 8:
+        pcm, scale = np.frombuffer(data, dtype=np.int8), 127.0
+    elif bps == 16:
+        usable = len(data) - (len(data) % 2)
+        pcm, scale = np.frombuffer(data[:usable], dtype=f"{e}i2"), 32767.0
+    elif bps == 24:
+        usable = len(data) - (len(data) % 3)
+        raw = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
+        b0, b1, b2 = (raw[:, 2], raw[:, 1], raw[:, 0]) if e == ">" else (
+            raw[:, 0],
+            raw[:, 1],
+            raw[:, 2],
+        )
+        v = (
+            b0.astype(np.int64)
+            | (b1.astype(np.int64) << 8)
+            | (b2.astype(np.int64) << 16)
+        )
+        pcm, scale = v - ((v >> 23) << 24), 8388607.0
+    elif bps == 32:
+        usable = len(data) - (len(data) % 4)
+        pcm, scale = np.frombuffer(data[:usable], dtype=f"{e}i4"), 2147483647.0
+    else:
+        raise ValueError("unsupported_aiff_format")
+    pcm = pcm[: n_frames * n_ch]
+    if pcm.size == 0:
+        raise ValueError("empty_pcm")
+    if n_ch > 1:
+        pcm = pcm[: (len(pcm) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return pcm.astype(np.float32) / np.float32(scale), int(round(sr))
+
+
 def decode_pcm_s16le(blob: bytes, sr_hz: int) -> tuple[np.ndarray, int]:
     pcm = np.frombuffer(blob[: len(blob) - (len(blob) % 2)], dtype="<i2")
     if pcm.size == 0:
@@ -402,6 +522,10 @@ def decode_blob(
             pcm, sr = decode_pcm_s16le(blob, sr_hz or 16000)
         elif codec == "flac":  # own bitstream decoder (operators/flac.py)
             pcm, sr = _flac.decode_flac(blob)
+        elif codec == "au":
+            pcm, sr = decode_au(blob)
+        elif codec == "aiff":
+            pcm, sr = decode_aiff(blob)
         elif codec in COMPRESSED_CODECS:  # import-gated library slot
             pcm, sr = _decode_compressed(blob, codec, sr_hz, allow_fake)
         else:  # pcm_s24le / pcm_f32le / pcm_mulaw / pcm_alaw

@@ -15,7 +15,7 @@ from go_pkg_spider_spark.fixtures import audio_fixtures as ax
 
 def test_expected_matches_live_derivation():
     derived = ax.derive_expected()
-    assert len(derived) == len(ax.EXPECTED) == 67
+    assert len(derived) == len(ax.EXPECTED) == 72
     for got, frozen in zip(derived, ax.EXPECTED):
         assert got == frozen, f"fid {frozen[0]} drifted: {got} != {frozen}"
 
@@ -54,10 +54,10 @@ def test_error_rows_are_typed():
     # is decoder-internal; ok=false + nonempty err is the contract)
     for fid in (41, 42, 43):
         assert by_fid[fid]["ok"] is False and by_fid[fid]["err"]
-    # every non-error row decoded (67 total, 16 error rows: fid 23
-    # empty_pcm + fids 30-44)
+    # every non-error row decoded (72 total, 17 error rows: fid 23
+    # empty_pcm + fids 30-44 + fid 71 unsupported_au_encoding)
     n_ok = sum(1 for r in ax.EXPECTED if r[1])
-    assert n_ok == 51
+    assert n_ok == 55
 
 
 def test_flac_subframe_variants_match_their_verbatim_twin():
@@ -161,3 +161,21 @@ def test_ima_adpcm_twins_match_their_mono_twin():
     # 66 carries a 'fact' chunk and a LONGER data payload than 64
     assert b"fact" in blobs[66] and b"fact" not in blobs[64]
     assert len(blobs[66]) > len(blobs[64])
+
+
+def test_au_aiff_rows_match_their_twins():
+    """fids 67-70 (round 8): the Sun .au and AIFF containers carrying
+    EXACT sample twins of existing frozen rows — 67/69 the raw
+    pcm_s16le sine (fid 19, now one truth across three parsers), 68
+    the full G.711 µ-law code space (fid 59), 70 the 24-bit sine
+    (fid 53 — locked across FLAC/WAV/raw/AIFF). 71 pins the typed
+    unknown-encoding error."""
+    by_fid = {r[0]: r for r in ax.EXPECTED}
+    for variant, twin in ((67, 19), (68, 59), (69, 19), (70, 53)):
+        assert by_fid[variant][1:] == by_fid[twin][1:], (variant, twin)
+    assert by_fid[71][1] is False and by_fid[71][2] == "unsupported_au_encoding"
+    blobs = {f: b for f, b, _c, _s in ax.build_rows()}
+    for f in (67, 68, 71):
+        assert blobs[f][:4] == b".snd"
+    for f in (69, 70):
+        assert blobs[f][:4] == b"FORM" and blobs[f][8:12] == b"AIFF"

@@ -417,3 +417,70 @@ def test_compressed_codec_rows_flow_through_decode_udf(spark):
     # still rejects the unlisted codec
     kept = df.filter(decode_prefilter()).select("clip_id").collect()
     assert sorted(r[0] for r in kept) == ["a", "b"]
+
+
+def test_au_and_aiff_containers():
+    """Round 8: Sun .au and AIFF decode — stereo mean downmix, AIFF-C
+    'sowt' little-endian twin equals the big-endian stream, the 80-bit
+    extended sample rate round-trips, and malformed/unsupported
+    containers stay typed errors."""
+    import struct as _s
+
+    import numpy as np
+
+    from go_pkg_spider_spark.fixtures.audio_fixtures import (
+        _aiff,
+        _au,
+        _i16,
+        _ieee_extended,
+        _sine,
+    )
+    from go_pkg_spider_spark.operators.decode import _parse_ieee_extended
+
+    # 80-bit extended: encode->parse round-trips common rates exactly
+    for sr in (8000, 16000, 22050, 44100, 48000, 96000):
+        assert _parse_ieee_extended(_ieee_extended(sr)) == float(sr)
+
+    sig = _sine(2000, 16000, 440.0)
+    s16 = _i16(sig)
+
+    # AU stereo int16 BE: mean of (m+d, m-d) frames is exactly m
+    d = _i16(_sine(2000, 16000, 333.0) * 0.4)
+    fr = np.empty(4000, dtype=np.int16)
+    fr[0::2], fr[1::2] = s16 + d, s16 - d
+    st, sr, err = decode.decode_blob(
+        _au(fr.astype(">i2").tobytes(), 16000, 3, channels=2), "au", None
+    )
+    assert err is None and sr == 16000
+    assert np.array_equal(st, s16.astype(np.float32) / np.float32(32767.0))
+
+    # AIFF-C sowt == AIFF BE (same samples, swapped bytes)
+    be = decode.decode_aiff(_aiff(s16.astype(">i2").tobytes(), 16000, 2000, 16))
+    comm = _s.pack(">HIH", 1, 2000, 16) + _ieee_extended(16000) + b"sowt"
+    ssnd = _s.pack(">II", 0, 0) + s16.astype("<i2").tobytes()
+    body = b"AIFC"
+    for cid, payload in ((b"COMM", comm), (b"SSND", ssnd)):
+        body += cid + _s.pack(">I", len(payload)) + payload
+    sowt = b"FORM" + _s.pack(">I", len(body)) + body
+    le = decode.decode_aiff(sowt)
+    assert np.array_equal(be[0], le[0]) and be[1] == le[1] == 16000
+
+    # AU float32 BE passes through; AU signed int8 divides by 127
+    f32, _, err = decode.decode_blob(
+        _au(sig.astype(">f4").tobytes(), 22050, 6), "au", None
+    )
+    assert err is None and np.array_equal(f32, sig.astype("<f4"))
+    i8 = np.array([-127, 0, 127], dtype=np.int8)
+    p8, _, err = decode.decode_blob(_au(i8.tobytes() * 40, 8000, 2), "au", None)
+    assert err is None and p8[0] == np.float32(-1.0) and p8[2] == np.float32(1.0)
+
+    # typed errors: bad magic, unknown AIFF compression, missing chunk
+    assert decode.decode_blob(b"JUNK" + b"\x00" * 40, "au", None)[2] == "bad_au_header"
+    assert (
+        decode.decode_blob(b"FORM" + _s.pack(">I", 4) + b"WAVE", "aiff", None)[2]
+        == "bad_aiff_header"
+    )
+    comm_bad = _s.pack(">HIH", 1, 10, 16) + _ieee_extended(8000) + b"ima4"
+    body = b"AIFC" + b"COMM" + _s.pack(">I", len(comm_bad)) + comm_bad
+    blob = b"FORM" + _s.pack(">I", len(body)) + body
+    assert decode.decode_blob(blob, "aiff", None)[2] == "missing_aiff_chunk"

@@ -79,9 +79,13 @@ REPORT = [
     ),
     (
         "winnow_fingerprints_docs",
-        "Winnowing fingerprints: pure column math, zero Python, zero "
-        "shuffle before the explode; let-bound stages (expr_utils.let_col) "
-        "keep the normalization and gram hashes single-evaluated per row.",
+        "Winnowing fingerprints: pure column math, zero Python; let-bound "
+        "stages (expr_utils.let_col) keep the normalization and gram hashes "
+        "single-evaluated per row. The RoundRobin Exchange below is the "
+        "round-7 small-scan spread guard (_spread_small_scan: a sub-64MB "
+        "single-file input is unsplittable, so it is repartitioned to the "
+        "session parallelism; the guard is a no-op at production scale "
+        "where the scan has >= parallelism splits).",
         "winnow_fingerprints_docs",
     ),
     (

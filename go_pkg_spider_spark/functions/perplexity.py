@@ -14,6 +14,15 @@ pipeline's hottest Python path).
 
 Production swap-in: replace `_train()` with loading real KenLM-exported
 probs from a broadcast artifact; the UDF shape stays identical.
+
+MEASURED separation contract (round 8, tools/model_accuracy.py over
+the held-out corpus — table in BENCH/BASELINE.md, floors in
+tests/test_model_accuracy.py): with the embedded seed corpus the LM
+fully separates clean text from char-shuffled gibberish on latin and
+other non-CJK scripts (concordance 1.00, median ratio 1.4-1.6) but is
+BACKOFF-DOMINATED on CJK (concordance 0.63, ratio ~1.07 — an
+out-of-vocabulary trigram scores the same shuffled or not). Do NOT
+ppl-gate CJK corpora before the KenLM swap-in.
 """
 
 from __future__ import annotations

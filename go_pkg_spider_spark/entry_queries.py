@@ -2169,7 +2169,7 @@ def charset_guess_docs(spark, sf_dir):
 @query("audio_decode_docs", _audio_oracle_sql())
 def audio_decode_docs(spark, sf_dir):
     """The north-star audio leg under the hard gate (round-4 verdict
-    #1): 72 deterministic WAV/PCM/FLAC/AU/AIFF byte fixtures —
+    #1): 73 deterministic WAV/PCM/FLAC/AU/AIFF/RF64 byte fixtures —
     including G.711 telephony (µ-law/A-law WAV tags + headerless
     codecs over the full 256-code space, tables pinned against the
     stdlib audioop oracle, fids 59-63), IMA ADPCM (fid 64; round 8

@@ -94,6 +94,22 @@ def _riff(chunks: list[tuple[bytes, bytes]]) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _rf64(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    """RF64/BW64 twin of _riff (EBU 3306, round 8): a leading ds64
+    chunk carries the 64-bit riff/data sizes; the RIFF-level and
+    data-chunk 32-bit size fields hold the 0xFFFFFFFF sentinel."""
+    data_len = next(len(p) for c, p in chunks if c == b"data")
+    tail = b""
+    for cid, payload in chunks:
+        size = 0xFFFFFFFF if cid == b"data" else len(payload)
+        tail += cid + struct.pack("<I", size) + payload
+        if len(payload) % 2:
+            tail += b"\x00"
+    ds64 = struct.pack("<QQQI", 4 + 36 + len(tail), data_len, 0, 0)
+    body = b"WAVE" + b"ds64" + struct.pack("<I", len(ds64)) + ds64 + tail
+    return b"RF64" + struct.pack("<I", 0xFFFFFFFF) + body
+
+
 def _fmt_chunk(sr: int, channels: int = 1, bps: int = 16, fmt: int = 1) -> bytes:
     block = channels * bps // 8
     return struct.pack("<HHIIHH", fmt, channels, sr, sr * block, block, bps)
@@ -565,6 +581,17 @@ def build_rows() -> list[tuple[int, bytes | None, str | None, int | None]]:
     add(_aiff(b24.tobytes(), 8000, len(v24), 24), "aiff", None)
     # 71: AU with an unknown encoding id -> typed error row
     add(_au(b"\x00" * 64, 8000, 99), "au", None)
+    # 72 == 55 == 52: RF64 (64-bit WAV, the >4GiB production variant —
+    #     encoders emit it preemptively for small files too) wrapping
+    #     fid 55's exact fmt+data chunks; the data size comes from the
+    #     ds64 chunk, the 32-bit field holds the 0xFFFFFFFF sentinel
+    v = (_const(2000, 0.5) * 8388607).astype(np.int64) & 0xFFFFFF
+    b3 = np.zeros((len(v), 3), dtype=np.uint8)
+    b3[:, 0], b3[:, 1], b3[:, 2] = v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF
+    add(
+        _rf64([(b"fmt ", _fmt_chunk(16000, bps=24)), (b"data", b3.tobytes())]),
+        "wav", 16000,
+    )
 
     return rows
 
@@ -727,4 +754,5 @@ EXPECTED: list[tuple] = [
     (69, True, None, 4000, 16000, 0.4242500966620093, 0.599993884563446, 0.0, 0.0, 0.05476369092273068, 23, 440.576, 440.0, 0.0, 4000),
     (70, True, None, 2000, 8000, 0.42426401048076223, 0.5999999642372131, 0.0, 0.0, 0.054527263631815905, 23, 532.046, 220.0, 0.0, 4000),
     (71, False, 'unsupported_au_encoding', 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0),
+    (72, True, None, 2000, 16000, 0.4999999403953552, 0.4999999403953552, 0.0, 0.4999999403953552, 0.0, 11, 0.0, 0.0, 0.0, 2000),
 ]

@@ -10,9 +10,10 @@ features cross the (potential) shuffle boundary downstream
 (SURVEY.md §4.3 spill-safety: PCM is ~100x input, never materialized as
 a column).
 
-Codecs: 'wav' (RIFF: PCM 8/16/24/32-bit, IEEE float 32/64, G.711
-A-law/µ-law tags, IMA ADPCM mono+stereo with 'fact'-chunk truncation,
-EXTENSIBLE unwrap), raw 'pcm_s16le' / 'pcm_s24le' / 'pcm_f32le' /
+Codecs: 'wav' (RIFF + RF64/BW64 64-bit sizes: PCM 8/16/24/32-bit,
+IEEE float 32/64, G.711 A-law/µ-law tags, IMA ADPCM mono+stereo with
+'fact'-chunk truncation, EXTENSIBLE unwrap), raw 'pcm_s16le' /
+'pcm_s24le' / 'pcm_f32le' /
 'pcm_mulaw' / 'pcm_alaw', 'au' (Sun/NeXT: G.711 both laws, int8/16,
 float32 BE), 'aiff' (AIFF + AIFF-C NONE/sowt, widths 8-32), and
 'flac' (pure-Python/numpy bitstream decoder, operators/flac.py: all
@@ -293,13 +294,29 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     ValueError on malformed containers. The 16-bit path keeps its
     historical exact op order (int16 -> [mean] -> float32 -> /32767),
     so frozen fixtures are unaffected."""
-    if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+    magic = blob[:4]
+    if (
+        len(blob) < 44
+        or magic not in (b"RIFF", b"RF64", b"BW64")
+        or blob[8:12] != b"WAVE"
+    ):
         raise ValueError("bad_riff_header")
     pos, fmt, sr, n_ch, bps, block_align, data = 12, None, None, None, None, 0, None
     fact_samples = None
+    ds64_data_size = None
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
         (size,) = struct.unpack_from("<I", blob, pos + 4)
+        if cid == b"ds64" and size >= 16 and magic != b"RIFF":
+            # RF64/BW64 (EBU 3306): 32-bit chunk sizes overflow past
+            # 4 GiB, so the leading ds64 chunk carries the real 64-bit
+            # riff/data sizes and the data chunk's own size field is
+            # the 0xFFFFFFFF sentinel (round 8 — encoders emit RF64
+            # preemptively even for small files, so the seam matters
+            # under the 10 MiB cap too)
+            (ds64_data_size,) = struct.unpack_from("<Q", blob, pos + 8 + 8)
+        if cid == b"data" and size == 0xFFFFFFFF and ds64_data_size is not None:
+            size = min(ds64_data_size, len(blob) - pos - 8)
         body = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
             fmt, n_ch, sr, _, block_align, bps = struct.unpack_from(

@@ -15,7 +15,7 @@ from go_pkg_spider_spark.fixtures import audio_fixtures as ax
 
 def test_expected_matches_live_derivation():
     derived = ax.derive_expected()
-    assert len(derived) == len(ax.EXPECTED) == 72
+    assert len(derived) == len(ax.EXPECTED) == 73
     for got, frozen in zip(derived, ax.EXPECTED):
         assert got == frozen, f"fid {frozen[0]} drifted: {got} != {frozen}"
 
@@ -54,10 +54,10 @@ def test_error_rows_are_typed():
     # is decoder-internal; ok=false + nonempty err is the contract)
     for fid in (41, 42, 43):
         assert by_fid[fid]["ok"] is False and by_fid[fid]["err"]
-    # every non-error row decoded (72 total, 17 error rows: fid 23
+    # every non-error row decoded (73 total, 17 error rows: fid 23
     # empty_pcm + fids 30-44 + fid 71 unsupported_au_encoding)
     n_ok = sum(1 for r in ax.EXPECTED if r[1])
-    assert n_ok == 55
+    assert n_ok == 56
 
 
 def test_flac_subframe_variants_match_their_verbatim_twin():
@@ -179,3 +179,8 @@ def test_au_aiff_rows_match_their_twins():
         assert blobs[f][:4] == b".snd"
     for f in (69, 70):
         assert blobs[f][:4] == b"FORM" and blobs[f][8:12] == b"AIFF"
+    # fid 72 (RF64): same decode as its RIFF twin 55; the blob really
+    # carries the RF64 magic, a ds64 chunk, and the 32-bit sentinel
+    assert by_fid[72][1:] == by_fid[55][1:]
+    assert blobs[72][:4] == b"RF64" and b"ds64" in blobs[72]
+    assert b"\xff\xff\xff\xff" in blobs[72]

@@ -484,3 +484,67 @@ def test_au_and_aiff_containers():
     body = b"AIFC" + b"COMM" + _s.pack(">I", len(comm_bad)) + comm_bad
     blob = b"FORM" + _s.pack(">I", len(body)) + body
     assert decode.decode_blob(blob, "aiff", None)[2] == "missing_aiff_chunk"
+
+
+def test_compressed_slot_soundfile_stub(monkeypatch):
+    """The soundfile branch of the compressed slot, exercised with a
+    stub module (the real library is absent in this sandbox): decode
+    returns the library's frames mean-downmixed; a library failure
+    with no ffmpeg fallback is the typed decode_error (corrupt
+    payload), NOT no_codec."""
+    import numpy as np
+
+    from go_pkg_spider_spark.operators import decode as d
+
+    class _StubSF:
+        def read(self, fh, dtype, always_2d):
+            payload = fh.read()
+            if payload.startswith(b"BAD"):
+                raise RuntimeError("unsupported format")
+            n = 1000
+            data = np.stack(
+                [np.linspace(-0.5, 0.5, n), np.linspace(0.5, -0.5, n)], axis=1
+            ).astype(dtype)
+            return data, 44100
+
+    monkeypatch.setattr(d, "_soundfile", _StubSF())
+    monkeypatch.setattr(d, "_FFMPEG_BIN", None)
+    pcm, sr, err = d.decode_blob(b"\xff\xfb" * 100, "mp3", None)
+    assert err is None and sr == 44100 and len(pcm) == 1000
+    # mean of the two mirrored channels is exactly 0
+    assert np.allclose(pcm, 0.0, atol=1e-7)
+    assert d.decode_blob(b"BAD" + b"x" * 50, "mp3", None)[2] == "decode_error"
+
+
+def test_compressed_slot_ffmpeg_stub(tmp_path, monkeypatch):
+    """The ffmpeg-CLI branch, exercised with a stub executable that
+    emits a real WAV on stdout (the transcode-to-WAV-pipe contract —
+    our own decode_wav parses the result): decode succeeds with the
+    WAV's own rate; a nonzero exit is the typed decode_error."""
+    import numpy as np
+
+    from go_pkg_spider_spark.fixtures.audio_fixtures import _sine, _wav
+    from go_pkg_spider_spark.operators import decode as d
+
+    wav = _wav(_sine(500, 22050, 440.0), 22050)
+    wav_path = tmp_path / "canned.wav"
+    wav_path.write_bytes(wav)
+    stub = tmp_path / "ffmpeg"
+    stub.write_text(
+        "#!/bin/sh\n"
+        "cat > /dev/null\n"  # drain stdin (the payload pipe)
+        f'exec cat "{wav_path}"\n'
+    )
+    stub.chmod(0o755)
+    monkeypatch.setattr(d, "_soundfile", None)
+    monkeypatch.setattr(d, "_FFMPEG_BIN", str(stub))
+    pcm, sr, err = d.decode_blob(b"\xff\xfb" * 100, "mp3", None)
+    assert err is None and sr == 22050 and len(pcm) == 500
+    want, _ = d.decode_wav(wav)
+    assert np.array_equal(pcm, want)
+
+    bad = tmp_path / "ffmpeg_fail"
+    bad.write_text("#!/bin/sh\ncat > /dev/null\nexit 1\n")
+    bad.chmod(0o755)
+    monkeypatch.setattr(d, "_FFMPEG_BIN", str(bad))
+    assert d.decode_blob(b"\xff\xfb" * 100, "mp3", None)[2] == "decode_error"

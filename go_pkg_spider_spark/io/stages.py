@@ -105,15 +105,29 @@ def run_lease(root: str, run_id: str, ttl_sec: int = 6 * 3600):
                 break
             except FileExistsError:
                 pass
-            except OSError:
+            except OSError as e:
                 # filesystem without hard-link support (FUSE/object-store
                 # gateway, exFAT — ENOTSUP/EPERM/EXDEV): the atomic-link
                 # publish can't work here, so degrade to the documented
                 # no-op lease, mirroring the makedirs guard above
                 # (ADVICE r7: the docstring promised degrade-to-no-op
                 # for non-POSIX roots; raising would crash the job).
-                degraded = True
-                break
+                # ONLY those errnos degrade: a transient failure (EIO /
+                # ESTALE / ENOSPC) must NOT silently disable mutual
+                # exclusion while another run may hold the lease —
+                # crashing is the safe behavior there (round-8
+                # self-review).
+                import errno as _errno
+
+                if e.errno in (
+                    _errno.ENOTSUP,
+                    _errno.EOPNOTSUPP,
+                    _errno.EPERM,
+                    _errno.EXDEV,
+                ):
+                    degraded = True
+                    break
+                raise
             try:
                 st = os.stat(path)
                 with open(path, encoding="utf-8") as f:

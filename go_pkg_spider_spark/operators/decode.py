@@ -76,7 +76,7 @@ except Exception:  # noqa: BLE001
 _FFMPEG_BIN = shutil.which("ffmpeg")  # CLI slot (absent in this sandbox)
 
 
-def _fake_pcm(blob: bytes, sr: int) -> np.ndarray:
+def _fake_pcm(blob: bytes) -> np.ndarray:
     """DETERMINISTIC FAKE decode for compressed payloads: a short PCM
     buffer seeded by the payload digest — a pure function of the bytes,
     so tests can re-derive expectations (the visual.py _fake_pixels
@@ -85,6 +85,35 @@ def _fake_pcm(blob: bytes, sr: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     n = 800 + int(seed % 800)
     return (rng.random(n, dtype=np.float64).astype(np.float32) - 0.5)
+
+
+def _gather_s24(data: bytes, big_endian: bool = False) -> np.ndarray:
+    """3-byte packed signed 24-bit -> int64 samples (one byte-gather +
+    sign extension). ONE source of truth for every 24-bit container
+    path (WAV, raw s24le, AIFF) — the frozen fixtures pin all of them
+    to this exact arithmetic."""
+    usable = len(data) - (len(data) % 3)
+    raw = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
+    lo, mid, hi = (
+        (raw[:, 2], raw[:, 1], raw[:, 0]) if big_endian else
+        (raw[:, 0], raw[:, 1], raw[:, 2])
+    )
+    v = (
+        lo.astype(np.int64)
+        | (mid.astype(np.int64) << 8)
+        | (hi.astype(np.int64) << 16)
+    )
+    return v - ((v >> 23) << 24)
+
+
+def _downmix(pcm: np.ndarray, n_ch: int) -> np.ndarray:
+    """Interleaved frames -> mono by per-frame mean (trailing partial
+    frame dropped). ONE source of truth for every multi-channel path;
+    runs BEFORE the float32/scale conversion (the frozen fixtures pin
+    that op order)."""
+    if n_ch <= 1:
+        return pcm
+    return pcm[: (len(pcm) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
 
 
 def _decode_compressed(
@@ -129,7 +158,7 @@ def _decode_compressed(
             raise ValueError("decode_error")
         return decode_wav(proc.stdout)
     if allow_fake:  # tests-only: exercises batch plumbing without codecs
-        return _fake_pcm(blob, sr_hz or 16000), int(sr_hz or 16000)
+        return _fake_pcm(blob), int(sr_hz or 16000)
     raise ValueError(f"no_codec:{codec}")
 
 
@@ -338,6 +367,11 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)
     if sr is None or data is None or n_ch is None:
         raise ValueError("missing_wav_chunk")
+    if sr == 0 or n_ch == 0:
+        # a zero rate would crash downstream resampling (ZeroDivision
+        # inside the features UDF — a task failure, not a typed row);
+        # reject it HERE so the contract (ok=false, never crash) holds
+        raise ValueError("unsupported_wav_format")
     if fmt == 0x11:  # IMA ADPCM: block-structured, mono or stereo
         pcm = _decode_ima_adpcm(data, block_align, n_ch)
         if fact_samples is not None:
@@ -345,14 +379,8 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         return pcm.astype(np.float32) / np.float32(32767.0), int(sr)
     step = bps // 8
     usable = len(data) - (len(data) % step)  # trailing partial sample dropped
-    if bps == 24:  # 3-byte little-endian signed: byte-gather + sign extend
-        raw = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
-        v = (
-            raw[:, 0].astype(np.int64)
-            | (raw[:, 1].astype(np.int64) << 8)
-            | (raw[:, 2].astype(np.int64) << 16)
-        )
-        pcm = v - ((v >> 23) << 24)
+    if bps == 24:  # 3-byte little-endian signed
+        pcm = _gather_s24(data)
     elif (fmt, bps) == (1, 8):
         pcm = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
     elif fmt in (6, 7):  # G.711: one table gather per byte
@@ -363,8 +391,7 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
             (fmt, bps)
         ]
         pcm = np.frombuffer(data[:usable], dtype=dtype)
-    if n_ch > 1:
-        pcm = pcm[: (len(pcm) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    pcm = _downmix(pcm, n_ch)
     # float32 halves the bandwidth of the hottest loop in the pipeline;
     # <=24-bit sources lose nothing (float32 has 24 mantissa bits)
     return pcm.astype(np.float32) / np.float32(_WAV_FORMATS[(fmt, bps)]), int(sr)
@@ -400,8 +427,7 @@ def decode_au(blob: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("unsupported_au_encoding")
     if pcm.size == 0:
         raise ValueError("empty_pcm")
-    if n_ch > 1:
-        pcm = pcm[: (len(pcm) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    pcm = _downmix(pcm, n_ch)
     return pcm.astype(np.float32) / np.float32(scale), int(sr)
 
 
@@ -451,7 +477,9 @@ def decode_aiff(blob: bytes) -> tuple[np.ndarray, int]:
     if comm is None or data is None:
         raise ValueError("missing_aiff_chunk")
     n_ch, n_frames, bps, sr = comm
-    if n_ch == 0 or sr <= 0 or comp not in (b"NONE", b"sowt"):
+    # round(sr) guards sub-0.5 extended-float rates that pass a bare
+    # sr <= 0 check but round to 0 and crash downstream resampling
+    if n_ch == 0 or int(round(sr)) <= 0 or comp not in (b"NONE", b"sowt"):
         raise ValueError("unsupported_aiff_format")
     e = "<" if comp == b"sowt" else ">"
     if bps == 8:
@@ -460,19 +488,7 @@ def decode_aiff(blob: bytes) -> tuple[np.ndarray, int]:
         usable = len(data) - (len(data) % 2)
         pcm, scale = np.frombuffer(data[:usable], dtype=f"{e}i2"), 32767.0
     elif bps == 24:
-        usable = len(data) - (len(data) % 3)
-        raw = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
-        b0, b1, b2 = (raw[:, 2], raw[:, 1], raw[:, 0]) if e == ">" else (
-            raw[:, 0],
-            raw[:, 1],
-            raw[:, 2],
-        )
-        v = (
-            b0.astype(np.int64)
-            | (b1.astype(np.int64) << 8)
-            | (b2.astype(np.int64) << 16)
-        )
-        pcm, scale = v - ((v >> 23) << 24), 8388607.0
+        pcm, scale = _gather_s24(data, big_endian=(e == ">")), 8388607.0
     elif bps == 32:
         usable = len(data) - (len(data) % 4)
         pcm, scale = np.frombuffer(data[:usable], dtype=f"{e}i4"), 2147483647.0
@@ -481,8 +497,7 @@ def decode_aiff(blob: bytes) -> tuple[np.ndarray, int]:
     pcm = pcm[: n_frames * n_ch]
     if pcm.size == 0:
         raise ValueError("empty_pcm")
-    if n_ch > 1:
-        pcm = pcm[: (len(pcm) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    pcm = _downmix(pcm, n_ch)
     return pcm.astype(np.float32) / np.float32(scale), int(round(sr))
 
 
@@ -498,14 +513,7 @@ def decode_pcm_raw(blob: bytes, codec: str, sr_hz: int) -> tuple[np.ndarray, int
     float32, and the G.711 telephony laws — the raw-byte twins of the
     WAV format tags, sharing the same normalization conventions."""
     if codec == "pcm_s24le":
-        usable = len(blob) - (len(blob) % 3)
-        raw = np.frombuffer(blob[:usable], dtype=np.uint8).reshape(-1, 3)
-        v = (
-            raw[:, 0].astype(np.int64)
-            | (raw[:, 1].astype(np.int64) << 8)
-            | (raw[:, 2].astype(np.int64) << 16)
-        )
-        pcm, scale = v - ((v >> 23) << 24), 8388607.0
+        pcm, scale = _gather_s24(blob), 8388607.0
     elif codec == "pcm_f32le":
         usable = len(blob) - (len(blob) % 4)
         pcm, scale = np.frombuffer(blob[:usable], dtype="<f4"), 1.0

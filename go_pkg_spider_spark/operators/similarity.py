@@ -550,10 +550,16 @@ def ivf_topk_batch(
 _SERVE_CACHES: list = []
 
 
-def release_serve_caches(spark=None) -> int:
+def release_serve_caches() -> int:
     """Unpersist every index projection ivf_topk_batch_gemm cached for
     a multi-chunk serve. Call AFTER materializing the returned frame
-    (the serve stage does); returns the number of caches released."""
+    (the serve stage and the streaming foreachBatch do); returns the
+    number of caches released. SCOPE CONTRACT: the registry is
+    session-global and this releases ALL pending caches — build and
+    materialize multi-chunk serves serially (every current caller
+    does); a second frame built before the first is released would
+    lose its cache and fall back to per-chunk re-scans (correct,
+    slower)."""
     n = len(_SERVE_CACHES)
     while _SERVE_CACHES:
         _SERVE_CACHES.pop().unpersist()

@@ -447,6 +447,11 @@ def stream_ann_topk(
             cell_col=cell_col,
         )
         out.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
+        # a GEMM micro-batch larger than the probe-chunk cap persists
+        # the index projection for its chunks — release it now that the
+        # batch is written, or a continuous stream pins one cache per
+        # trigger forever (round-8 self-review finding)
+        similarity.release_serve_caches()
 
     writer = (
         deduped.writeStream.foreachBatch(process_batch)

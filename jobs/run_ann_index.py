@@ -286,7 +286,7 @@ def _run_ann_index_locked(
             topk_runner.commit("topk", result)
             # release any index projection the GEMM scorer persisted
             # for a multi-chunk probe batch (the commit materialized it)
-            similarity.release_serve_caches(spark)
+            similarity.release_serve_caches()
         for k_, v in topk_runner.summary.items():
             if isinstance(v, dict):
                 runner.summary.setdefault(k_, {}).update(v)

@@ -548,3 +548,38 @@ def test_compressed_slot_ffmpeg_stub(tmp_path, monkeypatch):
     bad.chmod(0o755)
     monkeypatch.setattr(d, "_FFMPEG_BIN", str(bad))
     assert d.decode_blob(b"\xff\xfb" * 100, "mp3", None)[2] == "decode_error"
+
+
+def test_zero_sample_rate_is_typed_error_not_crash():
+    """Round-8 self-review (reproduced): a zero/sub-0.5 sample rate
+    passed decode and crashed downstream resampling with
+    ZeroDivisionError — a TASK failure, not a typed row. Both container
+    parsers must reject it at decode time."""
+    import struct as _s
+
+    from go_pkg_spider_spark.fixtures.audio_fixtures import (
+        _fmt_chunk,
+        _riff,
+        _sine,
+        _i16,
+    )
+    from go_pkg_spider_spark.operators.audio_features import features_for_clip
+
+    # WAV with fmt sr=0
+    blob = _riff([(b"fmt ", _fmt_chunk(0)), (b"data", b"\x00\x01" * 100)])
+    assert decode.decode_blob(blob, "wav", 16000)[2] == "unsupported_wav_format"
+    # AIFF whose 80-bit COMM rate encodes 0.25 (exp 16381, msb mantissa):
+    # passes a naive sr <= 0 check but rounds to 0
+    rate_quarter = _s.pack(">HII", 16381, 0x80000000, 0)
+    comm = _s.pack(">HIH", 1, 100, 16) + rate_quarter
+    ssnd = _s.pack(">II", 0, 0) + _i16(_sine(100, 8000, 100.0)).astype(">i2").tobytes()
+    body = b"AIFF"
+    for cid, payload in ((b"COMM", comm), (b"SSND", ssnd)):
+        body += cid + _s.pack(">I", len(payload)) + payload
+    blob = b"FORM" + _s.pack(">I", len(body)) + body
+    assert decode.decode_blob(blob, "aiff", None)[2] == "unsupported_aiff_format"
+    # and the full features path never sees a zero rate (the original
+    # crash site): both rows are ok=false typed rows end-to-end
+    # AUDIO_FEATURES_SCHEMA: (clip_id, ok=err-string-or-NULL, ...)
+    row = features_for_clip("x", blob, "aiff", None)
+    assert row[0] == "x" and row[1] == "unsupported_aiff_format"

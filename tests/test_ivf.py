@@ -330,8 +330,8 @@ def test_ivf_topk_batch_gemm_chunked_probe_batches_identical(spark):
     # cell-assigned index projection so the 8 chunk branches share ONE
     # index materialization; release_serve_caches frees exactly it
     assert "InMemoryTableScan" in chunked._jdf.queryExecution().executedPlan().toString()
-    assert similarity.release_serve_caches(spark) == 1
-    assert similarity.release_serve_caches(spark) == 0
+    assert similarity.release_serve_caches() == 1
+    assert similarity.release_serve_caches() == 0
     empty = similarity.ivf_topk_batch_gemm(
         e, queries.limit(0), "embedding", "vec_id", "qid", cents, k=5, n_probe=3,
     )

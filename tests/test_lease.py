@@ -203,3 +203,22 @@ def test_lease_degrades_to_noop_without_hardlink_support(tmp_path, monkeypatch):
     assert ran
     leftovers = [p for p in _os.listdir(root) if p.startswith("_run_lock")]
     assert leftovers == []
+
+
+def test_lease_transient_link_failure_raises(tmp_path, monkeypatch):
+    """Round-8 self-review: ONLY the no-hardlink errnos degrade the
+    lease to a no-op; a transient failure (EIO) must raise — silently
+    proceeding lock-free while another run may hold the lease is the
+    double-writer corruption the lease exists to prevent."""
+    import errno
+    import os as _os
+
+    import pytest as _pytest
+
+    def eio_link(src, dst):
+        raise OSError(errno.EIO, "I/O error")
+
+    monkeypatch.setattr(_os, "link", eio_link)
+    with _pytest.raises(OSError):
+        with run_lease(str(tmp_path / "flaky"), "job-a"):
+            raise AssertionError("lease must not be granted on EIO")

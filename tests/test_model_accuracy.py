@@ -11,9 +11,10 @@ the lang.go:237/250/304/311/327 thresholds)."""
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.model_accuracy import run_langid, run_ppl
 

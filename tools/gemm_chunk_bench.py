@@ -36,7 +36,7 @@ N_PROBE = 8
 K = 10
 
 
-def _serve(spark, persist: bool) -> float:
+def _serve(spark, persist: bool) -> tuple[float, int]:
     from pyspark.sql import functions as F
 
     idx = spark.read.parquet(INDEX)
@@ -67,7 +67,7 @@ def _serve(spark, persist: bool) -> float:
     )
     n = out.count()
     wall = time.monotonic() - t0
-    released = similarity.release_serve_caches(spark)
+    released = similarity.release_serve_caches()
     assert released == (1 if persist else 0), released
     return wall, n
 

@@ -1,13 +1,14 @@
 """Adversarial-skew pipeline datapoint (round 8, VERDICT r7 #6): the
 salting design (pipeline.repartition_salted + io/bucketed) was
 test-pinned but the clips pipeline had no MEASURED skew run. This tool
-builds an sf0.1-scale corpus with a heavy long-clip/long-transcript
-tail (1% of rows at 10x the audio seconds and 10x the transcript), lays
-it out two ways, and measures the pipeline wall at local[32]:
+builds an sf0.1-scale corpus with a heavy long-transcript tail (1% of
+rows at 400x the transcript — CPU-dense, byte-light; see the module
+note below for why the tail is NOT byte-heavy), lays it out two ways,
+and measures the pipeline wall at local[32]:
 
 - CLUSTERED (adversarial): rows sorted so the whole heavy tail packs
-  into one file -> one scan task owns ~10x the per-row work of its
-  peers and the stage wall is that straggler.
+  into one file -> one scan task owns the tail's entire CPU cost and
+  the stage wall is that straggler.
 - SALTED (the writer discipline): the same rows written through
   pipeline.repartition_salted -> the length-tier salt stripes heavy
   rows across partitions; per-partition heavy counts are asserted

@@ -68,6 +68,21 @@ CODEC_WHITELIST = (  # the textContentTypes analog
 ) + COMPRESSED_CODECS
 MAX_CONTENT_LENGTH = 10 * 1024 * 1024  # http.go MaxContentLength 10 MiB
 
+# Codecs whose payload bytes can decode to non-finite float samples
+# (WAV/AU float formats, raw float32, library-decoded compressed).
+_FLOAT_SOURCE_CODECS = frozenset(
+    ("wav", "au", "pcm_f32le") + COMPRESSED_CODECS
+)
+
+# Plausible decoded sample-rate band. A syntactically valid container
+# claiming an absurd rate is an attack on the RESAMPLER, not the
+# parser: sr=1 with a 5 MiB payload makes linear_resample allocate
+# size*16000 doubles (hundreds of GB -> MemoryError task failure, not a
+# typed row). The floor bounds the 16 kHz upsample expansion at 16x;
+# the ceiling sits above FLAC's 655350 Hz spec maximum. Found by the
+# round-8 decoder fuzz (tests/test_fuzz_decode.py).
+SR_MIN, SR_MAX = 1_000, 1_000_000
+
 try:  # library slot for compressed audio (absent in this sandbox)
     import soundfile as _soundfile  # type: ignore
 except Exception:  # noqa: BLE001
@@ -628,6 +643,16 @@ def decode_blob(
             pcm, sr = _decode_compressed(blob, codec, sr_hz, allow_fake)
         else:  # pcm_s24le / pcm_f32le / pcm_mulaw / pcm_alaw
             pcm, sr = decode_pcm_raw(blob, codec, sr_hz or 16000)
+        if not (SR_MIN <= sr <= SR_MAX):
+            return None, 0, "implausible_sample_rate"
+        if codec in _FLOAT_SOURCE_CODECS and not np.isfinite(pcm).all():
+            # float payloads can carry NaN/Inf samples (and a finite
+            # float64 can overflow to inf in the float32 downcast, so
+            # this runs on the FINAL pcm); letting them through makes
+            # ok=true rows with NaN features — garbage the quality
+            # gates silently mis-handle. Int-sourced codecs cannot
+            # produce non-finite values and skip the scan.
+            return None, 0, "nonfinite_samples"
         return pcm, sr, None
     except ValueError as e:
         # our parsers raise snake_case tokens; a ValueError bubbling up

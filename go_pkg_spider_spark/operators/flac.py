@@ -121,6 +121,17 @@ class BitReader:
         self.bitpos = pos
         return out
 
+    def skip(self, nbits: int) -> None:
+        """Advance without materializing the bits. read(n) accumulates
+        an n-bit integer (shift-or per byte — O(n^2) bit ops), which is
+        fine for field-sized reads but pathological for skipping
+        metadata: a routine 1 MB PICTURE block (album art) would build
+        an 8M-bit bignum. Skips must be O(1)."""
+        end = self.bitpos + nbits
+        if end > len(self.data) * 8:
+            raise ValueError("flac_truncated")
+        self.bitpos = end
+
     def read_signed(self, nbits: int) -> int:
         v = self.read(nbits)
         return v - (1 << nbits) if v & (1 << (nbits - 1)) else v
@@ -477,9 +488,9 @@ def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
             channels = r.read(3) + 1
             bps = r.read(5) + 1
             total = r.read(36)
-            r.read(128)  # md5
+            r.skip(128)  # md5
         else:
-            r.read(length * 8)
+            r.skip(length * 8)
         if last:
             break
     if sr is None or not sr:

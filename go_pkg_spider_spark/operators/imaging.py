@@ -62,6 +62,10 @@ def decode_pgm(buf: bytes) -> np.ndarray:
     (w, h, maxval), off = _pnm_header_tokens(buf, 3)
     if not (0 < maxval < 256):
         raise ValueError("pnm_maxval_unsupported")
+    if w <= 0 or h <= 0:
+        # a zero-dim raster decodes to an EMPTY array whose feature
+        # math yields NaN ok=true rows (decoder fuzz, round 8)
+        raise ValueError("pnm_bad_dims")
     need = w * h
     raster = buf[off : off + need]
     if len(raster) < need:
@@ -75,6 +79,8 @@ def decode_ppm(buf: bytes) -> np.ndarray:
     (w, h, maxval), off = _pnm_header_tokens(buf, 3)
     if not (0 < maxval < 256):
         raise ValueError("pnm_maxval_unsupported")
+    if w <= 0 or h <= 0:
+        raise ValueError("pnm_bad_dims")
     need = w * h * 3
     raster = buf[off : off + need]
     if len(raster) < need:
@@ -223,6 +229,11 @@ class Y4MStream:
                 colorspace = val
         if self.width <= 0 or self.height <= 0:
             raise ValueError("y4m_bad_dims")
+        if self.fps_den <= 0 or self.fps_num <= 0:
+            # 'F25:0' parses but the fps property would divide by zero
+            # (ZeroDivisionError is NOT the ValueError callers map to
+            # error rows — decoder fuzz, round 8)
+            raise ValueError("y4m_bad_fps")
         luma = self.width * self.height
         if colorspace.startswith("420"):
             self.frame_bytes = luma + luma // 2

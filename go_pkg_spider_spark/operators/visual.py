@@ -24,6 +24,7 @@ operator scales by input splits alone, zero shuffles.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -178,6 +179,64 @@ def _resize_mean_pool(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return out
 
 
+def _pos_finite(x) -> bool:
+    """Metadata guard: w/h/n_frames must be positive AND finite —
+    x=inf passes a bare `> 0` check and then int(x) raises
+    OverflowError, which is not the ValueError the kernels map to
+    error rows (decoder fuzz, round 8)."""
+    if x is None or pd.isna(x):
+        return False
+    try:
+        xf = float(x)
+    except (TypeError, ValueError):
+        return False
+    return math.isfinite(xf) and xf > 0
+
+
+def _norm_err(exc: Exception) -> str:
+    """Our parsers raise snake_case tokens; a ValueError bubbling up
+    from numpy/int() carries prose — normalize so a library message
+    never lands in the typed-error column (the decode.py posture)."""
+    msg = str(exc)
+    return msg if msg and " " not in msg else "decode_error"
+
+
+def image_row(
+    rid,
+    payload,
+    w,
+    h,
+    tw: int = 8,
+    th: int = 8,
+    allow_fake: bool = False,
+) -> tuple:
+    """One IMAGE_FEATURES_SCHEMA row for one image — the pure per-row
+    kernel shared by the mapInPandas operator and the decoder fuzzer
+    (tests/test_fuzz_visual.py), the audio features_for_clip pattern."""
+    if payload is None or not _pos_finite(w) or not _pos_finite(h):
+        return (rid, False, "bad_meta", 0.0, 0.0, 0.0, 0, 0, 0.0)
+    try:
+        px = _decode_image(
+            bytes(payload), int(w), int(h), allow_fake=allow_fake
+        ).astype(np.float64)
+    except ValueError as exc:  # corrupt/undecodable -> error ROW
+        return (rid, False, _norm_err(exc), 0.0, 0.0, 0.0, 0, 0, 0.0)
+    gx = np.abs(np.diff(px, axis=1)).mean() if px.shape[1] > 1 else 0.0
+    gy = np.abs(np.diff(px, axis=0)).mean() if px.shape[0] > 1 else 0.0
+    tb = _resize_mean_pool(px, tw, th)
+    return (
+        rid,
+        True,
+        None,
+        round(float(px.mean()), 6),
+        round(float(px.std()), 6),
+        round(float((gx + gy) / 510.0), 6),
+        tw,
+        th,
+        round(float(tb.mean()), 6),
+    )
+
+
 def image_features(
     df: DataFrame,
     id_col: str = "image_id",
@@ -195,37 +254,18 @@ def image_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                payload = getattr(r, bytes_col)
-                w, h = getattr(r, width_col), getattr(r, height_col)
-                rid = getattr(r, id_col)
-                if payload is None or pd.isna(w) or pd.isna(h) or w <= 0 or h <= 0:
-                    rows.append((rid, False, "bad_meta", 0.0, 0.0, 0.0, 0, 0, 0.0))
-                    continue
-                try:
-                    px = _decode_image(
-                        bytes(payload), int(w), int(h), allow_fake=allow_fake
-                    ).astype(np.float64)
-                except ValueError as exc:  # corrupt/undecodable -> error ROW
-                    rows.append((rid, False, str(exc), 0.0, 0.0, 0.0, 0, 0, 0.0))
-                    continue
-                gx = np.abs(np.diff(px, axis=1)).mean() if px.shape[1] > 1 else 0.0
-                gy = np.abs(np.diff(px, axis=0)).mean() if px.shape[0] > 1 else 0.0
-                tb = _resize_mean_pool(px, tw, th)
-                rows.append(
-                    (
-                        rid,
-                        True,
-                        None,
-                        round(float(px.mean()), 6),
-                        round(float(px.std()), 6),
-                        round(float((gx + gy) / 510.0), 6),
-                        tw,
-                        th,
-                        round(float(tb.mean()), 6),
-                    )
+            rows = [
+                image_row(
+                    getattr(r, id_col),
+                    getattr(r, bytes_col),
+                    getattr(r, width_col),
+                    getattr(r, height_col),
+                    tw,
+                    th,
+                    allow_fake=allow_fake,
                 )
+                for r in pdf.itertuples(index=False)
+            ]
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields]
             )
@@ -257,52 +297,89 @@ def video_frame_sample(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                payload = getattr(r, bytes_col)
-                w, h = getattr(r, width_col), getattr(r, height_col)
-                nf, fps = getattr(r, n_frames_col), getattr(r, fps_col)
-                rid = getattr(r, id_col)
-                if (
-                    payload is None
-                    or pd.isna(nf)
-                    or nf <= 0
-                    or pd.isna(fps)
-                    or fps <= 0
-                    or pd.isna(w)
-                    or w <= 0
-                    or pd.isna(h)
-                    or h <= 0
-                ):
-                    rows.append((rid, -1, -1, False, 0.0, 0.0))
-                    continue
-                idxs = list(range(0, int(nf), every_nth))
-                prev = None
-                try:
-                    decoded = _decode_video_frames(
-                        bytes(payload), int(w), int(h), int(nf), idxs,
+                rows.extend(
+                    video_rows(
+                        getattr(r, id_col),
+                        getattr(r, bytes_col),
+                        getattr(r, width_col),
+                        getattr(r, height_col),
+                        getattr(r, n_frames_col),
+                        getattr(r, fps_col),
+                        every_nth,
                         allow_fake=allow_fake,
                     )
-                    for idx, px in decoded:
-                        px = px.astype(np.float64)
-                        motion = (
-                            float(np.abs(px - prev).mean() / 255.0)
-                            if prev is not None
-                            else 0.0
-                        )
-                        rows.append(
-                            (
-                                rid,
-                                idx,
-                                int(idx * 1000 / float(fps)),
-                                True,
-                                round(float(px.mean()), 6),
-                                round(motion, 6),
-                            )
-                        )
-                        prev = px
-                except ValueError:  # corrupt bitstream -> error ROW
-                    rows.append((rid, -1, -1, False, 0.0, 0.0))
+                )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in VIDEO_FRAME_FEATURES_SCHEMA.fields]
             )
 
     return df.mapInPandas(run, VIDEO_FRAME_FEATURES_SCHEMA)
+
+
+# Plausible frame-rate band for the ROW metadata (the decode.SR_MIN/
+# SR_MAX posture): fps passes pd-level `> 0` checks at 1e-300 yet
+# int(idx*1000/fps) overflows (OverflowError is not the ValueError the
+# kernel maps to error rows). 1e-3 (one frame per ~17 min, timelapse)
+# to 1e6 brackets every real container. Found by the decoder fuzz.
+MIN_FPS, MAX_FPS = 1e-3, 1e6
+
+# Cap on SAMPLED frames per video: the sample-index list is built
+# eagerly, so a row claiming n_frames=1e18 would allocate a
+# 1e17-element list (MemoryError task failure) before the decoder ever
+# sees a byte. 100k sampled rows per clip is already far beyond any
+# sane per-video fan-out; the truncation is visible in the output
+# (frame_idx stops early), not silent.
+MAX_SAMPLED_FRAMES = 100_000
+
+
+def video_rows(
+    rid,
+    payload,
+    w,
+    h,
+    nf,
+    fps,
+    every_nth: int = 10,
+    allow_fake: bool = False,
+) -> list[tuple]:
+    """VIDEO_FRAME_FEATURES_SCHEMA rows for one video — the pure
+    per-row kernel shared by the mapInPandas operator and the decoder
+    fuzzer (tests/test_fuzz_visual.py)."""
+    if (
+        payload is None
+        or not _pos_finite(nf)
+        or pd.isna(fps)
+        or not (MIN_FPS <= fps <= MAX_FPS)
+        or not _pos_finite(w)
+        or not _pos_finite(h)
+    ):
+        return [(rid, -1, -1, False, 0.0, 0.0)]
+    idxs = list(range(0, int(nf), every_nth)[:MAX_SAMPLED_FRAMES])
+    prev = None
+    rows: list[tuple] = []
+    try:
+        decoded = _decode_video_frames(
+            bytes(payload), int(w), int(h), int(nf), idxs,
+            allow_fake=allow_fake,
+        )
+        for idx, px in decoded:
+            px = px.astype(np.float64)
+            motion = (
+                float(np.abs(px - prev).mean() / 255.0)
+                if prev is not None
+                else 0.0
+            )
+            rows.append(
+                (
+                    rid,
+                    idx,
+                    int(idx * 1000 / float(fps)),
+                    True,
+                    round(float(px.mean()), 6),
+                    round(motion, 6),
+                )
+            )
+            prev = px
+    except ValueError:  # corrupt bitstream -> error ROW (after any
+        rows.append((rid, -1, -1, False, 0.0, 0.0))  # frames that did decode)
+    return rows

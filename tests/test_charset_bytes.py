@@ -106,3 +106,26 @@ def test_utf16_bom_payload_decodes():
     cs, pos, text = sniff_charset(data)
     assert (cs, pos) == ("UTF-16", "guess")
     assert "中文" in (text or "")
+
+
+def test_sniff_charset_fuzz_never_raises():
+    """Fuzz contract (the round-8 decoder-fuzz sweep applied to the
+    last per-row Python surface): sniff_charset over byte soup +
+    arbitrary declared-charset strings must always return the 3-tuple,
+    never raise — it runs inside a pandas UDF whose task dies on any
+    exception."""
+    from hypothesis import given, settings, strategies as st
+
+    from go_pkg_spider_spark.functions.charset_bytes import sniff_charset
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        data=st.none() | st.binary(max_size=512),
+        declared=st.none() | st.text(max_size=24),
+    )
+    def prop(data, declared):
+        cs, pos, text = sniff_charset(data, declared)
+        assert isinstance(cs, str) and isinstance(pos, str)
+        assert text is None or isinstance(text, str)
+
+    prop()

@@ -40,6 +40,13 @@ _SETTINGS = dict(max_examples=250, deadline=None)
 
 def _assert_contract(blob: bytes, codec: str, sr_hz) -> None:
     pcm, sr, err = decode.decode_blob(blob, codec, sr_hz)
+    # the fused stage hands decode_blob a ZERO-COPY memoryview
+    # (operators/fused.py _binary_views); the contract must hold for
+    # both buffer types and agree on the outcome
+    pcm_mv, sr_mv, err_mv = decode.decode_blob(memoryview(blob), codec, sr_hz)
+    assert err_mv == err and sr_mv == sr
+    if pcm is not None:
+        assert np.array_equal(pcm_mv, pcm)
     if err is not None:
         assert pcm is None and sr == 0
         assert isinstance(err, str) and err and " " not in err

@@ -2232,6 +2232,76 @@ def audio_decode_docs(spark, sf_dir):
     return dec.join(feats, "fid")
 
 
+def _audio_fp_oracle_sql() -> str:
+    """Literal expected-truth table for the audio-fingerprint near-dup
+    leg (fixtures/audio_fp_fixtures.py EXPECTED — by-construction
+    duplicate structure, grouping cross-checked by brute-force
+    union-find against the production pigeonhole-LSH path)."""
+    from .fixtures.audio_fp_fixtures import EXPECTED
+
+    def q(s):
+        return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n      ".join(
+        f"({fid}, {q(err)}, {n}, {fp64}, {'TRUE' if deg else 'FALSE'}, {gid})"
+        for fid, err, n, fp64, deg, gid in EXPECTED
+    )
+    return f"""
+    SELECT CAST(fid AS BIGINT) AS fid, CAST(err AS VARCHAR) AS err,
+           CAST(n_subfp AS INTEGER) AS n_subfp,
+           CAST(fp64 AS BIGINT) AS fp64,
+           fp_degenerate,
+           CAST(group_id AS BIGINT) AS group_id
+    FROM (VALUES
+      {rows}
+    ) AS t(fid, err, n_subfp, fp64, fp_degenerate, group_id)
+    """
+
+
+@query("audio_fp_docs", _audio_fp_oracle_sql())
+def audio_fp_docs(spark, sf_dir):
+    """Robust audio fingerprint + cross-codec near-dup grouping under
+    the hard gate (round 8): the Haitsma&Kalker-2002 spectro-temporal
+    sign fingerprint (operators/audio_fp.py) pushed through the REAL
+    production operators (fingerprint_clips mapInPandas ->
+    audio_neardup_groups pigeonhole-block LSH -> connected
+    components) over 15 by-construction fixtures — one clip
+    re-encoded SIX ways (WAV/FLAC/AIFF containers, 24-bit
+    re-quantization, 8 kHz re-render, half gain) that must land in
+    ONE group, four distinct singletons, the stationary-clip H&K
+    collapse pair (equal fp64, degenerate-flagged, must NOT merge),
+    and typed error/edge rows. The frozen grouping is derived by
+    INDEPENDENT brute-force union-find, so the gate also verifies the
+    8x8-bit block split's recall guarantee at hamming <= 7.
+    Reference analog: the byte-exact seen-set dedup (url.go seen-set,
+    crawler.go) — this is its perceptual twin for the audio payload;
+    not SQL-expressible (FFT), so the oracle is the frozen-literal
+    pattern (audio_decode_docs).
+
+    sf_dir is unused: the fixture corpus IS the input."""
+    from .fixtures.audio_fp_fixtures import build_rows
+    from .operators.audio_fp import audio_neardup_groups, fingerprint_clips
+
+    df = spark.createDataFrame(
+        build_rows(), "fid long, bytes binary, codec string, sr_hz int"
+    ).select(
+        F.col("fid").cast("string").alias("clip_id"), "bytes", "codec", "sr_hz"
+    )
+    fp = fingerprint_clips(df)
+    groups = audio_neardup_groups(fp)
+    return (
+        fp.join(groups, "clip_id")
+        .select(
+            F.col("clip_id").cast("long").alias("fid"),
+            "err",
+            "n_subfp",
+            "fp64",
+            "fp_degenerate",
+            F.col("group_id").cast("long").alias("group_id"),
+        )
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

@@ -1,0 +1,168 @@
+"""Frozen fixture corpus for the audio-fingerprint near-dup oracle
+(`audio_fp_docs`): deterministic clips whose duplicate structure is
+known BY CONSTRUCTION, with frozen expected outputs of the production
+fingerprint path (operators/audio_fp.fingerprint_for_clip) and of the
+near-dup grouping.
+
+The corpus encodes the real-world re-encode problem directly:
+
+- fids 0..5 are ONE clip (an up-chirp) six ways — 16-bit WAV, FLAC,
+  AIFF (bit-identical PCM through three parsers), 24-bit WAV
+  (re-quantized), rendered at 8 kHz (resampled), and at half gain.
+  The fingerprint contract says all six group together.
+- fids 6..9 are distinct signals (down-chirp, two AM tones, hash
+  noise) — singletons, pairwise fp64 hamming ~32 (measured 28..35).
+- fid 10 (stationary tone) and fid 11 (silence) both fingerprint to
+  the all-zero sub-fingerprint stream, hence the SAME fp64 — the
+  documented H&K collapse. fp_degenerate=TRUE keeps them OUT of
+  grouping: the frozen truth pins that they do NOT merge despite
+  equal fp64 (the semantic the flag exists for).
+- fids 12..14: typed error rows + a sub-two-frame clip (n_subfp=0).
+
+Determinism: closed-form signals only (chirp/AM/hash-noise reuse the
+audio_fixtures conventions); the fingerprint kernel is rfft +
+reduceat + splitmix64 — no RNG, no library slots.
+
+`derive_expected()` recomputes EXPECTED from the live kernel, with
+the GROUPING recomputed by an INDEPENDENT brute-force union-find over
+all pairs — so the frozen truth cross-checks the production
+pigeonhole-block LSH path against exhaustive search (the block split
+guarantees recall at hamming <= 7; this is where that guarantee is
+actually verified). tests/test_audio_fp.py re-derives at test time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .audio_fixtures import _aiff, _flac, _hashnoise, _i16, _wav, _wav24
+
+FP_GROUP_HAMMING = 7  # mirrors audio_fp.audio_neardup_groups default
+
+
+def _chirp(n: int, sr: int, f0: float, f1: float, amp: float = 0.6) -> np.ndarray:
+    """Linear chirp sweeping f0 -> f1 over the clip (closed form)."""
+    t = np.arange(n, dtype=np.float64) / sr
+    k = (f1 - f0) / (2.0 * (n / sr))
+    return amp * np.sin(2 * np.pi * (f0 * t + k * t * t))
+
+
+def _am(n: int, sr: int, fc: float, fm: float, amp: float = 0.6) -> np.ndarray:
+    """Amplitude-modulated tone — stationary spectrum, moving energy,
+    so the temporal-delta bits fire without the chirp's band walk."""
+    t = np.arange(n, dtype=np.float64) / sr
+    return amp * np.sin(2 * np.pi * fc * t) * (0.5 + 0.5 * np.sin(2 * np.pi * fm * t))
+
+
+def build_rows() -> list[tuple[int, bytes | None, str | None, int | None]]:
+    """(fid, bytes, codec, sr_hz) — pure function, no RNG."""
+    rows: list[tuple[int, bytes | None, str | None, int | None]] = []
+    fid = 0
+
+    def add(blob, codec, sr_hz):
+        nonlocal fid
+        rows.append((fid, blob, codec, sr_hz))
+        fid += 1
+
+    sr = 16_000
+    up = _chirp(sr, sr, 200.0, 2000.0)  # 1 s, 200->2000 Hz
+
+    # -- the six-way duplicate (fids 0..5) --
+    add(_wav(up, sr), "wav", sr)  # 0: 16-bit WAV (group anchor)
+    add(_flac(up, sr), "flac", sr)  # 1: same PCM, FLAC container
+    add(  # 2: same PCM, AIFF big-endian
+        _aiff(_i16(up).astype(">i2").tobytes(), sr, up.size, 16), "aiff", None
+    )
+    add(_wav24(up, sr), "wav", sr)  # 3: 24-bit re-quantization twin
+    add(_wav(_chirp(8000, 8000, 200.0, 2000.0), 8000), "wav", 8000)  # 4: 8 kHz render
+    add(_wav(_chirp(sr, sr, 200.0, 2000.0, amp=0.3), sr), "wav", sr)  # 5: half gain
+
+    # -- distinct singletons (fids 6..9) --
+    add(_wav(_chirp(sr, sr, 2000.0, 200.0), sr), "wav", sr)  # 6: down-chirp
+    add(_wav(_am(sr, sr, 440.0, 3.0), sr), "wav", sr)  # 7
+    add(_flac(_am(sr, sr, 880.0, 5.0), sr), "flac", sr)  # 8
+    add(_wav(_hashnoise(sr), sr), "wav", sr)  # 9
+
+    # -- the degenerate (H&K collapse) pair (fids 10..11) --
+    t = np.arange(sr, dtype=np.float64) / sr
+    add(_wav(0.6 * np.sin(2 * np.pi * 440.0 * t), sr), "wav", sr)  # 10: tone
+    add(_wav(np.zeros(sr), sr), "wav", sr)  # 11: silence
+
+    # -- errors + edge (fids 12..14) --
+    add(_wav(up, sr), "speex", sr)  # 12: codec_not_whitelisted
+    add(b"", "wav", sr)  # 13: empty_bytes
+    # 14: 600 samples @16k -> 300 after the 8k resample < one frame+hop
+    add(_wav(_chirp(600, sr, 200.0, 2000.0), sr), "wav", sr)
+
+    return rows
+
+
+EXPECTED_COLUMNS = (
+    "fid",
+    "err",
+    "n_subfp",
+    "fp64",
+    "fp_degenerate",
+    "group_id",
+)
+
+
+def derive_expected() -> list[tuple]:
+    """Recompute EXPECTED from the LIVE fingerprint kernel, grouping by
+    brute-force all-pairs hamming + union-find (independent of the
+    production pigeonhole-LSH path; the drift alarm AND the recall
+    cross-check)."""
+    from ..operators.audio_fp import fingerprint_for_clip
+
+    rows = [
+        fingerprint_for_clip(fid, blob, codec, sr_hz)
+        for fid, blob, codec, sr_hz in build_rows()
+    ]
+    # union-find over eligible rows (decoded, non-degenerate)
+    parent = {fid: fid for fid, err, _, _, deg in rows if err is None and not deg}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    elig = sorted(parent)
+    for i, a in enumerate(elig):
+        fa = next(r[3] for r in rows if r[0] == a)
+        for b in elig[i + 1 :]:
+            fb = next(r[3] for r in rows if r[0] == b)
+            if bin(fa ^ fb).count("1") <= FP_GROUP_HAMMING:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    out = []
+    for fid, err, n_subfp, fp64, deg in rows:
+        gid = find(fid) if fid in parent else fid
+        out.append((fid, err, n_subfp, fp64, deg, gid))
+    return out
+
+
+# Frozen output of derive_expected() — regenerated ONLY on a deliberate
+# fingerprint-semantics change (tests/test_audio_fp.py trips first).
+# fids 10/11: -2152535657050944081 == int64(0xE220A8397B1DCDAF) ==
+# splitmix64(0) — the all-zero sub-fingerprint stream hashes every
+# shingle to the same value, whose unanimous vote is the hash itself;
+# the hand-pin arithmetic lives in tests/test_audio_fp.py.
+EXPECTED: list[tuple] = [
+    (0, None, 29, -3708580224821936097, False, 0),
+    (1, None, 29, -3708580224821936097, False, 0),
+    (2, None, 29, -3708580224821936097, False, 0),
+    (3, None, 29, -3708580224821936097, False, 0),
+    (4, None, 29, -3708580224821936097, False, 0),
+    (5, None, 29, -3708580224821936097, False, 0),
+    (6, None, 29, -7347613887059716282, False, 6),
+    (7, None, 29, 1554361265815463509, False, 7),
+    (8, None, 29, 4059024764731852392, False, 8),
+    (9, None, 29, 5336930112799863988, False, 9),
+    (10, None, 29, -2152535657050944081, True, 10),
+    (11, None, 29, -2152535657050944081, True, 11),
+    (12, "codec_not_whitelisted", 0, 0, True, 12),
+    (13, "empty_bytes", 0, 0, True, 13),
+    (14, None, 0, 0, True, 14),
+]

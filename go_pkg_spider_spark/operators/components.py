@@ -72,7 +72,14 @@ def connected_components(
     # Convergence probe: min-labels are MONOTONE non-increasing, so the
     # label sum strictly decreases until the fixed point — one cheap
     # aggregate per round instead of a join-compare. decimal(38,0) keeps
-    # the sum exact at 10^12-scale ids (int64 would overflow).
+    # the sum exact at 10^12-scale ids (int64 would overflow). The sum
+    # only exists for NUMERIC ids; string ids (e.g. clip_id — the audio
+    # near-dup leg, round 8) fall back to an exact changed-row probe:
+    # one equi-join on the (checkpointed, hash-partitioned) label sets
+    # per round — heavier than the aggregate, still round-bounded.
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(labels.schema["l"].dataType, NumericType)
     prev_sum = None
     converged = False
     for _ in range(max_iter):
@@ -86,14 +93,25 @@ def connected_components(
             .agg(F.min("l").alias("l"))
             .localCheckpoint()
         )
-        cur_sum = new_labels.agg(
-            F.sum(F.col("l").cast("decimal(38,0)")).alias("s")
-        ).collect()[0].s
+        if numeric_ids:
+            cur_sum = new_labels.agg(
+                F.sum(F.col("l").cast("decimal(38,0)")).alias("s")
+            ).collect()[0].s
+            changed = prev_sum is None or cur_sum != prev_sum
+            prev_sum = cur_sum
+        else:
+            changed = (
+                new_labels.alias("nw")
+                .join(labels.alias("old"), "n")
+                .filter(F.col("nw.l") != F.col("old.l"))
+                .limit(1)
+                .count()
+                > 0
+            )
         labels = new_labels
-        if prev_sum is not None and cur_sum == prev_sum:
+        if not changed:
             converged = True
             break
-        prev_sum = cur_sum
     if not converged:
         if on_max_iter == "raise":
             raise RuntimeError(

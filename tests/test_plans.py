@@ -198,3 +198,24 @@ def test_spread_small_scan_guard_semantics(spark, tmp_path):
     wide = spark.read.parquet(many)
     same = _spread_small_scan(wide, spark)
     assert "Repartition" not in same._jdf.queryExecution().logical().toString()
+
+
+def test_audio_fp_confinement(spark):
+    """Round 8 fingerprint leg: decode + FFT + fingerprint run in ONE
+    MapInPandas stage with zero Exchange — PCM and per-frame spectra
+    never cross a shuffle; only ~20 bytes/clip leave the stage. The
+    grouping side shuffles exactly once on the pigeonhole blocks
+    before the component rounds."""
+    from go_pkg_spider_spark.fixtures.audio_fp_fixtures import build_rows
+    from go_pkg_spider_spark.operators.audio_fp import fingerprint_clips
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        build_rows(), "fid long, bytes binary, codec string, sr_hz int"
+    ).select(
+        F.col("fid").cast("string").alias("clip_id"), "bytes", "codec", "sr_hz"
+    )
+    plan = _plan(fingerprint_clips(df))
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

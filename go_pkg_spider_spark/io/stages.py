@@ -223,11 +223,30 @@ class StageRunner:
     """Commit/resume driver for one manifested chain. `params` must
     contain every knob that changes stage outputs."""
 
-    def __init__(self, spark, catalog, manifest_table: str, params: dict, run_id: str):
+    def __init__(
+        self,
+        spark,
+        catalog,
+        manifest_table: str,
+        params: dict,
+        run_id: str,
+        stage_params: dict | None = None,
+    ):
+        """stage_params (optional): {stage: params_dict} overriding the
+        chain params for THAT stage's fingerprint only — for a stage
+        whose output is invariant to downstream knobs (e.g. the audio
+        fingerprint table vs the grouping hamming threshold), so a knob
+        change reruns the chain FROM the first stage the knob actually
+        feeds instead of re-running the expensive head. Downstream
+        rerun-propagation (upstream_reran) is unchanged."""
         self.spark = spark
         self.cat = catalog
         self.manifest_table = manifest_table
         self.params_sig = json.dumps(params, sort_keys=True)
+        self._stage_sigs = {
+            st: json.dumps(pp, sort_keys=True)
+            for st, pp in (stage_params or {}).items()
+        }
         self.run_id = run_id
         self.upstream_reran = False
         self.summary: dict = {
@@ -273,8 +292,11 @@ class StageRunner:
             for s, (_, r) in latest.items()
             if s not in tied
             and r.status == "done"
-            and (r.metrics or {}).get("params_sig") == self.params_sig
+            and (r.metrics or {}).get("params_sig") == self._sig_for(s)
         }
+
+    def _sig_for(self, stage: str) -> str:
+        return self._stage_sigs.get(stage, self.params_sig)
 
     def _invalidate(self, stage: str) -> None:
         """Remove a stage's manifest rows BEFORE its table is rewritten.
@@ -307,7 +329,7 @@ class StageRunner:
         self._invalidate(stage)
         self.cat.write(df, stage, mode="overwrite", partition_by=partition_by)
         metrics = dict(metrics_after() if metrics_after else {})
-        metrics["params_sig"] = self.params_sig
+        metrics["params_sig"] = self._sig_for(stage)
         rows = self.cat.read(stage).count()
         mdf = self.spark.createDataFrame(
             [

@@ -197,25 +197,29 @@ def fingerprint_clips(df: DataFrame) -> DataFrame:
     )
 
 
-def audio_neardup_groups(
+def _eligible(fp: DataFrame) -> DataFrame:
+    return fp.filter(F.col("err").isNull() & ~F.col("fp_degenerate")).select(
+        "clip_id", "fp64"
+    )
+
+
+def audio_fp_pairs(
     fp: DataFrame,
     max_hamming: int = 7,
     max_bucket_size: int = 1024,
+    observation=None,
 ) -> DataFrame:
-    """(clip_id, group_id) for EVERY input row: decoded non-degenerate
-    clips within fp64 hamming <= max_hamming join a group labeled by
-    its smallest clip_id; error rows and degenerate fingerprints stay
-    singleton (group_id = clip_id).
+    """(id_a, id_b, hamming) candidate near-dup pairs over decoded
+    non-degenerate fingerprints — the materializable middle stage of
+    the composed audio dedup job (jobs/run_audio_dedup.py commits this
+    table so the component rounds never re-run the fingerprint UDF).
 
     Candidate generation is the simhash pigeonhole (dedup.py): 8
     blocks of 8 bits guarantee any pair within hamming <= 7 collides
     on at least one exact block; hot blocks are capped (a viral jingle
-    cannot quadratically explode one bucket). One shuffle on
-    (blk_idx, blk), then O(log n) component rounds over the pair list.
-    """
-    cand = fp.filter(F.col("err").isNull() & ~F.col("fp_degenerate")).select(
-        "clip_id", "fp64"
-    )
+    cannot quadratically explode one bucket — drop accounting via
+    `observation`). One shuffle on (blk_idx, blk)."""
+    cand = _eligible(fp)
     blocked = cand.select(
         "clip_id",
         "fp64",
@@ -229,9 +233,13 @@ def audio_neardup_groups(
         ).alias("blk_idx", "blk"),
     )
     buckets = capped_buckets(
-        blocked, ["blk_idx", "blk"], F.struct("clip_id", "fp64"), max_bucket_size
+        blocked,
+        ["blk_idx", "blk"],
+        F.struct("clip_id", "fp64"),
+        max_bucket_size,
+        observation=observation,
     )
-    pairs = (
+    return (
         buckets.select(F.explode(pair_array(F.col("ms"))).alias("p"))
         .select(
             F.col("p.a.clip_id").alias("id_a"),
@@ -243,8 +251,21 @@ def audio_neardup_groups(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def audio_neardup_groups(
+    fp: DataFrame,
+    max_hamming: int = 7,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """(clip_id, group_id) for EVERY input row: decoded non-degenerate
+    clips within fp64 hamming <= max_hamming join a group labeled by
+    its smallest clip_id; error rows and degenerate fingerprints stay
+    singleton (group_id = clip_id). Pairs via audio_fp_pairs, then
+    O(log n) component rounds over the pair list."""
+    pairs = audio_fp_pairs(fp, max_hamming, max_bucket_size)
     comp = connected_components(
-        pairs, nodes=cand.select(F.col("clip_id").alias("id")), id_col="id"
+        pairs, nodes=_eligible(fp).select(F.col("clip_id").alias("id")), id_col="id"
     )
     return fp.select("clip_id").join(
         comp, fp["clip_id"] == comp["id"], "left"

@@ -158,3 +158,32 @@ def test_fingerprint_clips_schema_and_errors(spark):
     assert rows["bad"].err == "bad_riff_header" and rows["bad"].fp64 == 0
     assert rows["unlisted"].err == "codec_not_whitelisted"
     assert rows["nullsr"].err is None and not rows["nullsr"].fp_degenerate
+
+
+# ------------------------------------------------------ property fuzz
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1.5, max_value=1.5, allow_nan=False, allow_infinity=False
+        ),
+        min_size=0,
+        max_size=4000,
+    ),
+    st.integers(min_value=4000, max_value=192_000),
+)
+def test_kernel_total_on_finite_pcm(samples, sr):
+    """The kernel's contract over everything decode_blob can hand it
+    (finite float PCM, plausible rate): never raises, subfp dtype/size
+    bounded, fp64 in int64 range, degenerate consistent with n==0."""
+    pcm = np.asarray(samples, dtype=np.float64)
+    subs = afp.subfingerprints(pcm, sr)
+    assert subs.dtype == np.uint16 and subs.size <= afp.FP_MAX_SUBFP
+    fp64 = afp.fp64_of_subfps(subs)
+    assert -(1 << 63) <= fp64 < (1 << 63)
+    if subs.size == 0:
+        assert fp64 == 0

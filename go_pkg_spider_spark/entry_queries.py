@@ -2287,7 +2287,10 @@ def audio_fp_docs(spark, sf_dir):
     ).select(
         F.col("fid").cast("string").alias("clip_id"), "bytes", "codec", "sr_hz"
     )
-    fp = fingerprint_clips(df)
+    # one UDF execution total: the query references fp again for the
+    # final join, so cut the lineage here (audio_neardup_groups cuts
+    # its own internal references the same way)
+    fp = fingerprint_clips(df).localCheckpoint(eager=False)
     groups = audio_neardup_groups(fp)
     return (
         fp.join(groups, "clip_id")

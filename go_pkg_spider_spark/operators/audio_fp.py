@@ -262,7 +262,19 @@ def audio_neardup_groups(
     clips within fp64 hamming <= max_hamming join a group labeled by
     its smallest clip_id; error rows and degenerate fingerprints stay
     singleton (group_id = clip_id). Pairs via audio_fp_pairs, then
-    O(log n) component rounds over the pair list."""
+    O(log n) component rounds over the pair list.
+
+    The fp lineage is cut ONCE up front (lazy localCheckpoint of the
+    ~20-byte/clip projection): this function references fp three times
+    (pair blocking, the component node set, the final left join), and
+    an unmaterialized fingerprint_clips lineage would re-run the
+    decode+FFT UDF per reference — measured 3x the job's real cost at
+    100k clips (the round-4 re-execution-per-reference class). The
+    composed job (jobs/run_audio_dedup.py) materializes fingerprints
+    to a parquet stage instead and never hits this path."""
+    fp = fp.select("clip_id", "fp64", "fp_degenerate", "err").localCheckpoint(
+        eager=False
+    )
     pairs = audio_fp_pairs(fp, max_hamming, max_bucket_size)
     comp = connected_components(
         pairs, nodes=_eligible(fp).select(F.col("clip_id").alias("id")), id_col="id"

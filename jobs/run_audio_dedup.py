@@ -65,7 +65,6 @@ def _run_locked(
     from go_pkg_spider_spark.io.stages import StageRunner
     from go_pkg_spider_spark.operators import components as cc_ops
     from go_pkg_spider_spark.operators.audio_fp import (
-        _eligible,
         audio_fp_pairs,
         fingerprint_clips,
     )
@@ -110,12 +109,12 @@ def _run_locked(
         commit("pairs", pairs, metrics_after=_bucket_metrics)
 
     if not resumable("components"):
+        # pair endpoints only (no corpus-wide node set): clips in no
+        # pair are singletons and the decisions stage's left-join
+        # coalesce labels them — keeps every iterative round at
+        # O(near-dup members), not O(corpus)
         labels = cc_ops.connected_components(
-            cat.read("pairs"),
-            src="id_a",
-            dst="id_b",
-            nodes=_eligible(fp).select(F.col("clip_id").alias("id")),
-            id_col="id",
+            cat.read("pairs"), src="id_a", dst="id_b", id_col="id"
         )
         commit("components", labels.select(F.col("id").alias("clip_id"), "component"))
 

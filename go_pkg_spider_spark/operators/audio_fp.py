@@ -278,10 +278,14 @@ def audio_neardup_groups(
     pairs = audio_fp_pairs(fp, max_hamming, max_bucket_size)
     # components over PAIR ENDPOINTS only (nodes=None): clips in no
     # pair are singletons by definition and the left-join coalesce
-    # below labels them — passing the full corpus as the node set
-    # would drag O(corpus) rows through every iterative round instead
-    # of O(near-dup members), measured 30s -> ~10s at 100k clips and
-    # the difference grows with corpus/dup ratio
+    # below labels them — a corpus-wide node set would drag O(corpus)
+    # rows through every iterative round instead of O(near-dup
+    # members). Measured at 100k clips / 313k pairs (local[8]): the
+    # corpus-node version scaled INVERSELY 2->8 (30->51s, per-round
+    # label tables at corpus size); endpoint-only removes that term
+    # (~31s both levels — what remains is pair-volume work plus the
+    # iterative rounds' fixed job latency, which amortizes once pair
+    # volume grows past toy scale). BENCH/R8_NOTES.md has the table.
     comp = connected_components(pairs, id_col="id")
     return fp.select("clip_id").join(
         comp, fp["clip_id"] == comp["id"], "left"

@@ -187,3 +187,27 @@ def test_kernel_total_on_finite_pcm(samples, sr):
     assert -(1 << 63) <= fp64 < (1 << 63)
     if subs.size == 0:
         assert fp64 == 0
+
+
+def test_fp_robustness_contract():
+    """Measured robustness floors (tools/fp_robustness.py, published in
+    BENCH/BASELINE.md): every lossless-ish re-encode (quantization to
+    8-bit, gain, exact 2:1 resample) must fingerprint IDENTICALLY;
+    40 dB additive noise must still group at the default threshold;
+    the distinct-signal control must stay far. The 30 dB row documents
+    the 64-bit compression tradeoff: low sub-fingerprint BER but no
+    fp64 grouping — pinned so a silent recall change surfaces."""
+    from tools.fp_robustness import measure
+
+    rows = {r["perturbation"]: r for r in measure()["rows"]}
+    for name in (
+        "quantize_16bit",
+        "quantize_8bit",
+        "gain_0.25x",
+        "resample_2to1_8k",
+    ):
+        assert rows[name]["fp64_hamming"] == 0, (name, rows[name])
+    assert rows["add_noise_snr40dB"]["groups_at_default"]
+    assert rows["add_noise_snr30dB"]["subfp_ber"] <= 0.15
+    assert not rows["add_noise_snr30dB"]["groups_at_default"]
+    assert rows["control_distinct_signal"]["fp64_hamming"] >= 20

@@ -239,17 +239,39 @@ def audio_fp_pairs(
         max_bucket_size,
         observation=observation,
     )
+    # canonical-block emission: a near pair collides in up to 8 blocks
+    # and would be generated (and shuffled through dropDuplicates) up
+    # to 8x — keep it only in the FIRST block where the two keys agree
+    # (computable from the pair itself), so each pair is emitted exactly
+    # once and the dedup shuffle carries 1/8th the rows. Exact while no
+    # bucket hits the cap; under cap pressure a pair can be rank-dropped
+    # from its canonical block's bucket yet survive in a later one, and
+    # this filter would drop it — the same lossiness regime the cap
+    # already puts us in, and the drop accounting flags it loudly.
+    xor = F.col("p.a.fp64").bitwiseXOR(F.col("p.b.fp64"))
+    first_match = F.array_position(
+        F.array(
+            *[
+                F.shiftright(xor, i * 8).bitwiseAND(F.lit(0xFF)) == 0
+                for i in range(8)
+            ]
+        ),
+        True,
+    )
     return (
-        buckets.select(F.explode(pair_array(F.col("ms"))).alias("p"))
+        buckets.select(
+            "blk_idx", F.explode(pair_array(F.col("ms"))).alias("p")
+        )
+        .filter(first_match == F.col("blk_idx") + 1)
         .select(
             F.col("p.a.clip_id").alias("id_a"),
             F.col("p.b.clip_id").alias("id_b"),
-            F.bit_count(F.col("p.a.fp64").bitwiseXOR(F.col("p.b.fp64"))).alias(
-                "hamming"
-            ),
+            F.bit_count(xor).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+        # no dropDuplicates: canonical emission + i<j pair_array make
+        # each unordered pair unique by construction (one shuffle saved;
+        # pinned by test_audio_fp::test_pairs_match_brute_force)
     )
 
 

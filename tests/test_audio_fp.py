@@ -211,3 +211,55 @@ def test_fp_robustness_contract():
     assert rows["add_noise_snr30dB"]["subfp_ber"] <= 0.15
     assert not rows["add_noise_snr30dB"]["groups_at_default"]
     assert rows["control_distinct_signal"]["fp64_hamming"] >= 20
+
+
+def test_pairs_match_brute_force(spark):
+    """Canonical-block emission (round 8): audio_fp_pairs must equal
+    the brute-force all-pairs set (unordered, exactly once — no
+    duplicate edges despite up to 8 block collisions per pair) on the
+    fixture corpus AND on a synthetic set engineered to collide in
+    several blocks at once."""
+    from go_pkg_spider_spark.operators.audio_fp import (
+        audio_fp_pairs,
+        fingerprint_clips,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        fpx.build_rows(), "fid long, bytes binary, codec string, sr_hz int"
+    ).select(
+        F.col("fid").cast("string").alias("clip_id"), "bytes", "codec", "sr_hz"
+    )
+    fp = fingerprint_clips(df).localCheckpoint()
+    got = [
+        (min(int(r.id_a), int(r.id_b)), max(int(r.id_a), int(r.id_b)))
+        for r in audio_fp_pairs(fp).collect()
+    ]
+    assert len(got) == len(set(got))  # exactly-once emission
+    elig = {
+        r[0]: r[3] for r in fpx.EXPECTED if r[1] is None and not r[4]
+    }
+    ids = sorted(elig)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((elig[a] ^ elig[b]) & ((1 << 64) - 1)).count("1")
+        <= fpx.FP_GROUP_HAMMING
+    }
+    assert set(got) == want
+
+    # synthetic: base and base^(bit 17) agree in blocks 0,1 and 3..7
+    # (7 collisions) — must come out exactly once; a pair differing in
+    # EVERY block must not appear at all
+    base = fpx.EXPECTED[0][3]
+    syn = spark.createDataFrame(
+        [
+            ("x", base, False, None),
+            ("y", base ^ (1 << 17), False, None),
+            ("z", base ^ 0x0101010101010101, False, None),  # 1 bit/block
+        ],
+        "clip_id string, fp64 long, fp_degenerate boolean, err string",
+    )
+    sp = [(r.id_a, r.id_b, r.hamming) for r in audio_fp_pairs(syn).collect()]
+    assert sorted((min(a, b), max(a, b)) for a, b, _ in sp) == [("x", "y")]

@@ -219,3 +219,21 @@ def test_audio_fp_confinement(spark):
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_audio_fp_pairs_single_exchange(spark):
+    """The pair-generation plan shuffles exactly ONCE — the pigeonhole
+    bucket key (blk_idx, blk); the cap window and the bucket collect
+    reuse that partitioning. Canonical-block emission (keep a pair only
+    in the first block where the fingerprints agree) replaced the old
+    dropDuplicates, whose pair-key Exchange was a second shuffle
+    carrying up to 8x the surviving pairs."""
+    from go_pkg_spider_spark.operators.audio_fp import audio_fp_pairs
+
+    fp = spark.createDataFrame(
+        [(f"c{i:03d}", (i // 3) * 0x1_0001 + i % 3, False, None) for i in range(24)],
+        "clip_id string, fp64 long, fp_degenerate boolean, err string",
+    )
+    plan = _plan(audio_fp_pairs(fp))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -25,6 +25,19 @@ spectro-temporal change, so ALL its bits are zero — a known property
 of the scheme, surfaced as `fp_degenerate` and EXCLUDED from grouping
 (otherwise every silent clip on earth lands in one group).
 
+Two matching tiers share the fingerprint stage:
+
+- fp64 tier (audio_fp_pairs/audio_neardup_groups): one 64-bit
+  shingle-simhash key per clip, 8x8-bit pigeonhole blocking, exact
+  recall at hamming <= 7. ~20 bytes/clip; re-encode transforms are
+  exact, additive noise groups to 40 dB SNR.
+- sub-fingerprint tier (audio_subfp_pairs/audio_subfp_neardup_groups):
+  retains the packed subfp stream (<= 8 KiB/clip), blocks on exact
+  probe-position agreement, verifies by bit-set Jaccard over the
+  aligned overlap — recovers 30/20/10 dB noise and non-integer
+  resample round-trips that the 64-bit compression loses (measured,
+  BENCH/BASELINE.md robustness table).
+
 Determinism: closed-form math only (rfft, reduceat, splitmix64 — the
 public-domain Steele/Lea/Vigna mix); no RNG, no library slots.
 """
@@ -37,7 +50,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -71,7 +87,34 @@ FP_MAX_SUBFP = 4_096  # ~2 min of audio; caps per-row cost at 100 TB
 # quantization perturbation ~1e-2 crosses the guard).
 FP_TIE_EPS = 1e-3
 
+# --- sub-fingerprint matcher knobs (the noise-robust tier) ---
+# Candidate blocking probes the subfp stream at FP_PROBE_N fixed
+# positions spaced FP_PROBE_STRIDE apart from the clip start (aligned
+# twins agree positionally; the robustness contract declares the
+# alignment). A probe whose subfp is 0 carries no identity (no band
+# transition fired) and never keys a bucket.
+FP_PROBE_STRIDE = 4
+FP_PROBE_N = 32
+# Verify = Jaccard over SET BITS of the aligned overlap, not H&K's
+# bit-error rate: the tie guard makes our streams sparse, and raw BER
+# between two sparse DISTINCT signals measures 0.13-0.21 (under the
+# 0.35 H&K cut) while bit-set Jaccard separates cleanly — measured
+# twins >= 0.73 down to 10 dB SNR vs distinct <= 0.12
+# (BENCH/BASELINE.md robustness table). 0.4 splits the margin.
+FP_SUBFP_JACCARD = 0.4
+# A pair must overlap in at least this fraction of the longer stream:
+# a short prefix fragment inside a long clip verifies with high
+# Jaccard over the overlap; whether that is "the same clip" is a
+# policy dial, defaulted to half.
+FP_MIN_OVERLAP_RATIO = 0.5
+
 _WINDOW = np.hanning(FP_FRAME)
+
+# 16-bit popcount lookup (64 KiB, built once per executor import) —
+# vectorizes bit-set intersection/union over uint16 subfp words.
+_POPCOUNT16 = np.unpackbits(
+    np.arange(65536, dtype=np.uint16).view(np.uint8).reshape(-1, 2), axis=1
+).sum(axis=1, dtype=np.uint8)
 
 # rfft bin k sits at k * FP_SR / FP_FRAME Hz; geometric band edges over
 # [LO, HI] mapped to bin boundaries once at import. searchsorted keeps
@@ -147,19 +190,68 @@ def fp64_of_subfps(subs: np.ndarray) -> int:
     return int((bits << shifts).sum(dtype=np.uint64).astype(np.int64))
 
 
+def pack_subfps(subs: np.ndarray) -> bytes:
+    """uint16 sub-fingerprint stream -> little-endian packed bytes
+    (2 bytes/subfp; <= 8 KiB at FP_MAX_SUBFP)."""
+    return np.asarray(subs, dtype="<u2").tobytes()
+
+
+def unpack_subfps(packed: bytes) -> np.ndarray:
+    return np.frombuffer(packed, dtype="<u2")
+
+
+def probe_vector(subs: np.ndarray) -> list[int]:
+    """The FP_PROBE_N positional blocking probes: subfp values at fixed
+    indices j*FP_PROBE_STRIDE (truncated at the stream end). Zeros stay
+    IN the vector — positions must align across clips for the
+    canonical first-match test — but never key a bucket."""
+    idx = np.arange(FP_PROBE_N) * FP_PROBE_STRIDE
+    idx = idx[idx < subs.size]
+    return [int(v) for v in subs[idx]]
+
+
+def subfp_match_stats(a: bytes, b: bytes) -> tuple[float, float]:
+    """(bit-set Jaccard over the aligned overlap, overlap ratio
+    min/max) between two packed subfp streams — the verify kernel.
+    Zero-activity overlap (both streams silent there) scores 0.0:
+    no evidence is not a match."""
+    sa, sb = unpack_subfps(a), unpack_subfps(b)
+    m = min(sa.size, sb.size)
+    if m == 0:
+        return 0.0, 0.0
+    inter = int(_POPCOUNT16[sa[:m] & sb[:m]].sum())
+    union = int(_POPCOUNT16[sa[:m] | sb[:m]].sum())
+    jac = inter / union if union else 0.0
+    return float(jac), m / float(max(sa.size, sb.size))
+
+
+def _fp_row_full(cid, blob, codec, sr_hz) -> tuple:
+    """One AUDIO_FP_FULL_SCHEMA row (the AUDIO_FP_SCHEMA fields plus
+    the packed subfp stream and the blocking probes)."""
+    pcm, sr_dec, err = decode_blob(blob, codec, sr_hz)
+    if pcm is None:
+        return (cid, err, 0, 0, True, b"", [])
+    subs = subfingerprints(pcm, sr_dec)
+    # zero spectro-temporal variation (silence / pure stationary tone /
+    # sub-two-frame clip) carries no identity — flag it out of grouping
+    degenerate = bool(subs.size == 0 or (subs == subs[0]).all())
+    return (
+        cid,
+        None,
+        int(subs.size),
+        fp64_of_subfps(subs),
+        degenerate,
+        pack_subfps(subs),
+        probe_vector(subs),
+    )
+
+
 def fingerprint_for_clip(cid, blob, codec, sr_hz) -> tuple:
     """One AUDIO_FP_SCHEMA row — the pure per-row kernel shared by the
     mapInPandas operator and the frozen-truth fixture oracle
     (fixtures/audio_fp_fixtures.py), so the driver gate exercises the
     exact production code path (the features_for_clip convention)."""
-    pcm, sr_dec, err = decode_blob(blob, codec, sr_hz)
-    if pcm is None:
-        return (cid, err, 0, 0, True)
-    subs = subfingerprints(pcm, sr_dec)
-    # zero spectro-temporal variation (silence / pure stationary tone /
-    # sub-two-frame clip) carries no identity — flag it out of grouping
-    degenerate = bool(subs.size == 0 or (subs == subs[0]).all())
-    return (cid, None, int(subs.size), fp64_of_subfps(subs), degenerate)
+    return _fp_row_full(cid, blob, codec, sr_hz)[:5]
 
 
 AUDIO_FP_SCHEMA = StructType(
@@ -194,6 +286,42 @@ def fingerprint_clips(df: DataFrame) -> DataFrame:
 
     return df.select("clip_id", "bytes", "codec", "sr_hz").mapInPandas(
         compute, AUDIO_FP_SCHEMA
+    )
+
+
+AUDIO_FP_FULL_SCHEMA = StructType(
+    list(AUDIO_FP_SCHEMA.fields)
+    + [
+        StructField("subfps", BinaryType()),
+        StructField("probes", ArrayType(IntegerType())),
+    ]
+)
+
+
+def fingerprint_clips_full(df: DataFrame) -> DataFrame:
+    """fingerprint_clips plus the packed subfp stream (<= 8 KiB/clip)
+    and the positional blocking probes — the input of the noise-robust
+    sub-fingerprint matcher (audio_subfp_pairs). Same single
+    mapInPandas confinement; the stream is ~400x smaller than the PCM
+    it summarizes, so retaining it does not reopen the payload-shuffle
+    problem the fp64 projection exists to avoid."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_FP_FULL_SCHEMA.fields]
+        for b in batches:
+            rows = [
+                _fp_row_full(
+                    b.clip_id.iloc[i],
+                    b.bytes.iloc[i],
+                    b.codec.iloc[i],
+                    None if pd.isna(b.sr_hz.iloc[i]) else int(b.sr_hz.iloc[i]),
+                )
+                for i in range(len(b))
+            ]
+            yield pd.DataFrame.from_records(rows, columns=cols)
+
+    return df.select("clip_id", "bytes", "codec", "sr_hz").mapInPandas(
+        compute, AUDIO_FP_FULL_SCHEMA
     )
 
 
@@ -311,6 +439,124 @@ def audio_neardup_groups(
     comp = connected_components(pairs, id_col="id")
     return fp.select("clip_id").join(
         comp, fp["clip_id"] == comp["id"], "left"
+    ).select(
+        "clip_id",
+        F.coalesce(F.col("component"), F.col("clip_id")).alias("group_id"),
+    )
+
+
+_SUBFP_PAIR_SCHEMA = StructType(
+    [
+        StructField("id_a", StringType()),
+        StructField("id_b", StringType()),
+        StructField("jaccard", DoubleType()),
+        StructField("overlap_ratio", DoubleType()),
+    ]
+)
+
+
+def audio_subfp_pairs(
+    fpf: DataFrame,
+    min_jaccard: float = FP_SUBFP_JACCARD,
+    min_overlap_ratio: float = FP_MIN_OVERLAP_RATIO,
+    max_bucket_size: int = 1024,
+    observation=None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard, overlap_ratio) noise-robust near-dup
+    pairs over fingerprint_clips_full rows — the SUB-fingerprint tier
+    the fp64 robustness contract names as its recall upgrade: additive
+    noise at 30 dB SNR (hamming ~20, far past the fp64 <= 7 cut) and
+    non-integer resample round-trips measure subfp mismatch of only
+    12%/32%, so matching the streams directly recovers them
+    (measured: twins Jaccard >= 0.73 down to 10 dB vs distinct
+    signals <= 0.12 — BENCH/BASELINE.md).
+
+    Shape: block on (probe position, subfp value) — exact 16-bit
+    probe agreement at any of FP_PROBE_N fixed positions (at 30 dB
+    each position agrees w.p. ~0.77, so P(miss all 32) ~ 1e-20);
+    capped buckets bound hot probes (drop accounting as everywhere);
+    canonical first-agreeing-probe emission keeps each pair single
+    (the audio_fp_pairs trick, over the probe vectors the bucket
+    members already carry). Candidates then join back to the packed
+    streams (id-keyed, pair volume only) and verify in one
+    mapInPandas. Cost per clip: <= 32 blocking rows + an 8 KiB stream
+    that moves only for candidate endpoints."""
+    elig = fpf.filter(F.col("err").isNull() & ~F.col("fp_degenerate"))
+    blocked = elig.select(
+        "clip_id", "probes", F.posexplode("probes").alias("j", "val")
+    ).filter(F.col("val") != 0)
+    buckets = capped_buckets(
+        blocked,
+        ["j", "val"],
+        F.struct("clip_id", "probes"),
+        max_bucket_size,
+        observation=observation,
+    )
+    agree = F.zip_with(
+        F.col("p.a.probes"),
+        F.col("p.b.probes"),
+        lambda x, y: (x == y) & (x != F.lit(0)),
+    )
+    cand = (
+        buckets.select("j", F.explode(pair_array(F.col("ms"))).alias("p"))
+        .filter(F.array_position(agree, True) == F.col("j") + 1)
+        .select(
+            F.col("p.a.clip_id").alias("id_a"),
+            F.col("p.b.clip_id").alias("id_b"),
+        )
+    )
+    seqs = fpf.select("clip_id", "subfps")
+    joined = cand.join(
+        seqs.select(F.col("clip_id").alias("id_a"), F.col("subfps").alias("sub_a")),
+        "id_a",
+    ).join(
+        seqs.select(F.col("clip_id").alias("id_b"), F.col("subfps").alias("sub_b")),
+        "id_b",
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            stats = [
+                subfp_match_stats(b.sub_a.iloc[i], b.sub_b.iloc[i])
+                for i in range(len(b))
+            ]
+            yield pd.DataFrame(
+                {
+                    "id_a": b.id_a,
+                    "id_b": b.id_b,
+                    "jaccard": [s[0] for s in stats],
+                    "overlap_ratio": [s[1] for s in stats],
+                }
+            )
+
+    return (
+        joined.mapInPandas(verify, _SUBFP_PAIR_SCHEMA)
+        .filter(
+            (F.col("jaccard") >= min_jaccard)
+            & (F.col("overlap_ratio") >= min_overlap_ratio)
+        )
+    )
+
+
+def audio_subfp_neardup_groups(
+    fpf: DataFrame,
+    min_jaccard: float = FP_SUBFP_JACCARD,
+    min_overlap_ratio: float = FP_MIN_OVERLAP_RATIO,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """(clip_id, group_id) under the sub-fingerprint matcher — the
+    audio_neardup_groups contract (every input row labeled, smallest
+    member id names the group, error/degenerate rows singleton) with
+    the noise-robust pair tier. Same lineage-cut rationale."""
+    fpf = fpf.select(
+        "clip_id", "subfps", "probes", "fp_degenerate", "err"
+    ).localCheckpoint(eager=False)
+    pairs = audio_subfp_pairs(
+        fpf, min_jaccard, min_overlap_ratio, max_bucket_size
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, id_col="id")
+    return fpf.select("clip_id").join(
+        comp, fpf["clip_id"] == comp["id"], "left"
     ).select(
         "clip_id",
         F.coalesce(F.col("component"), F.col("clip_id")).alias("group_id"),

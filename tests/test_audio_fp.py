@@ -263,3 +263,158 @@ def test_pairs_match_brute_force(spark):
     )
     sp = [(r.id_a, r.id_b, r.hamming) for r in audio_fp_pairs(syn).collect()]
     assert sorted((min(a, b), max(a, b)) for a, b, _ in sp) == [("x", "y")]
+
+
+# ---------------------------------------------- sub-fingerprint tier
+
+
+def test_popcount16_and_pack_roundtrip():
+    assert afp._POPCOUNT16[0] == 0
+    assert afp._POPCOUNT16[0xFFFF] == 16
+    assert afp._POPCOUNT16[0x0F0F] == 8
+    subs = np.array([0, 1, 0xABCD, 0xFFFF], dtype=np.uint16)
+    assert np.array_equal(afp.unpack_subfps(afp.pack_subfps(subs)), subs)
+
+
+def test_subfp_match_stats_hand_pin():
+    """Bit-set Jaccard over the aligned overlap, by-hand arithmetic:
+    words (0011,1100) vs (0001,1100) -> inter 1+2, union 2+2."""
+    a = afp.pack_subfps(np.array([0b0011, 0b1100], dtype=np.uint16))
+    b = afp.pack_subfps(np.array([0b0001, 0b1100, 0b1111], dtype=np.uint16))
+    jac, ratio = afp.subfp_match_stats(a, b)
+    assert jac == pytest.approx(3 / 4)
+    assert ratio == pytest.approx(2 / 3)
+    assert afp.subfp_match_stats(b"", b"") == (0.0, 0.0)
+    z = afp.pack_subfps(np.zeros(4, dtype=np.uint16))
+    assert afp.subfp_match_stats(z, z)[0] == 0.0  # no evidence != match
+
+
+def _noisy(sig: np.ndarray, snr_db: float) -> np.ndarray:
+    from go_pkg_spider_spark.fixtures.audio_fixtures import _hashnoise
+
+    noise = _hashnoise(sig.size, amp=1.0)
+    p_sig = float(np.mean(sig**2))
+    p_n = p_sig / 10 ** (snr_db / 10)
+    return sig + noise * np.sqrt(p_n / float(np.mean(noise**2)))
+
+
+def _subfp_corpus():
+    """Corpus whose subfp-tier group structure is known by
+    construction: one clip plus 20/15 dB noisy twins (fp64 hamming
+    24/32 on this chirp — the 64-bit tier must MISS them) and a 60%
+    truncation (all must group), a 30% truncation (overlap-ratio
+    guard must keep it OUT), a distinct signal, a degenerate clip,
+    a typed error row."""
+    sr = 16_000
+    up = fpx._chirp(sr, sr, 200.0, 2000.0)
+    return (
+        [
+            ("a0", _wav(up, sr), "wav", sr),
+            ("a1", _wav(_noisy(up, 20.0), sr), "wav", sr),
+            ("a2", _wav(_noisy(up, 15.0), sr), "wav", sr),
+            ("a3", _wav(up[: int(0.6 * sr)], sr), "wav", sr),
+            ("a4", _wav(up[: int(0.3 * sr)], sr), "wav", sr),
+            ("b0", _wav(fpx._chirp(sr, sr, 2000.0, 200.0), sr), "wav", sr),
+            ("c0", _wav(np.zeros(sr), sr), "wav", sr),
+            ("e0", _wav(up, sr), "speex", sr),
+        ],
+        "clip_id string, bytes binary, codec string, sr_hz int",
+    )
+
+
+def _brute_subfp_groups() -> dict[str, str]:
+    """Union-find mirroring the production semantics exactly —
+    eligibility, >=1 agreeing nonzero probe, Jaccard and overlap-ratio
+    thresholds — via the pure kernels only (no Spark)."""
+    rows, _ = _subfp_corpus()
+    full = {cid: afp._fp_row_full(cid, b, c, s) for cid, b, c, s in rows}
+    elig = sorted(
+        cid for cid, r in full.items() if r[1] is None and not r[4]
+    )
+    parent = {cid: cid for cid in full}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(elig):
+        for b in elig[i + 1 :]:
+            pa, pb = full[a][6], full[b][6]
+            hit = any(
+                x == y and x != 0 for x, y in zip(pa, pb)
+            )
+            jac, ratio = afp.subfp_match_stats(full[a][5], full[b][5])
+            if (
+                hit
+                and jac >= afp.FP_SUBFP_JACCARD
+                and ratio >= afp.FP_MIN_OVERLAP_RATIO
+            ):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return {cid: find(cid) for cid in full}
+
+
+def test_subfp_grouping_matches_brute_force(spark):
+    """The Spark sub-fingerprint path (probe blocking + canonical
+    emission + verify join + components) must reproduce the pure-kernel
+    brute-force partition, which itself must equal the by-construction
+    truth: noisy twins and the 60% truncation group with the anchor,
+    the 30% truncation / distinct / degenerate / error rows stay
+    singleton. The same fingerprint pass must ALSO show the fp64 tier
+    missing the noisy twins — the measured contrast the subfp tier
+    exists for."""
+    from pyspark.sql import functions as F
+
+    want = _brute_subfp_groups()
+    assert want == {
+        "a0": "a0", "a1": "a0", "a2": "a0", "a3": "a0",
+        "a4": "a4", "b0": "b0", "c0": "c0", "e0": "e0",
+    }
+
+    rows, schema = _subfp_corpus()
+    fpf = afp.fingerprint_clips_full(
+        spark.createDataFrame(rows, schema)
+    ).localCheckpoint()
+    got = {
+        r.clip_id: r.group_id
+        for r in afp.audio_subfp_neardup_groups(fpf).collect()
+    }
+    assert got == want
+
+    pairs = afp.audio_subfp_pairs(fpf).collect()
+    keys = [(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in pairs]
+    assert len(keys) == len(set(keys))  # exactly-once emission
+    for r in pairs:
+        assert r.jaccard >= afp.FP_SUBFP_JACCARD
+        assert r.overlap_ratio >= afp.FP_MIN_OVERLAP_RATIO
+
+    # the contrast: the fp64 tier (same fingerprint rows) leaves the
+    # noisy twins ungrouped — hamming far past 7
+    fp64_groups = {
+        r.clip_id: r.group_id
+        for r in afp.audio_neardup_groups(fpf).collect()
+    }
+    assert fp64_groups["a1"] != fp64_groups["a0"]
+    assert fp64_groups["a2"] != fp64_groups["a0"]
+    assert fp64_groups["a3"] != fp64_groups["a0"]  # truncation too
+
+
+def test_fingerprint_clips_full_consistency(spark):
+    """fingerprint_clips_full extends (never drifts from) the frozen
+    fp64 kernel: shared fields equal fingerprint_for_clip exactly,
+    the packed stream unpacks to n_subfp words, probes match the
+    stride spec, error rows carry empty stream/probes."""
+    rows, schema = _subfp_corpus()
+    fpf = {r.clip_id: r for r in afp.fingerprint_clips_full(
+        spark.createDataFrame(rows, schema)
+    ).collect()}
+    for cid, blob, codec, sr in rows:
+        base = afp.fingerprint_for_clip(cid, blob, codec, sr)
+        r = fpf[cid]
+        assert (r.clip_id, r.err, r.n_subfp, r.fp64, r.fp_degenerate) == base
+        subs = afp.unpack_subfps(bytes(r.subfps))
+        assert subs.size == r.n_subfp
+        assert r.probes == afp.probe_vector(subs)

@@ -145,10 +145,13 @@ def derive_expected() -> list[tuple]:
 
 # Frozen output of derive_expected() — regenerated ONLY on a deliberate
 # fingerprint-semantics change (tests/test_audio_fp.py trips first).
-# fids 10/11: -2152535657050944081 == int64(0xE220A8397B1DCDAF) ==
-# splitmix64(0) — the all-zero sub-fingerprint stream hashes every
-# shingle to the same value, whose unanimous vote is the hash itself;
-# the hand-pin arithmetic lives in tests/test_audio_fp.py.
+# Regenerated once (round 8): zero shingles now ABSTAIN from the fp64
+# vote, so the all-zero stream (fids 10/11) is fp64=0 instead of the
+# splitmix64(0) constant — the datagen drive showed every sparse
+# semi-stationary clip collapsing onto that constant and false-
+# grouping at hamming 0. All ACTIVE rows are dense streams and their
+# fp64 values are bit-identical to the pre-abstention freeze; the
+# hand-pin arithmetic lives in tests/test_audio_fp.py.
 EXPECTED: list[tuple] = [
     (0, None, 29, -3708580224821936097, False, 0),
     (1, None, 29, -3708580224821936097, False, 0),
@@ -160,8 +163,8 @@ EXPECTED: list[tuple] = [
     (7, None, 29, 1554361265815463509, False, 7),
     (8, None, 29, 4059024764731852392, False, 8),
     (9, None, 29, 5336930112799863988, False, 9),
-    (10, None, 29, -2152535657050944081, True, 10),
-    (11, None, 29, -2152535657050944081, True, 11),
+    (10, None, 29, 0, True, 10),
+    (11, None, 29, 0, True, 11),
     (12, "codec_not_whitelisted", 0, 0, True, 12),
     (13, "empty_bytes", 0, 0, True, 13),
     (14, None, 0, 0, True, 14),

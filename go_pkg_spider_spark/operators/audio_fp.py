@@ -107,6 +107,15 @@ FP_SUBFP_JACCARD = 0.4
 # Jaccard over the overlap; whether that is "the same clip" is a
 # policy dial, defaulted to half.
 FP_MIN_OVERLAP_RATIO = 0.5
+# Minimum-evidence floor: a stream with fewer nonzero sub-fingerprints
+# than this is flagged fp_degenerate — too little spectro-temporal
+# structure for EITHER tier to assert identity. Found by driving the
+# datagen corpus: semi-stationary clips with 1..6 active subfps out of
+# ~123 slipped past the all-equal degenerate rule, and (before the
+# abstention vote above) all collapsed to the splitmix64(0) fp64 and
+# false-grouped at hamming 0. 8 nonzero transitions ~ a quarter second
+# of actual spectral movement.
+FP_MIN_ACTIVE = 8
 
 _WINDOW = np.hanning(FP_FRAME)
 
@@ -173,7 +182,15 @@ def fp64_of_subfps(subs: np.ndarray) -> int:
     """64-bit SimHash over splitmix64 hashes of FP_SHINGLE-length
     sub-fingerprint shingles (Charikar 2002 vote, same semantics as
     dedup.simhash64: bit=1 iff strictly more than half vote 1).
-    Signed int64 for Spark LongType. Empty input -> 0."""
+    Signed int64 for Spark LongType.
+
+    ALL-ZERO SHINGLES ABSTAIN (no spectro-temporal activity is no
+    evidence, the subfp_match_stats rule): when they voted, any
+    stream whose zero-shingle mass crossed 50% collapsed to the
+    constant splitmix64(0) — on a realistic semi-stationary corpus
+    EVERY sparse clip shared that fp64 and false-grouped at hamming 0
+    (found by driving the datagen corpus; see the sparse-stream note
+    on FP_MIN_ACTIVE). Empty or fully-silent input -> 0."""
     subs = np.asarray(subs, dtype=np.uint64)
     if subs.size == 0:
         return 0
@@ -183,10 +200,13 @@ def fp64_of_subfps(subs: np.ndarray) -> int:
     shingles = np.zeros(n_sh, dtype=np.uint64)
     for j in range(FP_SHINGLE):
         shingles |= subs[j : j + n_sh] << np.uint64(16 * (FP_SHINGLE - 1 - j))
+    shingles = shingles[shingles != 0]
+    if shingles.size == 0:
+        return 0
     hs = _splitmix64(shingles)
     shifts = np.arange(64, dtype=np.uint64)
     votes = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
-    bits = (votes * 2 > n_sh).astype(np.uint64)
+    bits = (votes * 2 > shingles.size).astype(np.uint64)
     return int((bits << shifts).sum(dtype=np.uint64).astype(np.int64))
 
 
@@ -232,9 +252,15 @@ def _fp_row_full(cid, blob, codec, sr_hz) -> tuple:
     if pcm is None:
         return (cid, err, 0, 0, True, b"", [])
     subs = subfingerprints(pcm, sr_dec)
-    # zero spectro-temporal variation (silence / pure stationary tone /
-    # sub-two-frame clip) carries no identity — flag it out of grouping
-    degenerate = bool(subs.size == 0 or (subs == subs[0]).all())
+    # insufficient spectro-temporal variation carries no identity —
+    # flag it out of grouping: empty / constant streams (silence, pure
+    # stationary tone, sub-two-frame clip) and streams under the
+    # FP_MIN_ACTIVE evidence floor (sparse semi-stationary clips)
+    degenerate = bool(
+        subs.size == 0
+        or (subs == subs[0]).all()
+        or int((subs != 0).sum()) < FP_MIN_ACTIVE
+    )
     return (
         cid,
         None,

@@ -24,21 +24,28 @@ def test_expected_matches_live_derivation():
         assert got == frozen, f"fid {frozen[0]} drifted: {got} != {frozen}"
 
 
-def test_splitmix64_hand_pin():
-    """The degenerate fp64 constant, re-derived with pure-Python int
-    arithmetic (independent of the numpy kernel): an all-zero
-    sub-fingerprint stream makes every shingle 0, every shingle hash
-    splitmix64(0), and a unanimous vote returns that hash verbatim."""
+def _splitmix64_py(x: int) -> int:
     M = (1 << 64) - 1
-    z = (0 + 0x9E3779B97F4A7C15) & M
+    z = (x + 0x9E3779B97F4A7C15) & M
     z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
     z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
-    z = z ^ (z >> 31)
-    assert z == 0xE220A8397B1DCDAF  # the published splitmix64(0)
-    want = z - (1 << 64)  # int64 view (top bit set)
-    assert afp.fp64_of_subfps(np.zeros(8, dtype=np.uint64)) == want
+    return z ^ (z >> 31)
+
+
+def test_splitmix64_hand_pin():
+    """fp64 vote arithmetic re-derived with pure-Python ints
+    (independent of the numpy kernel): zero shingles ABSTAIN, so the
+    all-zero stream returns 0 (no evidence — the round-8 fix for the
+    splitmix64(0) collapse that false-grouped every sparse clip);
+    a constant NONZERO stream is a unanimous vote returning its one
+    shingle hash verbatim."""
+    assert _splitmix64_py(0) == 0xE220A8397B1DCDAF  # published vector
+    assert afp.fp64_of_subfps(np.zeros(8, dtype=np.uint64)) == 0
     by_fid = {r[0]: r for r in fpx.EXPECTED}
-    assert by_fid[10][3] == by_fid[11][3] == want  # tone == silence
+    assert by_fid[10][3] == by_fid[11][3] == 0  # tone == silence == 0
+    ones = _splitmix64_py(0x0001000100010001)
+    want = ones - (1 << 64) if ones >= (1 << 63) else ones
+    assert afp.fp64_of_subfps(np.ones(8, dtype=np.uint64)) == want
 
 
 def test_reencode_twins_bit_identical():
@@ -76,6 +83,41 @@ def test_degenerate_flag_semantics():
     assert by_fid[10][4] and by_fid[11][4]  # degenerate
     assert by_fid[10][5] == 10 and by_fid[11][5] == 11  # NOT merged
     assert by_fid[14] == (14, None, 0, 0, True, 14)
+
+
+def test_sparse_stream_collapse_regression():
+    """Round-8 false-group regression (found by driving the datagen
+    corpus): three DIFFERENT sparse clips — mostly silence, one short
+    tone burst each — used to share the splitmix64(0) fp64 verbatim
+    (zero shingles outvoted the content) and merged at hamming 0.
+    Defense in depth now: the FP_MIN_ACTIVE evidence floor flags them
+    degenerate, AND the abstention vote keeps their fp64s far apart
+    (measured hamming 22/23) even if a future floor change re-admits
+    them."""
+    sr = 16_000
+
+    def burst(pos_s: float, f: float) -> np.ndarray:
+        n = 4 * sr
+        sig = np.zeros(n)
+        m = int(0.15 * sr)
+        t = np.arange(m) / sr
+        i0 = int(pos_s * sr)
+        sig[i0 : i0 + m] = 0.6 * np.sin(2 * np.pi * f * t) * np.hanning(m)
+        return sig
+
+    rows = [
+        afp.fingerprint_for_clip(cid, _wav(burst(p, f), sr), "wav", sr)
+        for cid, p, f in (("s0", 1.0, 500.0), ("s1", 2.5, 1500.0), ("s2", 1.7, 900.0))
+    ]
+    for cid, err, n_subfp, fp64, deg in rows:
+        assert err is None and n_subfp > 0
+        assert deg, f"{cid}: sparse stream must be flagged degenerate"
+        assert fp64 != 0  # abstention fp64 reflects the active content
+    fps = [r[3] for r in rows]
+    for i in range(3):
+        for j in range(i + 1, 3):
+            h = bin((fps[i] ^ fps[j]) & ((1 << 64) - 1)).count("1")
+            assert h > 2 * fpx.FP_GROUP_HAMMING, (i, j, h)
 
 
 def test_tie_guard_absorbs_16bit_quantization():

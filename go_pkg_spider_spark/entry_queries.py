@@ -2305,6 +2305,79 @@ def audio_fp_docs(spark, sf_dir):
     )
 
 
+def _audio_subfp_oracle_sql() -> str:
+    """Literal expected-truth table for the SUB-fingerprint matching
+    tier (fixtures/audio_fp_fixtures.py SUBFP_EXPECTED — both tiers'
+    groupings derived by independent brute-force union-find over the
+    exact production predicates)."""
+    from .fixtures.audio_fp_fixtures import SUBFP_EXPECTED
+
+    def q(s):
+        return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n      ".join(
+        f"({q(cid)}, {q(err)}, {n}, {'TRUE' if deg else 'FALSE'},"
+        f" {q(sg)}, {q(fg)})"
+        for cid, err, n, deg, sg, fg in SUBFP_EXPECTED
+    )
+    return f"""
+    SELECT CAST(clip_id AS VARCHAR) AS clip_id,
+           CAST(err AS VARCHAR) AS err,
+           CAST(n_subfp AS INTEGER) AS n_subfp,
+           fp_degenerate,
+           CAST(subfp_group AS VARCHAR) AS subfp_group,
+           CAST(fp64_group AS VARCHAR) AS fp64_group
+    FROM (VALUES
+      {rows}
+    ) AS t(clip_id, err, n_subfp, fp_degenerate, subfp_group, fp64_group)
+    """
+
+
+@query("audio_subfp_docs", _audio_subfp_oracle_sql())
+def audio_subfp_docs(spark, sf_dir):
+    """The noise-robust SUB-fingerprint matching tier under the hard
+    gate (late round 8), pinned side-by-side with the fp64 tier it
+    upgrades: ONE fingerprint pass (fingerprint_clips_full mapInPandas
+    — packed subfp stream + positional blocking probes retained,
+    <= 8 KiB/clip) feeds BOTH audio_subfp_neardup_groups (exact-probe
+    blocking -> bit-set-Jaccard verify -> components) and
+    audio_neardup_groups (pigeonhole-block LSH over fp64). The frozen
+    truth encodes the measured contrast the tier exists for
+    (BENCH/BASELINE.md robustness table): 20/15 dB noisy twins and a
+    60% truncation group ONLY at the subfp tier (fp64 hamming 24/32,
+    far past the <= 7 cut), an exact-prefix 40% truncation is kept out
+    by the overlap-ratio containment guard despite Jaccard 1.0 over
+    the overlap, and degenerate/error rows stay singleton at both
+    tiers. Grouping truth is derived by independent brute-force
+    union-find over the exact production predicates (the recall
+    cross-check for probe blocking). Not SQL-expressible (FFT), so
+    the oracle is the frozen-literal pattern (audio_fp_docs).
+
+    sf_dir is unused: the fixture corpus IS the input."""
+    from .fixtures.audio_fp_fixtures import build_subfp_rows
+    from .operators.audio_fp import (
+        audio_neardup_groups,
+        audio_subfp_neardup_groups,
+        fingerprint_clips_full,
+    )
+
+    df = spark.createDataFrame(
+        build_subfp_rows(), "clip_id string, bytes binary, codec string, sr_hz int"
+    )
+    # one UDF execution total: the full fingerprint feeds both tiers
+    # plus the final join, so cut the lineage here
+    fpf = fingerprint_clips_full(df).localCheckpoint(eager=False)
+    sub_g = audio_subfp_neardup_groups(fpf).withColumnRenamed(
+        "group_id", "subfp_group"
+    )
+    fp_g = audio_neardup_groups(fpf).withColumnRenamed("group_id", "fp64_group")
+    return (
+        fpf.select("clip_id", "err", "n_subfp", "fp_degenerate")
+        .join(sub_g, "clip_id")
+        .join(fp_g, "clip_id")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

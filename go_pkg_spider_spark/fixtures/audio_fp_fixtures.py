@@ -143,6 +143,128 @@ def derive_expected() -> list[tuple]:
     return out
 
 
+def _noisy(sig: np.ndarray, snr_db: float) -> np.ndarray:
+    """Deterministic additive noise at an exact SNR (shader-hash noise,
+    no RNG — the fp_robustness.py convention)."""
+    noise = _hashnoise(sig.size, amp=1.0)
+    p_sig = float(np.mean(sig**2))
+    p_n = p_sig / 10 ** (snr_db / 10)
+    return sig + noise * np.sqrt(p_n / float(np.mean(noise**2)))
+
+
+def build_subfp_rows() -> list[tuple[str, bytes | None, str | None, int | None]]:
+    """(clip_id, bytes, codec, sr_hz) corpus whose SUB-FINGERPRINT-tier
+    group structure is known by construction — and differs from the
+    fp64 tier's on exactly the rows the tier exists for:
+
+    - a0..a3: one up-chirp plus 20/15 dB noisy twins (fp64 hamming
+      24/32 on this signal — the 64-bit tier must MISS them) and a 60%
+      truncation; the subfp tier must group all four.
+    - b0: a distinct signal (down-chirp) — singleton at both tiers.
+    - b1: a 40% truncation OF B0 — above the FP_MIN_ACTIVE evidence
+      floor and an exact prefix (Jaccard 1.0 over the overlap), but
+      fails the overlap-ratio containment guard (10/29 < 0.5) and has
+      no intermediate truncation to chain through (unlike the a
+      family, where a shorter cut would reach a0 transitively via
+      a3); stays OUT — the guard's clean fixture.
+    - c0: silence (degenerate), e0: typed error row — never grouped.
+    """
+    sr = 16_000
+    up = _chirp(sr, sr, 200.0, 2000.0)
+    down = _chirp(sr, sr, 2000.0, 200.0)
+    return [
+        ("a0", _wav(up, sr), "wav", sr),
+        ("a1", _wav(_noisy(up, 20.0), sr), "wav", sr),
+        ("a2", _wav(_noisy(up, 15.0), sr), "wav", sr),
+        ("a3", _wav(up[: int(0.6 * sr)], sr), "wav", sr),
+        ("b0", _wav(down, sr), "wav", sr),
+        ("b1", _wav(down[: int(0.4 * sr)], sr), "wav", sr),
+        ("c0", _wav(np.zeros(sr), sr), "wav", sr),
+        ("e0", _wav(up, sr), "speex", sr),
+    ]
+
+
+SUBFP_EXPECTED_COLUMNS = (
+    "clip_id",
+    "err",
+    "n_subfp",
+    "fp_degenerate",
+    "subfp_group",
+    "fp64_group",
+)
+
+
+def derive_subfp_expected() -> list[tuple]:
+    """Recompute SUBFP_EXPECTED from the live kernels: BOTH tiers'
+    groupings by independent brute-force union-find over all pairs,
+    mirroring the production predicates exactly — fp64 tier: hamming
+    <= FP_GROUP_HAMMING; subfp tier: >= 1 agreeing nonzero probe AND
+    bit-set Jaccard / overlap-ratio over the aligned streams. The
+    frozen table therefore cross-checks probe-blocking recall AND the
+    measured fp64-misses-these contrast (drift alarm for either
+    tier)."""
+    from ..operators.audio_fp import (
+        FP_MIN_OVERLAP_RATIO,
+        FP_SUBFP_JACCARD,
+        _fp_row_full,
+        subfp_match_stats,
+    )
+
+    full = {
+        cid: _fp_row_full(cid, blob, codec, sr_hz)
+        for cid, blob, codec, sr_hz in build_subfp_rows()
+    }
+    elig = sorted(cid for cid, r in full.items() if r[1] is None and not r[4])
+
+    def union_find(match) -> dict[str, str]:
+        parent = {cid: cid for cid in full}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, a in enumerate(elig):
+            for b in elig[i + 1 :]:
+                if match(full[a], full[b]):
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        return {cid: find(cid) for cid in full}
+
+    def subfp_match(ra, rb) -> bool:
+        hit = any(x == y and x != 0 for x, y in zip(ra[6], rb[6]))
+        jac, ratio = subfp_match_stats(ra[5], rb[5])
+        return hit and jac >= FP_SUBFP_JACCARD and ratio >= FP_MIN_OVERLAP_RATIO
+
+    def fp64_match(ra, rb) -> bool:
+        return bin(ra[3] ^ rb[3]).count("1") <= FP_GROUP_HAMMING
+
+    sub_g = union_find(subfp_match)
+    fp_g = union_find(fp64_match)
+    return [
+        (cid, r[1], r[2], r[4], sub_g[cid], fp_g[cid])
+        for cid, r in sorted(full.items())
+    ]
+
+
+# Frozen output of derive_subfp_expected() — the by-construction truth
+# for the audio_subfp_docs gate. a1/a2 (20/15 dB noisy twins) and a3
+# (60% truncation) group with a0 ONLY at the subfp tier; b1 (40%
+# truncation of b0) is containment-guarded out of both.
+SUBFP_EXPECTED: list[tuple] = [
+    ("a0", None, 29, False, "a0", "a0"),
+    ("a1", None, 29, False, "a0", "a1"),
+    ("a2", None, 29, False, "a0", "a2"),
+    ("a3", None, 16, False, "a0", "a3"),
+    ("b0", None, 29, False, "b0", "b0"),
+    ("b1", None, 10, False, "b1", "b1"),
+    ("c0", None, 29, True, "c0", "c0"),
+    ("e0", "codec_not_whitelisted", 0, True, "e0", "e0"),
+]
+
+
 # Frozen output of derive_expected() — regenerated ONLY on a deliberate
 # fingerprint-semantics change (tests/test_audio_fp.py trips first).
 # Regenerated once (round 8): zero shingles now ABSTAIN from the fp64

@@ -253,6 +253,21 @@ def test_fp_robustness_contract():
     assert rows["add_noise_snr30dB"]["subfp_ber"] <= 0.15
     assert not rows["add_noise_snr30dB"]["groups_at_default"]
     assert rows["control_distinct_signal"]["fp64_hamming"] >= 20
+    # the sub-fingerprint tier's measured recall upgrade: everything
+    # the 64-bit compression loses (non-integer resample round-trip,
+    # additive noise down to 10 dB SNR) must group under the full
+    # production predicate (probe blocking + Jaccard + overlap), and
+    # the distinct control must stay rejected by a wide margin
+    for name in (
+        "resample_rt_11025",
+        "add_noise_snr30dB",
+        "add_noise_snr20dB",
+        "add_noise_snr10dB",
+    ):
+        assert rows[name]["subfp_tier_groups"], (name, rows[name])
+    assert rows["add_noise_snr10dB"]["subfp_jaccard"] >= 0.6
+    assert not rows["control_distinct_signal"]["subfp_tier_groups"]
+    assert rows["control_distinct_signal"]["subfp_jaccard"] <= 0.12
 
 
 def test_pairs_match_brute_force(spark):
@@ -331,89 +346,37 @@ def test_subfp_match_stats_hand_pin():
     assert afp.subfp_match_stats(z, z)[0] == 0.0  # no evidence != match
 
 
-def _noisy(sig: np.ndarray, snr_db: float) -> np.ndarray:
-    from go_pkg_spider_spark.fixtures.audio_fixtures import _hashnoise
-
-    noise = _hashnoise(sig.size, amp=1.0)
-    p_sig = float(np.mean(sig**2))
-    p_n = p_sig / 10 ** (snr_db / 10)
-    return sig + noise * np.sqrt(p_n / float(np.mean(noise**2)))
+_SUBFP_SCHEMA = "clip_id string, bytes binary, codec string, sr_hz int"
 
 
 def _subfp_corpus():
-    """Corpus whose subfp-tier group structure is known by
-    construction: one clip plus 20/15 dB noisy twins (fp64 hamming
-    24/32 on this chirp — the 64-bit tier must MISS them) and a 60%
-    truncation (all must group), a 30% truncation (overlap-ratio
-    guard must keep it OUT), a distinct signal, a degenerate clip,
-    a typed error row."""
-    sr = 16_000
-    up = fpx._chirp(sr, sr, 200.0, 2000.0)
-    return (
-        [
-            ("a0", _wav(up, sr), "wav", sr),
-            ("a1", _wav(_noisy(up, 20.0), sr), "wav", sr),
-            ("a2", _wav(_noisy(up, 15.0), sr), "wav", sr),
-            ("a3", _wav(up[: int(0.6 * sr)], sr), "wav", sr),
-            ("a4", _wav(up[: int(0.3 * sr)], sr), "wav", sr),
-            ("b0", _wav(fpx._chirp(sr, sr, 2000.0, 200.0), sr), "wav", sr),
-            ("c0", _wav(np.zeros(sr), sr), "wav", sr),
-            ("e0", _wav(up, sr), "speex", sr),
-        ],
-        "clip_id string, bytes binary, codec string, sr_hz int",
-    )
+    """The frozen subfp-tier corpus (fixtures/audio_fp_fixtures.py —
+    also the audio_subfp_docs gate input)."""
+    return fpx.build_subfp_rows(), _SUBFP_SCHEMA
 
 
-def _brute_subfp_groups() -> dict[str, str]:
-    """Union-find mirroring the production semantics exactly —
-    eligibility, >=1 agreeing nonzero probe, Jaccard and overlap-ratio
-    thresholds — via the pure kernels only (no Spark)."""
-    rows, _ = _subfp_corpus()
-    full = {cid: afp._fp_row_full(cid, b, c, s) for cid, b, c, s in rows}
-    elig = sorted(
-        cid for cid, r in full.items() if r[1] is None and not r[4]
-    )
-    parent = {cid: cid for cid in full}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for i, a in enumerate(elig):
-        for b in elig[i + 1 :]:
-            pa, pb = full[a][6], full[b][6]
-            hit = any(
-                x == y and x != 0 for x, y in zip(pa, pb)
-            )
-            jac, ratio = afp.subfp_match_stats(full[a][5], full[b][5])
-            if (
-                hit
-                and jac >= afp.FP_SUBFP_JACCARD
-                and ratio >= afp.FP_MIN_OVERLAP_RATIO
-            ):
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    parent[max(ra, rb)] = min(ra, rb)
-    return {cid: find(cid) for cid in full}
+def test_subfp_expected_matches_live_derivation():
+    """SUBFP_EXPECTED is the frozen output of derive_subfp_expected()
+    — both tiers' brute-force union-finds over the live kernels. Any
+    kernel/predicate drift trips here before the driver gate does."""
+    assert fpx.derive_subfp_expected() == fpx.SUBFP_EXPECTED
 
 
 def test_subfp_grouping_matches_brute_force(spark):
     """The Spark sub-fingerprint path (probe blocking + canonical
-    emission + verify join + components) must reproduce the pure-kernel
-    brute-force partition, which itself must equal the by-construction
-    truth: noisy twins and the 60% truncation group with the anchor,
-    the 30% truncation / distinct / degenerate / error rows stay
-    singleton. The same fingerprint pass must ALSO show the fp64 tier
-    missing the noisy twins — the measured contrast the subfp tier
-    exists for."""
-    from pyspark.sql import functions as F
-
-    want = _brute_subfp_groups()
+    emission + verify join + components) must reproduce the frozen
+    brute-force partition (fixtures SUBFP_EXPECTED), whose
+    by-construction truth: noisy twins and the 60% truncation group
+    with the anchor; the 40% exact-prefix truncation of b0 is kept out
+    by the overlap-ratio containment guard alone (Jaccard 1.0 over the
+    overlap, no transitive chain); distinct / degenerate / error rows
+    stay singleton. The same fingerprint pass must ALSO show the fp64
+    tier missing the noisy twins — the measured contrast the subfp
+    tier exists for."""
+    want = {r[0]: r[4] for r in fpx.SUBFP_EXPECTED}
     assert want == {
         "a0": "a0", "a1": "a0", "a2": "a0", "a3": "a0",
-        "a4": "a4", "b0": "b0", "c0": "c0", "e0": "e0",
+        "b0": "b0", "b1": "b1", "c0": "c0", "e0": "e0",
     }
 
     rows, schema = _subfp_corpus()
@@ -433,12 +396,23 @@ def test_subfp_grouping_matches_brute_force(spark):
         assert r.jaccard >= afp.FP_SUBFP_JACCARD
         assert r.overlap_ratio >= afp.FP_MIN_OVERLAP_RATIO
 
+    # the containment guard is the SOLE rejector of b1: relaxing only
+    # min_overlap_ratio admits the b0-b1 pair at Jaccard 1.0
+    relaxed = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r
+        for r in afp.audio_subfp_pairs(fpf, min_overlap_ratio=0.0).collect()
+    }
+    b = relaxed[("b0", "b1")]
+    assert b.jaccard == 1.0
+    assert b.overlap_ratio < afp.FP_MIN_OVERLAP_RATIO
+
     # the contrast: the fp64 tier (same fingerprint rows) leaves the
     # noisy twins ungrouped — hamming far past 7
     fp64_groups = {
         r.clip_id: r.group_id
         for r in afp.audio_neardup_groups(fpf).collect()
     }
+    assert fp64_groups == {r[0]: r[5] for r in fpx.SUBFP_EXPECTED}
     assert fp64_groups["a1"] != fp64_groups["a0"]
     assert fp64_groups["a2"] != fp64_groups["a0"]
     assert fp64_groups["a3"] != fp64_groups["a0"]  # truncation too

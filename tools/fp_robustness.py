@@ -61,17 +61,35 @@ def measure() -> dict:
     fp0 = afp.fp64_of_subfps(base)
     out: dict = {"n_subfp": int(base.size), "rows": []}
 
+    base_packed = afp.pack_subfps(base)
+    base_probes = afp.probe_vector(base)
+
     def row(name, pert, sr=SR):
         subs = afp.subfingerprints(pert, sr)
         m = min(subs.size, base.size)
         ber = float((subs[:m] != base[:m]).mean()) if m else 1.0
         h = _ham64(afp.fp64_of_subfps(subs), fp0)
+        # the sub-fingerprint tier's full production predicate: exact
+        # probe agreement at >= 1 nonzero position (candidate blocking)
+        # AND bit-set Jaccard / overlap-ratio over the aligned streams
+        # (verify) — audio_subfp_pairs semantics on this single pair
+        probes = afp.probe_vector(subs)
+        blocked = any(
+            x == y and x != 0 for x, y in zip(base_probes, probes)
+        )
+        jac, ratio = afp.subfp_match_stats(base_packed, afp.pack_subfps(subs))
         out["rows"].append(
             {
                 "perturbation": name,
                 "subfp_ber": round(ber, 4),
                 "fp64_hamming": h,
                 "groups_at_default": h <= 7,
+                "subfp_jaccard": round(jac, 4),
+                "subfp_tier_groups": bool(
+                    blocked
+                    and jac >= afp.FP_SUBFP_JACCARD
+                    and ratio >= afp.FP_MIN_OVERLAP_RATIO
+                ),
             }
         )
 
@@ -102,11 +120,15 @@ def measure() -> dict:
 def main() -> None:
     res = measure()
     print(f"probe: {DUR_S}s broadband mix @ {SR} Hz, {res['n_subfp']} subfps")
-    print(f"{'perturbation':<24} {'subfp BER':>10} {'fp64 ham':>9} {'groups':>7}")
+    print(
+        f"{'perturbation':<24} {'subfp BER':>10} {'fp64 ham':>9} {'groups':>7}"
+        f" {'jaccard':>8} {'subfp tier':>10}"
+    )
     for r in res["rows"]:
         print(
             f"{r['perturbation']:<24} {r['subfp_ber']:>10.4f}"
             f" {r['fp64_hamming']:>9d} {str(r['groups_at_default']):>7}"
+            f" {r['subfp_jaccard']:>8.4f} {str(r['subfp_tier_groups']):>10}"
         )
     print(json.dumps(res))
 

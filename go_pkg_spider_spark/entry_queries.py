@@ -2338,9 +2338,10 @@ def audio_subfp_docs(spark, sf_dir):
     """The noise-robust SUB-fingerprint matching tier under the hard
     gate (late round 8), pinned side-by-side with the fp64 tier it
     upgrades: ONE fingerprint pass (fingerprint_clips_full mapInPandas
-    — packed subfp stream + positional blocking probes retained,
-    <= 8 KiB/clip) feeds BOTH audio_subfp_neardup_groups (exact-probe
-    blocking -> bit-set-Jaccard verify -> components) and
+    — packed subfp stream + active-position (pos, value) blocking
+    probes retained, <= 8 KiB/clip) feeds BOTH
+    audio_subfp_neardup_groups (shared-probe blocking ->
+    bit-set-Jaccard verify -> components) and
     audio_neardup_groups (pigeonhole-block LSH over fp64). The frozen
     truth encodes the measured contrast the tier exists for
     (BENCH/BASELINE.md robustness table): 20/15 dB noisy twins and a

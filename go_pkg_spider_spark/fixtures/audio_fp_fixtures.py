@@ -198,8 +198,9 @@ def derive_subfp_expected() -> list[tuple]:
     """Recompute SUBFP_EXPECTED from the live kernels: BOTH tiers'
     groupings by independent brute-force union-find over all pairs,
     mirroring the production predicates exactly — fp64 tier: hamming
-    <= FP_GROUP_HAMMING; subfp tier: >= 1 agreeing nonzero probe AND
-    bit-set Jaccard / overlap-ratio over the aligned streams. The
+    <= FP_GROUP_HAMMING; subfp tier: >= 1 shared encoded (pos, value)
+    probe AND bit-set Jaccard / overlap-ratio over the aligned
+    streams. The
     frozen table therefore cross-checks probe-blocking recall AND the
     measured fp64-misses-these contrast (drift alarm for either
     tier)."""
@@ -234,7 +235,7 @@ def derive_subfp_expected() -> list[tuple]:
         return {cid: find(cid) for cid in full}
 
     def subfp_match(ra, rb) -> bool:
-        hit = any(x == y and x != 0 for x, y in zip(ra[6], rb[6]))
+        hit = bool(set(ra[6]) & set(rb[6]))
         jac, ratio = subfp_match_stats(ra[5], rb[5])
         return hit and jac >= FP_SUBFP_JACCARD and ratio >= FP_MIN_OVERLAP_RATIO
 

@@ -88,12 +88,17 @@ FP_MAX_SUBFP = 4_096  # ~2 min of audio; caps per-row cost at 100 TB
 FP_TIE_EPS = 1e-3
 
 # --- sub-fingerprint matcher knobs (the noise-robust tier) ---
-# Candidate blocking probes the subfp stream at FP_PROBE_N fixed
-# positions spaced FP_PROBE_STRIDE apart from the clip start (aligned
-# twins agree positionally; the robustness contract declares the
-# alignment). A probe whose subfp is 0 carries no identity (no band
-# transition fired) and never keys a bucket.
-FP_PROBE_STRIDE = 4
+# Candidate blocking probes the FIRST FP_PROBE_N NONZERO stream
+# positions, each encoded (pos << 16) | value so the bucket key
+# carries absolute position AND 16-bit content (aligned twins share
+# nonzero positions and values; the robustness contract declares the
+# alignment). Probing ACTIVE positions — not a fixed stride — matters
+# on realistic sparse corpora: a burst-in-silence clip can be
+# eligible (>= FP_MIN_ACTIVE) yet have every fixed-stride position
+# zero, so stride probes gave such twins NO blocking key at all
+# (found driving the datagen corpus through --tier subfp: 0 pairs
+# where the fp64 tier found the re-encode dups). pos <= FP_MAX_SUBFP
+# = 4096 keeps the encoding inside int32.
 FP_PROBE_N = 32
 # Verify = Jaccard over SET BITS of the aligned overlap, not H&K's
 # bit-error rate: the tie guard makes our streams sparse, and raw BER
@@ -221,13 +226,14 @@ def unpack_subfps(packed: bytes) -> np.ndarray:
 
 
 def probe_vector(subs: np.ndarray) -> list[int]:
-    """The FP_PROBE_N positional blocking probes: subfp values at fixed
-    indices j*FP_PROBE_STRIDE (truncated at the stream end). Zeros stay
-    IN the vector — positions must align across clips for the
-    canonical first-match test — but never key a bucket."""
-    idx = np.arange(FP_PROBE_N) * FP_PROBE_STRIDE
-    idx = idx[idx < subs.size]
-    return [int(v) for v in subs[idx]]
+    """The blocking probes: (pos << 16) | value for the first
+    FP_PROBE_N NONZERO stream positions, ascending by position.
+    Prefix-aligned by construction — a truncation or a noisy twin
+    shares the early active positions verbatim — and never empty for
+    an eligible stream (eligibility requires >= FP_MIN_ACTIVE nonzero
+    subfps). An encoded probe is never 0 (value != 0)."""
+    nz = np.flatnonzero(subs)[:FP_PROBE_N]
+    return [int((int(p) << 16) | int(subs[p])) for p in nz]
 
 
 def subfp_match_stats(a: bytes, b: bytes) -> tuple[float, float]:
@@ -497,42 +503,77 @@ def audio_subfp_pairs(
     (measured: twins Jaccard >= 0.73 down to 10 dB vs distinct
     signals <= 0.12 — BENCH/BASELINE.md).
 
-    Shape: block on (probe position, subfp value) — exact 16-bit
-    probe agreement at any of FP_PROBE_N fixed positions (at 30 dB
-    each position agrees w.p. ~0.77, so P(miss all 32) ~ 1e-20);
-    capped buckets bound hot probes (drop accounting as everywhere);
-    canonical first-agreeing-probe emission keeps each pair single
-    (the audio_fp_pairs trick, over the probe vectors the bucket
-    members already carry). Candidates then join back to the packed
-    streams (id-keyed, pair volume only) and verify in one
-    mapInPandas. Cost per clip: <= 32 blocking rows + an 8 KiB stream
-    that moves only for candidate endpoints."""
+    Shape: block on the encoded (position << 16 | value) probes —
+    exact 16-bit agreement at a shared nonzero position, over each
+    clip's first FP_PROBE_N ACTIVE positions (at 30 dB an active
+    position agrees w.p. ~0.77, so P(miss all 32) ~ 1e-20; probing
+    active positions rather than a fixed stride is what gives sparse
+    burst-in-silence twins a key at all); capped buckets bound hot
+    probes (drop accounting as everywhere); canonical emission keeps
+    each pair single — only the bucket whose key is the FIRST common
+    element of the two (position-ascending) probe arrays emits it
+    (the audio_fp_pairs trick, computable from the bucket members'
+    own vectors). Candidates then join back to the packed streams
+    (id-keyed, pair volume only) and verify in one mapInPandas. Cost
+    per clip: <= FP_PROBE_N blocking rows + an 8 KiB stream that
+    moves only for candidate endpoints."""
     elig = fpf.filter(F.col("err").isNull() & ~F.col("fp_degenerate"))
     blocked = elig.select(
-        "clip_id", "probes", F.posexplode("probes").alias("j", "val")
-    ).filter(F.col("val") != 0)
+        "clip_id", "probes", F.explode("probes").alias("pv")
+    )
     buckets = capped_buckets(
         blocked,
-        ["j", "val"],
+        ["pv"],
         F.struct("clip_id", "probes"),
         max_bucket_size,
         observation=observation,
     )
-    agree = F.zip_with(
-        F.col("p.a.probes"),
-        F.col("p.b.probes"),
-        lambda x, y: (x == y) & (x != F.lit(0)),
+    # first common probe of the pair: probes are position-ascending,
+    # so the earliest shared (pos, value) is element 0 of the
+    # order-preserving filter; F.get is null-safe on the (impossible
+    # for bucket-mates) empty intersection
+    first_common = F.get(
+        F.filter(
+            F.col("p.a.probes"),
+            lambda x: F.array_contains(F.col("p.b.probes"), x),
+        ),
+        F.lit(0),
     )
     cand = (
-        buckets.select("j", F.explode(pair_array(F.col("ms"))).alias("p"))
-        .filter(F.array_position(agree, True) == F.col("j") + 1)
+        buckets.select("pv", F.explode(pair_array(F.col("ms"))).alias("p"))
+        .filter(first_common == F.col("pv"))
         .select(
             F.col("p.a.clip_id").alias("id_a"),
             F.col("p.b.clip_id").alias("id_b"),
         )
     )
+    return verify_pairs(fpf, cand, min_jaccard, min_overlap_ratio)
+
+
+def verify_pairs(
+    fpf: DataFrame,
+    cand: DataFrame,
+    min_jaccard: float = FP_SUBFP_JACCARD,
+    min_overlap_ratio: float = FP_MIN_OVERLAP_RATIO,
+) -> DataFrame:
+    """Stream-verify candidate (id_a, id_b) pairs: join each side back
+    to its packed sub-fingerprint stream (id-keyed, pair volume only),
+    score bit-set Jaccard over the aligned overlap + overlap ratio in
+    one mapInPandas, keep pairs passing both thresholds — the H&K
+    verify step, shared by the subfp tier and the composed job's
+    fp64-candidate verification.
+
+    Why verify fp64 candidates at all: driving the datagen corpus
+    surfaced a FALSE-dup class — two DIFFERENT sparse clips (few
+    active shingles each, just above the FP_MIN_ACTIVE floor) leave
+    the 64-bit simhash vote so under-determined that distinct
+    burst-in-silence clips collide at hamming <= 7 (measured: 8
+    candidate pairs on the 500-clip corpus, ALL with aligned-overlap
+    Jaccard 0.09-0.23, i.e. different audio; every true re-encode
+    twin scores 1.0). Verification costs one id-keyed join at pair
+    volume — negligible next to the decode stage."""
     seqs = fpf.select("clip_id", "subfps")
-    joined = cand.join(
+    joined = cand.select("id_a", "id_b").join(
         seqs.select(F.col("clip_id").alias("id_a"), F.col("subfps").alias("sub_a")),
         "id_a",
     ).join(

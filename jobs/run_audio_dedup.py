@@ -1,26 +1,51 @@
-"""Composed AUDIO near-dup job: robust fingerprint -> pigeonhole-block
-candidate pairs (capped buckets) -> connected components -> one
-decision row per clip — the perceptual twin of jobs/run_dedup.py for
-the north-star's audio payload, as ONE spark-submit artifact.
+"""Composed AUDIO near-dup job: robust fingerprint -> candidate pairs
+-> connected components -> one decision row per clip — the perceptual
+twin of jobs/run_dedup.py for the north-star's audio payload, as ONE
+spark-submit artifact.
 
     zip -qr /tmp/pkg.zip go_pkg_spider_spark
     spark-submit --driver-memory 24g --py-files /tmp/pkg.zip \
         jobs/run_audio_dedup.py --input /data/clips \
-        --output-root /data/audio_dedup --run-id nightly
+        --output-root /data/audio_dedup --run-id nightly [--tier subfp]
+
+Two matching tiers over ONE committed fingerprint table
+(operators/audio_fp.py module docstring has the measured trade):
+
+- ``--tier fp64`` (default): 8x8-bit pigeonhole blocking over the
+  64-bit shingle-simhash key, exact recall at hamming <= max_hamming.
+  Cheapest; re-encode transforms exact, noise to 40 dB SNR.
+- ``--tier subfp``: active-position probe blocking + bit-set-Jaccard
+  verify over the packed sub-fingerprint streams — recovers noise to
+  10 dB SNR and non-integer resamples the 64-bit compression loses.
+
+Both tiers STREAM-VERIFY their candidates by default (the H&K
+lookup-then-verify architecture; ``--no-verify-pairs`` restores raw
+fp64 grouping): on sparse semi-stationary corpora the 64-bit simhash
+is voted by too few shingles and DISTINCT clips collide at
+hamming <= 7 — measured on the 500-clip datagen corpus, all 8 fp64
+candidate pairs were false (aligned-overlap Jaccard 0.09-0.23 vs 1.0
+for true re-encode twins). Verification joins the committed streams
+at candidate-pair volume only.
 
 Scale/resume design (the run_dedup.py conventions, stage-manifested):
-- `fingerprints` commits the mapInPandas output FIRST — the expensive
-  decode+FFT pass runs exactly once; every downstream stage (and any
-  rerun with different grouping knobs) reads the ~20-byte/clip table
-  back instead of re-decoding the corpus. max_hamming /
-  max_bucket_size are therefore EXCLUDED from the fingerprint stage's
-  params_sig and only gate the downstream stages (StageRunner's
-  per-stage extra_sig).
-- `pairs` commits the hamming-filtered candidate pairs with the
-  bucket-cap drop accounting observed into the manifest metrics.
-- `components` labels over the COMMITTED pairs (lineage cut).
+- `fingerprints` commits the FULL fingerprint table FIRST (fp64 key +
+  packed subfp stream + blocking probes, <= ~8 KiB/clip — still ~400x
+  smaller than the PCM it summarizes): the expensive decode+FFT pass
+  runs exactly once, and EVERY downstream rerun — including a TIER
+  switch — reads it back instead of re-decoding the corpus. The
+  fp64-tier stages select only the ~20-byte columns, so the parquet
+  scan prunes the stream column and never pays for it. Grouping knobs
+  (tier, max_hamming, min_jaccard, min_overlap_ratio,
+  max_bucket_size) are therefore EXCLUDED from the fingerprint
+  stage's params_sig (StageRunner per-stage extra_sig) and only gate
+  the downstream stages.
+- `pairs` commits the verified candidate pairs with the bucket-cap
+  drop accounting observed into the manifest metrics (fp64: hamming
+  column; subfp: jaccard + overlap_ratio columns).
+- `components` labels over the COMMITTED pairs (lineage cut),
+  endpoint-only node set.
 - `decisions`: error rows -> 'error'; degenerate fingerprints (zero
-  spectro-temporal variation — silence, stationary tones) ->
+  or sub-evidence-floor spectro-temporal variation) ->
   'keep_degenerate' (no identity to assert; NEVER merged); group
   losers -> 'drop_audio_dup'; else 'keep'.
 - Single-writer run lease on the output root (io/stages.run_lease).
@@ -34,20 +59,43 @@ import sys
 
 AUDIO_DEDUP_MANIFEST_TABLE = "audio_dedup_manifest"
 
+# the committed fingerprint stage's schema/semantics version: bumped
+# when the stage table's columns OR their contents change so a
+# manifest written by an older job version re-runs the stage instead
+# of resuming into incompatible committed rows (v2: + subfps, probes;
+# v3: probes re-keyed to encoded (pos << 16 | value) at active
+# positions)
+_FP_SCHEMA_V = 3
+
 
 def run_audio_dedup(
     spark,
     clips,
     output_root: str,
     run_id: str = "adhoc",
+    tier: str = "fp64",
     max_hamming: int = 7,
     max_bucket_size: int = 1024,
+    min_jaccard: float | None = None,
+    min_overlap_ratio: float | None = None,
+    verify_pairs: bool = True,
 ) -> dict:
     from go_pkg_spider_spark.io.stages import run_lease
 
+    if tier not in ("fp64", "subfp"):
+        raise ValueError(f"unknown tier {tier!r} (fp64 | subfp)")
     with run_lease(output_root, run_id):
         return _run_locked(
-            spark, clips, output_root, run_id, max_hamming, max_bucket_size
+            spark,
+            clips,
+            output_root,
+            run_id,
+            tier,
+            max_hamming,
+            max_bucket_size,
+            min_jaccard,
+            min_overlap_ratio,
+            verify_pairs,
         )
 
 
@@ -56,55 +104,111 @@ def _run_locked(
     clips,
     output_root: str,
     run_id: str,
+    tier: str,
     max_hamming: int,
     max_bucket_size: int,
+    min_jaccard: float | None,
+    min_overlap_ratio: float | None,
+    verify_pairs: bool,
 ) -> dict:
     from pyspark.sql import Observation, functions as F
 
     from go_pkg_spider_spark.io.catalog import Catalog
     from go_pkg_spider_spark.io.stages import StageRunner
     from go_pkg_spider_spark.operators import components as cc_ops
-    from go_pkg_spider_spark.operators.audio_fp import (
-        audio_fp_pairs,
-        fingerprint_clips,
-    )
+    from go_pkg_spider_spark.operators import audio_fp as afp
+
+    if min_jaccard is None:
+        min_jaccard = afp.FP_SUBFP_JACCARD
+    if min_overlap_ratio is None:
+        min_overlap_ratio = afp.FP_MIN_OVERLAP_RATIO
+
+    # every knob that changes the PAIR tier's output rides the global
+    # sig; the fingerprint stage is knob-free by design (only the
+    # committed schema version) so tier/threshold changes never
+    # re-decode the corpus
+    if tier == "fp64":
+        params = {
+            "tier": tier,
+            "max_hamming": max_hamming,
+            "max_bucket_size": max_bucket_size,
+            "verify_pairs": verify_pairs,
+        }
+        if verify_pairs:
+            params["min_jaccard"] = min_jaccard
+            params["min_overlap_ratio"] = min_overlap_ratio
+    else:
+        # the subfp tier always verifies — that IS the tier
+        params = {
+            "tier": tier,
+            "min_jaccard": min_jaccard,
+            "min_overlap_ratio": min_overlap_ratio,
+            "max_bucket_size": max_bucket_size,
+        }
 
     cat = Catalog(spark, output_root)
-    # the fingerprint stage is knob-free by design: changing the
-    # grouping knobs must NOT re-decode the corpus, so they ride the
-    # downstream stages' sig only
     runner = StageRunner(
         spark,
         cat,
         AUDIO_DEDUP_MANIFEST_TABLE,
-        {"max_hamming": max_hamming, "max_bucket_size": max_bucket_size},
+        params,
         run_id,
-        stage_params={"fingerprints": {}},
+        stage_params={"fingerprints": {"fp_schema_v": _FP_SCHEMA_V}},
     )
     summary = runner.summary
     commit, resumable = runner.commit, runner.resumable
 
     if not resumable("fingerprints"):
-        commit("fingerprints", fingerprint_clips(clips))
+        commit("fingerprints", afp.fingerprint_clips_full(clips))
     fp = cat.read("fingerprints")
 
     if not resumable("pairs"):
         obs = Observation()
-        pairs = audio_fp_pairs(
-            fp,
-            max_hamming=max_hamming,
-            max_bucket_size=max_bucket_size,
-            observation=obs,
-        )
+        if tier == "fp64":
+            pairs = afp.audio_fp_pairs(
+                fp,
+                max_hamming=max_hamming,
+                max_bucket_size=max_bucket_size,
+                observation=obs,
+            )
+            if verify_pairs:
+                pairs = afp.verify_pairs(
+                    fp, pairs, min_jaccard, min_overlap_ratio
+                )
+        else:
+            pairs = afp.audio_subfp_pairs(
+                fp,
+                min_jaccard=min_jaccard,
+                min_overlap_ratio=min_overlap_ratio,
+                max_bucket_size=max_bucket_size,
+                observation=obs,
+            )
 
         def _bucket_metrics():
-            got = obs.get
-            return {
+            try:
+                got = obs.get
+            except Exception:
+                # AQE empty-relation propagation through the verify
+                # join eliminates the CollectMetrics node when the
+                # bucket subtree produced ZERO rows (all-singleton
+                # buckets) — the only collapse case, measured: with
+                # any nonempty bucket the observation survives even
+                # when every pair is later rejected. Zero buckets
+                # means zero drops by definition.
+                got = {}
+            m = {
                 "dropped_members": str(got.get("dropped_members") or 0),
                 "max_bucket_members": str(got.get("max_bucket_members") or 0),
                 "n_buckets": str(got.get("n_buckets") or 0),
-                "max_hamming": str(max_hamming),
+                "tier": tier,
             }
+            if tier == "fp64":
+                m["max_hamming"] = str(max_hamming)
+                m["verify_pairs"] = str(verify_pairs)
+            if tier == "subfp" or verify_pairs:
+                m["min_jaccard"] = str(min_jaccard)
+                m["min_overlap_ratio"] = str(min_overlap_ratio)
+            return m
 
         commit("pairs", pairs, metrics_after=_bucket_metrics)
 
@@ -114,12 +218,17 @@ def _run_locked(
         # coalesce labels them — keeps every iterative round at
         # O(near-dup members), not O(corpus)
         labels = cc_ops.connected_components(
-            cat.read("pairs"), src="id_a", dst="id_b", id_col="id"
+            cat.read("pairs").select("id_a", "id_b"),
+            src="id_a",
+            dst="id_b",
+            id_col="id",
         )
         commit("components", labels.select(F.col("id").alias("clip_id"), "component"))
 
     if not resumable("decisions"):
         labels = cat.read("components")
+        # narrow column select: the parquet scan prunes the packed
+        # subfp stream — decisions never pay for the 8 KiB column
         enriched = fp.select("clip_id", "err", "fp_degenerate", "fp64").join(
             labels, "clip_id", "left"
         )
@@ -151,8 +260,23 @@ def main() -> None:
     p.add_argument("--input", required=True, help="clips table path")
     p.add_argument("--output-root", required=True)
     p.add_argument("--run-id", default="adhoc")
+    p.add_argument(
+        "--tier",
+        choices=("fp64", "subfp"),
+        default="fp64",
+        help="matching tier: fp64 key blocking (cheapest) or "
+        "sub-fingerprint stream matching (noise-robust)",
+    )
     p.add_argument("--max-hamming", type=int, default=7)
     p.add_argument("--max-bucket-size", type=int, default=1024)
+    p.add_argument("--min-jaccard", type=float, default=None)
+    p.add_argument("--min-overlap-ratio", type=float, default=None)
+    p.add_argument(
+        "--no-verify-pairs",
+        action="store_true",
+        help="skip stream verification of fp64-tier candidates "
+        "(raw hamming grouping; false-dups on sparse corpora)",
+    )
     args = p.parse_args()
 
     from go_pkg_spider_spark.session import get_spark
@@ -164,8 +288,12 @@ def main() -> None:
         clips,
         args.output_root,
         run_id=args.run_id,
+        tier=args.tier,
         max_hamming=args.max_hamming,
         max_bucket_size=args.max_bucket_size,
+        min_jaccard=args.min_jaccard,
+        min_overlap_ratio=args.min_overlap_ratio,
+        verify_pairs=not args.no_verify_pairs,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -13,7 +13,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 from go_pkg_spider_spark.fixtures import audio_fp_fixtures as fpx
-from go_pkg_spider_spark.fixtures.audio_fixtures import _i16, _wav
+from go_pkg_spider_spark.fixtures.audio_fixtures import _flac, _i16, _wav
 from go_pkg_spider_spark.operators import audio_fp as afp
 
 
@@ -434,3 +434,31 @@ def test_fingerprint_clips_full_consistency(spark):
         subs = afp.unpack_subfps(bytes(r.subfps))
         assert subs.size == r.n_subfp
         assert r.probes == afp.probe_vector(subs)
+
+
+def test_verify_pairs_rejects_false_fp64_candidates(spark):
+    """The composed job's fp64-candidate stream verification: a forced
+    candidate pair of DISTINCT clips (the sparse-corpus false-dup
+    class — different audio whose under-voted simhashes collide) must
+    be rejected, while a true re-encode twin pair passes at
+    Jaccard 1.0. Fed as explicit candidates so the test pins the
+    verify semantics independently of whether fp64 happens to
+    collide."""
+    sr = 16_000
+    up = fpx._chirp(sr, sr, 200.0, 2000.0)
+    rows = [
+        ("t0", _wav(up, sr), "wav", sr),
+        ("t1", _flac(up, sr), "flac", sr),  # true twin of t0
+        ("d0", _wav(fpx._chirp(sr, sr, 2000.0, 200.0), sr), "wav", sr),
+    ]
+    fpf = afp.fingerprint_clips_full(
+        spark.createDataFrame(
+            rows, "clip_id string, bytes binary, codec string, sr_hz int"
+        )
+    )
+    cand = spark.createDataFrame(
+        [("t0", "t1"), ("t0", "d0")], "id_a string, id_b string"
+    )
+    got = {(r.id_a, r.id_b): r for r in afp.verify_pairs(fpf, cand).collect()}
+    assert set(got) == {("t0", "t1")}
+    assert got[("t0", "t1")].jaccard == 1.0

@@ -70,3 +70,53 @@ def test_audio_dedup_decisions_resume_and_stage_sigs(spark, tmp_path):
     assert s3["stages_skipped"] == 1 and s3["stages_run"] == 3
     # hamming 0 still groups the re-encode family (identical fp64)
     assert s3["decision_histogram"] == hist
+
+
+def test_audio_dedup_subfp_tier_and_tier_switch_resume(spark, tmp_path):
+    """--tier subfp drives the sub-fingerprint matcher through the
+    composed job: a 20 dB noisy twin (fp64 hamming far past 7 on this
+    chirp — the fp64 tier must KEEP it) becomes drop_audio_dup at the
+    subfp tier, and the tier switch reuses the committed fingerprint
+    stage (decode runs once across BOTH tiers)."""
+    from go_pkg_spider_spark.fixtures.audio_fp_fixtures import _noisy
+
+    sr = 16_000
+    up = _chirp(sr, sr, 200.0, 2000.0)
+    rows = [
+        ("clip-a", _wav(up, sr), "wav", sr),
+        ("clip-n", _wav(_noisy(up, 20.0), sr), "wav", sr),  # noisy twin
+        ("clip-d", _wav(_chirp(sr, sr, 2000.0, 200.0), sr), "wav", sr),
+        ("clip-g", _wav(np.zeros(sr), sr), "wav", sr),  # degenerate
+        ("clip-h", b"JUNK", "wav", sr),  # error
+    ]
+    clips = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, sr_hz int"
+    )
+    root = str(tmp_path / "audio_dedup_tiers")
+
+    s1 = run_audio_dedup(spark, clips, root, run_id="fp64-run")
+    assert s1["decision_histogram"] == {
+        "keep": 3,  # a, n (fp64 misses the noisy twin), d
+        "keep_degenerate": 1,
+        "error": 1,
+    }
+
+    # tier switch: fingerprints (knob-free sig) resume; pairs +
+    # components + decisions re-run under the subfp matcher
+    s2 = run_audio_dedup(spark, clips, root, run_id="subfp-run", tier="subfp")
+    assert s2["stages_skipped"] == 1 and s2["stages_run"] == 3
+    assert s2["metrics"]["pairs"]["tier"] == "subfp"
+    assert s2["decision_histogram"] == {
+        "keep": 2,  # a (group winner), d
+        "drop_audio_dup": 1,  # the noisy twin, recovered
+        "keep_degenerate": 1,
+        "error": 1,
+    }
+    dec = {r.clip_id: r for r in spark.read.parquet(f"{root}/decisions").collect()}
+    assert dec["clip-n"].decision == "drop_audio_dup"
+    assert dec["clip-n"].group_id == "clip-a"
+
+    # same-tier resume stays idempotent
+    s3 = run_audio_dedup(spark, clips, root, run_id="subfp-rerun", tier="subfp")
+    assert s3["stages_run"] == 0 and s3["stages_skipped"] == 4
+    assert s3["decision_histogram"] == s2["decision_histogram"]

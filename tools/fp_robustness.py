@@ -69,14 +69,12 @@ def measure() -> dict:
         m = min(subs.size, base.size)
         ber = float((subs[:m] != base[:m]).mean()) if m else 1.0
         h = _ham64(afp.fp64_of_subfps(subs), fp0)
-        # the sub-fingerprint tier's full production predicate: exact
-        # probe agreement at >= 1 nonzero position (candidate blocking)
-        # AND bit-set Jaccard / overlap-ratio over the aligned streams
+        # the sub-fingerprint tier's full production predicate: >= 1
+        # shared encoded (pos, value) probe (candidate blocking) AND
+        # bit-set Jaccard / overlap-ratio over the aligned streams
         # (verify) — audio_subfp_pairs semantics on this single pair
         probes = afp.probe_vector(subs)
-        blocked = any(
-            x == y and x != 0 for x, y in zip(base_probes, probes)
-        )
+        blocked = bool(set(base_probes) & set(probes))
         jac, ratio = afp.subfp_match_stats(base_packed, afp.pack_subfps(subs))
         out["rows"].append(
             {

@@ -106,6 +106,27 @@ def measure() -> dict:
             f"add_noise_snr{snr_db}dB",
             sig + noise * np.sqrt(p_n / float(np.mean(noise**2))),
         )
+    # trimmed re-uploads (crop the first k ms) — the canonical audio
+    # near-dup transform. 32 ms = exactly one analysis hop (stream
+    # shifts one position), 100/500 ms = non-integer hops (every frame
+    # lands sub-hop misaligned), 1000 ms sits past the verify kernel's
+    # shift-scan window (FP_SHIFT_SCAN) and past the 50% overlap floor
+    # on a 2 s probe — the honest recall boundary.
+    for ms in (4, 32, 100, 500, 1000):
+        row(f"trim_start_{ms}ms", sig[int(SR * ms / 1000):])
+    # time stretch (resample, then play back claiming the old rate)
+    for pct in (1, 4):
+        st = linear_resample(sig, SR, int(SR * (1 + pct / 100)))
+        row(f"time_stretch_+{pct}pct", st)
+    # telephone band-limit (FFT brickwall 300-3400 Hz) and hard
+    # clipping at half full-scale — common re-encode artifacts
+    spec = np.fft.rfft(sig)
+    freqs = np.fft.rfftfreq(sig.size, 1.0 / SR)
+    row(
+        "bandlimit_300_3400",
+        np.fft.irfft(np.where((freqs >= 300) & (freqs <= 3400), spec, 0), n=sig.size),
+    )
+    row("hard_clip_0.5", np.clip(sig, -0.5, 0.5))
     # control: an unrelated signal must be far
     t = np.arange(sig.size, dtype=np.float64) / SR
     other = 0.5 * np.sin(2 * np.pi * (2400 * t - 500 * t * t)) * (

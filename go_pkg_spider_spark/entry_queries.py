@@ -2338,18 +2338,21 @@ def audio_subfp_docs(spark, sf_dir):
     """The noise-robust SUB-fingerprint matching tier under the hard
     gate (late round 8), pinned side-by-side with the fp64 tier it
     upgrades: ONE fingerprint pass (fingerprint_clips_full mapInPandas
-    — packed subfp stream + active-position (pos, value) blocking
-    probes retained, <= 8 KiB/clip) feeds BOTH
+    — packed subfp stream + active-position coarse (cell, value)
+    blocking probes retained, <= 8 KiB/clip) feeds BOTH
     audio_subfp_neardup_groups (shared-probe blocking ->
     bit-set-Jaccard verify -> components) and
     audio_neardup_groups (pigeonhole-block LSH over fp64). The frozen
     truth encodes the measured contrast the tier exists for
     (BENCH/BASELINE.md robustness table): 20/15 dB noisy twins and a
-    60% truncation group ONLY at the subfp tier (fp64 hamming 24/32,
-    far past the <= 7 cut), an exact-prefix 40% truncation is kept out
-    by the overlap-ratio containment guard despite Jaccard 1.0 over
-    the overlap, and degenerate/error rows stay singleton at both
-    tiers. Grouping truth is derived by independent brute-force
+    60% truncation and a 200 ms start-crop (a4 — the trimmed
+    re-upload, recovered by coarse-cell probes + shift-scan verify)
+    group ONLY at the subfp tier (fp64 hamming 24/32, far past the
+    <= 7 cut), an exact-prefix 40% truncation is kept out by the
+    overlap-ratio containment guard despite Jaccard 1.0 over the
+    overlap, a 700 ms crop past the FP_SHIFT_SCAN window (t0) is kept
+    out on scanned Jaccard, and degenerate/error rows stay singleton
+    at both tiers. Grouping truth is derived by independent brute-force
     union-find over the exact production predicates (the recall
     cross-check for probe blocking). Not SQL-expressible (FFT), so
     the oracle is the frozen-literal pattern (audio_fp_docs).

@@ -160,6 +160,18 @@ def build_subfp_rows() -> list[tuple[str, bytes | None, str | None, int | None]]
     - a0..a3: one up-chirp plus 20/15 dB noisy twins (fp64 hamming
       24/32 on this signal — the 64-bit tier must MISS them) and a 60%
       truncation; the subfp tier must group all four.
+    - a4: a 200 ms START-crop of a0 (6.25 hops — non-integer, so the
+      residual sub-hop misalignment flips ~half the subfp values): the
+      trimmed-re-upload case the round-8 robustness sweep showed both
+      tiers losing. Coarse-cell probes keep it blocked and the
+      shift-scan verify aligns it; must group with a0 (subfp tier
+      only).
+    - d0/t0: a 2 s slow chirp and its 700 ms start-crop (21.9 hops —
+      PAST the FP_SHIFT_SCAN window, so no in-window alignment exists
+      and the best-scan Jaccard stays low even though the overlap
+      ratio would pass); pins that trim tolerance is bounded by the
+      scan, not unconditional containment matching. Both singletons
+      at both tiers (d0's half-rate band walk is distinct from a0's).
     - b0: a distinct signal (down-chirp) — singleton at both tiers.
     - b1: a 40% truncation OF B0 — above the FP_MIN_ACTIVE evidence
       floor and an exact prefix (Jaccard 1.0 over the overlap), but
@@ -172,12 +184,16 @@ def build_subfp_rows() -> list[tuple[str, bytes | None, str | None, int | None]]
     sr = 16_000
     up = _chirp(sr, sr, 200.0, 2000.0)
     down = _chirp(sr, sr, 2000.0, 200.0)
+    slow = _chirp(2 * sr, sr, 200.0, 2000.0)  # 2 s sweep, half the rate
     return [
         ("a0", _wav(up, sr), "wav", sr),
         ("a1", _wav(_noisy(up, 20.0), sr), "wav", sr),
         ("a2", _wav(_noisy(up, 15.0), sr), "wav", sr),
         ("a3", _wav(up[: int(0.6 * sr)], sr), "wav", sr),
+        ("a4", _wav(up[int(0.2 * sr):], sr), "wav", sr),
         ("b0", _wav(down, sr), "wav", sr),
+        ("d0", _wav(slow, sr), "wav", sr),
+        ("t0", _wav(slow[int(0.7 * sr):], sr), "wav", sr),
         ("b1", _wav(down[: int(0.4 * sr)], sr), "wav", sr),
         ("c0", _wav(np.zeros(sr), sr), "wav", sr),
         ("e0", _wav(up, sr), "speex", sr),
@@ -198,17 +214,18 @@ def derive_subfp_expected() -> list[tuple]:
     """Recompute SUBFP_EXPECTED from the live kernels: BOTH tiers'
     groupings by independent brute-force union-find over all pairs,
     mirroring the production predicates exactly — fp64 tier: hamming
-    <= FP_GROUP_HAMMING; subfp tier: >= 1 shared encoded (pos, value)
-    probe AND bit-set Jaccard / overlap-ratio over the aligned
-    streams. The
+    <= FP_GROUP_HAMMING; subfp tier: >= 1 shared encoded (cell, value)
+    probe AND bit-set Jaccard / overlap-ratio at the best scanned
+    alignment. The
     frozen table therefore cross-checks probe-blocking recall AND the
     measured fp64-misses-these contrast (drift alarm for either
     tier)."""
     from ..operators.audio_fp import (
-        FP_MIN_OVERLAP_RATIO,
-        FP_SUBFP_JACCARD,
+        FP_MIN_SHARED_SITES,
         _fp_row_full,
+        probe_shared_sites,
         subfp_match_stats,
+        subfp_pair_passes,
     )
 
     full = {
@@ -235,9 +252,9 @@ def derive_subfp_expected() -> list[tuple]:
         return {cid: find(cid) for cid in full}
 
     def subfp_match(ra, rb) -> bool:
-        hit = bool(set(ra[6]) & set(rb[6]))
-        jac, ratio = subfp_match_stats(ra[5], rb[5])
-        return hit and jac >= FP_SUBFP_JACCARD and ratio >= FP_MIN_OVERLAP_RATIO
+        hit = probe_shared_sites(ra[6], rb[6]) >= FP_MIN_SHARED_SITES
+        jac, ratio, shift = subfp_match_stats(ra[5], rb[5])
+        return hit and subfp_pair_passes(jac, ratio, shift)
 
     def fp64_match(ra, rb) -> bool:
         return bin(ra[3] ^ rb[3]).count("1") <= FP_GROUP_HAMMING
@@ -251,18 +268,27 @@ def derive_subfp_expected() -> list[tuple]:
 
 
 # Frozen output of derive_subfp_expected() — the by-construction truth
-# for the audio_subfp_docs gate. a1/a2 (20/15 dB noisy twins) and a3
-# (60% truncation) group with a0 ONLY at the subfp tier; b1 (40%
-# truncation of b0) is containment-guarded out of both.
+# for the audio_subfp_docs gate. a1/a2 (20/15 dB noisy twins), a3
+# (60% truncation) and a4 (200 ms start-crop) group with a0 ONLY at
+# the subfp tier; b1 (40% truncation of b0) is containment-guarded
+# out of both; t0 (700 ms crop of d0, past the shift-scan window)
+# stays out on Jaccard (measured 0.11 at best scan vs 0.875 for the
+# in-window a4) even though its overlap ratio (0.63) would pass.
+# Regenerated once in round 8 for the trim-robustness upgrade
+# (coarse-cell probes + shift-scan verify) — existing rows were
+# drift-free under the new kernels; a4/d0/t0 are the new pins.
 SUBFP_EXPECTED: list[tuple] = [
     ("a0", None, 29, False, "a0", "a0"),
     ("a1", None, 29, False, "a0", "a1"),
     ("a2", None, 29, False, "a0", "a2"),
     ("a3", None, 16, False, "a0", "a3"),
+    ("a4", None, 23, False, "a0", "a4"),
     ("b0", None, 29, False, "b0", "b0"),
     ("b1", None, 10, False, "b1", "b1"),
     ("c0", None, 29, True, "c0", "c0"),
+    ("d0", None, 60, False, "d0", "d0"),
     ("e0", "codec_not_whitelisted", 0, True, "e0", "e0"),
+    ("t0", None, 38, False, "t0", "t0"),
 ]
 
 

@@ -32,11 +32,12 @@ Two matching tiers share the fingerprint stage:
   recall at hamming <= 7. ~20 bytes/clip; re-encode transforms are
   exact, additive noise groups to 40 dB SNR.
 - sub-fingerprint tier (audio_subfp_pairs/audio_subfp_neardup_groups):
-  retains the packed subfp stream (<= 8 KiB/clip), blocks on exact
-  probe-position agreement, verifies by bit-set Jaccard over the
-  aligned overlap — recovers 30/20/10 dB noise and non-integer
-  resample round-trips that the 64-bit compression loses (measured,
-  BENCH/BASELINE.md robustness table).
+  retains the packed subfp stream (<= 8 KiB/clip), blocks on coarse
+  (cell, value) probes, verifies by bit-set Jaccard at the best
+  shift-scanned alignment — recovers 30/20/10 dB noise, non-integer
+  resample round-trips, band-limiting, clipping, and trimmed
+  re-uploads up to FP_SHIFT_SCAN hops, all of which the 64-bit
+  compression loses (measured, BENCH/BASELINE.md robustness table).
 
 Determinism: closed-form math only (rfft, reduceat, splitmix64 — the
 public-domain Steele/Lea/Vigna mix); no RNG, no library slots.
@@ -89,18 +90,67 @@ FP_TIE_EPS = 1e-3
 
 # --- sub-fingerprint matcher knobs (the noise-robust tier) ---
 # Candidate blocking probes the FIRST FP_PROBE_N NONZERO stream
-# positions, each encoded (pos << 16) | value so the bucket key
-# carries absolute position AND 16-bit content (aligned twins share
-# nonzero positions and values; the robustness contract declares the
-# alignment). Probing ACTIVE positions — not a fixed stride — matters
+# positions, each encoded (cell << 16) | value where cell =
+# pos // FP_PROBE_GRAIN, emitted for the position's OWN cell and the
+# one before it. The coarse cell (not the exact position) is what
+# survives a trimmed re-upload: a crop of d <= FP_PROBE_GRAIN
+# positions shifts every pos by -d, moving its cell index by at most
+# one — which the double emission covers — while the 16-bit value
+# still has to agree exactly (selectivity lives in the value; the
+# robustness table measures ~half the values surviving even worst-
+# case sub-hop misalignment, so P(all FP_PROBE_N probes miss) is
+# negligible for a true twin). Before round 8's trim sweep the key
+# was the EXACT position: any crop >= one hop (32 ms) left a twin
+# with zero shared probes (measured rows trim_start_{32,100,500}ms).
+# Probing ACTIVE positions — not a fixed stride — matters
 # on realistic sparse corpora: a burst-in-silence clip can be
 # eligible (>= FP_MIN_ACTIVE) yet have every fixed-stride position
 # zero, so stride probes gave such twins NO blocking key at all
 # (found driving the datagen corpus through --tier subfp: 0 pairs
-# where the fp64 tier found the re-encode dups). pos <= FP_MAX_SUBFP
-# = 4096 keeps the encoding inside int32.
+# where the fp64 tier found the re-encode dups). cell <= 256 at
+# FP_MAX_SUBFP = 4096 keeps the encoding inside int32.
 FP_PROBE_N = 32
-# Verify = Jaccard over SET BITS of the aligned overlap, not H&K's
+# One probe cell = this many stream positions (16 x 32 ms hop =
+# 512 ms). Paired with FP_SHIFT_SCAN below: blocking tolerates trims
+# up to one cell, verify scans the same window, so the two stages
+# degrade together rather than blocking what verify cannot score.
+FP_PROBE_GRAIN = 16
+# Verify scans relative alignments in [-FP_SHIFT_SCAN, +FP_SHIFT_SCAN]
+# stream positions (+-512 ms) and scores the best one — an arbitrary
+# trim decomposes into an integer-hop shift (recovered exactly by the
+# scan) plus a sub-hop residual (< one 32 ms hop), and the measured
+# trim_start_4ms row shows bit-set Jaccard holds 0.81 under the
+# worst-case residual. Cost: 2*FP_SHIFT_SCAN+1 popcount passes over
+# <= 4096-word uint16 arrays, pair volume only. The scan is further
+# capped at half the SHORTER stream inside the kernel: shifting past
+# that compares a fragment smaller than half the evidence, which is
+# structurally meaningless (only toy-short streams ever hit the cap —
+# a 1 s clip has ~29 subfps; production minutes-long clips have
+# hundreds).
+FP_SHIFT_SCAN = 16
+# A match found at a NONZERO shift must clear min_jaccard plus this
+# penalty: taking the max over up to 2*FP_SHIFT_SCAN+1 alignments
+# inflates the null (measured on the datagen 500-clip drive: three
+# DISTINCT sparse pairs moved from aligned Jaccard 0.28-0.33 —
+# correctly rejected — to scanned 0.40-0.41, hugging the 0.4 line;
+# the dense-probe control inflates 0.03 -> 0.09). True trim twins
+# measure 0.58-1.0 (robustness rows), so the +0.1 bar rejects every
+# observed max-statistic false positive while keeping every measured
+# true recovery. Aligned (shift 0) matches keep the un-penalized
+# threshold — the pre-scan semantics exactly.
+FP_SHIFT_PENALTY = 0.1
+# A candidate pair must agree on at least this many DISTINCT 16-bit
+# subfp VALUES among its shared (cell, value) probes before it is
+# worth verifying: one value coinciding in one coarse cell is a
+# 1-in-65536-per-site accident, not evidence (measured on the datagen
+# drive: the single coarse-blocking false candidate that scraped the
+# Jaccard bar — aligned 0.404 between two DISTINCT dense streams,
+# where the bit-set null centers ~0.33 — shared exactly ONE value;
+# every true twin class shares many: re-encodes all ~29, trims ~16,
+# 10 dB noise ~6). Distinct VALUES, not raw probes, because one
+# agreement site can emit two shared probes (own + previous cell).
+FP_MIN_SHARED_SITES = 2
+# Verify = Jaccard over SET BITS of the best-aligned overlap, not H&K's
 # bit-error rate: the tie guard makes our streams sparse, and raw BER
 # between two sparse DISTINCT signals measures 0.13-0.21 (under the
 # 0.35 H&K cut) while bit-set Jaccard separates cleanly — measured
@@ -226,29 +276,85 @@ def unpack_subfps(packed: bytes) -> np.ndarray:
 
 
 def probe_vector(subs: np.ndarray) -> list[int]:
-    """The blocking probes: (pos << 16) | value for the first
-    FP_PROBE_N NONZERO stream positions, ascending by position.
-    Prefix-aligned by construction — a truncation or a noisy twin
-    shares the early active positions verbatim — and never empty for
-    an eligible stream (eligibility requires >= FP_MIN_ACTIVE nonzero
-    subfps). An encoded probe is never 0 (value != 0)."""
+    """The blocking probes: (cell << 16) | value for the first
+    FP_PROBE_N NONZERO stream positions, where cell =
+    pos // FP_PROBE_GRAIN, emitted at the position's cell AND the
+    previous cell (trim tolerance — see the knob comment), ascending
+    encoded, deduplicated. Never empty for an eligible stream
+    (eligibility requires >= FP_MIN_ACTIVE nonzero subfps); an
+    encoded probe is never 0 (value != 0)."""
     nz = np.flatnonzero(subs)[:FP_PROBE_N]
-    return [int((int(p) << 16) | int(subs[p])) for p in nz]
+    if nz.size == 0:
+        return []
+    cells = nz // FP_PROBE_GRAIN
+    vals = subs[nz].astype(np.int64)
+    enc = (cells.astype(np.int64) << 16) | vals
+    prev = ((cells - 1).astype(np.int64) << 16) | vals
+    both = np.concatenate([enc, prev[cells >= 1]])
+    return [int(p) for p in np.unique(both)]
 
 
-def subfp_match_stats(a: bytes, b: bytes) -> tuple[float, float]:
-    """(bit-set Jaccard over the aligned overlap, overlap ratio
-    min/max) between two packed subfp streams — the verify kernel.
-    Zero-activity overlap (both streams silent there) scores 0.0:
-    no evidence is not a match."""
+def subfp_match_stats(
+    a: bytes, b: bytes, max_shift: int = FP_SHIFT_SCAN
+) -> tuple[float, float, int]:
+    """(bit-set Jaccard at the best relative alignment, overlap ratio
+    of that alignment over the longer stream, the winning shift)
+    between two packed subfp streams — the verify kernel. Scans
+    integer shifts s in 0, +1, -1, ... (a[i+s] against b[i]) out to
+    min(max_shift, min_len // 2) — see the FP_SHIFT_SCAN knob for why
+    the cap — keeping the strictly-best Jaccard, so ties resolve to
+    the smallest shift and the scan is deterministic; a trimmed
+    re-upload aligns at s = (hops cropped) and scores like the
+    untrimmed twin (robustness rows trim_start_*). The overlap ratio
+    shrinks with |s| — the containment guard stays conservative.
+    Zero-activity overlap (both streams silent there) scores 0.0: no
+    evidence is not a match. Callers threshold shift != 0 matches at
+    min_jaccard + FP_SHIFT_PENALTY (subfp_pair_passes)."""
     sa, sb = unpack_subfps(a), unpack_subfps(b)
-    m = min(sa.size, sb.size)
-    if m == 0:
-        return 0.0, 0.0
-    inter = int(_POPCOUNT16[sa[:m] & sb[:m]].sum())
-    union = int(_POPCOUNT16[sa[:m] | sb[:m]].sum())
-    jac = inter / union if union else 0.0
-    return float(jac), m / float(max(sa.size, sb.size))
+    if min(sa.size, sb.size) == 0:
+        return 0.0, 0.0, 0
+    denom = float(max(sa.size, sb.size))
+    max_shift = min(max_shift, min(sa.size, sb.size) // 2)
+    best_jac, best_ratio, best_s = -1.0, 0.0, 0
+    for k in range(2 * max_shift + 1):
+        s = (k + 1) // 2 if k % 2 else -(k // 2)  # 0,+1,-1,+2,-2,...
+        wa = sa[s:] if s >= 0 else sa
+        wb = sb if s >= 0 else sb[-s:]
+        m = min(wa.size, wb.size)
+        if m <= 0:
+            continue
+        union = int(_POPCOUNT16[wa[:m] | wb[:m]].sum())
+        jac = int(_POPCOUNT16[wa[:m] & wb[:m]].sum()) / union if union else 0.0
+        if jac > best_jac:
+            best_jac, best_ratio, best_s = jac, m / denom, s
+    return float(max(best_jac, 0.0)), best_ratio, best_s
+
+
+def probe_shared_sites(pa, pb) -> int:
+    """Number of DISTINCT 16-bit subfp values among the shared
+    (cell, value) probes of two probe vectors — the blocking evidence
+    count thresholded by FP_MIN_SHARED_SITES (see the knob comment).
+    Mirrored as column math in audio_subfp_pairs; shared here for the
+    fixture truth derivation and the robustness tool."""
+    return len({p & 0xFFFF for p in set(pa) & set(pb)})
+
+
+def subfp_pair_passes(
+    jac: float,
+    ratio: float,
+    shift: int,
+    min_jaccard: float = FP_SUBFP_JACCARD,
+    min_overlap_ratio: float = FP_MIN_OVERLAP_RATIO,
+) -> bool:
+    """The ONE acceptance predicate for a verified subfp pair, shared
+    by the Spark verify stage, the fixture truth derivation, and the
+    robustness tool (so the gates exercise exactly the production
+    rule): overlap-ratio containment floor, plus Jaccard over
+    min_jaccard — penalized by FP_SHIFT_PENALTY when the best
+    alignment was found by the scan rather than at shift 0 (the
+    max-statistic correction; see the knob comment)."""
+    bar = min_jaccard + (FP_SHIFT_PENALTY if shift != 0 else 0.0)
+    return jac >= bar and ratio >= min_overlap_ratio
 
 
 def _fp_row_full(cid, blob, codec, sr_hz) -> tuple:
@@ -483,6 +589,11 @@ _SUBFP_PAIR_SCHEMA = StructType(
         StructField("id_b", StringType()),
         StructField("jaccard", DoubleType()),
         StructField("overlap_ratio", DoubleType()),
+        # winning alignment in stream positions (32 ms hops): nonzero
+        # means the pair matched as a trimmed/offset twin — kept in
+        # the output for observability and because the acceptance bar
+        # depends on it (subfp_pair_passes)
+        StructField("shift", IntegerType()),
     ]
 )
 
@@ -503,19 +614,20 @@ def audio_subfp_pairs(
     (measured: twins Jaccard >= 0.73 down to 10 dB vs distinct
     signals <= 0.12 — BENCH/BASELINE.md).
 
-    Shape: block on the encoded (position << 16 | value) probes —
-    exact 16-bit agreement at a shared nonzero position, over each
-    clip's first FP_PROBE_N ACTIVE positions (at 30 dB an active
-    position agrees w.p. ~0.77, so P(miss all 32) ~ 1e-20; probing
-    active positions rather than a fixed stride is what gives sparse
-    burst-in-silence twins a key at all); capped buckets bound hot
-    probes (drop accounting as everywhere); canonical emission keeps
-    each pair single — only the bucket whose key is the FIRST common
-    element of the two (position-ascending) probe arrays emits it
+    Shape: block on the encoded (cell << 16 | value) probes — exact
+    16-bit agreement inside a FP_PROBE_GRAIN-position cell (own +
+    previous cell, so a trim of up to one cell still shares a key),
+    over each clip's first FP_PROBE_N ACTIVE positions (at 30 dB an
+    active position agrees w.p. ~0.77, so P(miss all 32) ~ 1e-20;
+    probing active positions rather than a fixed stride is what gives
+    sparse burst-in-silence twins a key at all); capped buckets bound
+    hot probes (drop accounting as everywhere); canonical emission
+    keeps each pair single — only the bucket whose key is the FIRST
+    common element of the two (ascending) probe arrays emits it
     (the audio_fp_pairs trick, computable from the bucket members'
     own vectors). Candidates then join back to the packed streams
     (id-keyed, pair volume only) and verify in one mapInPandas. Cost
-    per clip: <= FP_PROBE_N blocking rows + an 8 KiB stream that
+    per clip: <= 2*FP_PROBE_N blocking rows + an 8 KiB stream that
     moves only for candidate endpoints."""
     elig = fpf.filter(F.col("err").isNull() & ~F.col("fp_degenerate"))
     blocked = elig.select(
@@ -528,20 +640,31 @@ def audio_subfp_pairs(
         max_bucket_size,
         observation=observation,
     )
-    # first common probe of the pair: probes are position-ascending,
-    # so the earliest shared (pos, value) is element 0 of the
+    # first common probe of the pair: probes are encoded-ascending,
+    # so the smallest shared (cell, value) is element 0 of the
     # order-preserving filter; F.get is null-safe on the (impossible
     # for bucket-mates) empty intersection
-    first_common = F.get(
-        F.filter(
-            F.col("p.a.probes"),
-            lambda x: F.array_contains(F.col("p.b.probes"), x),
-        ),
-        F.lit(0),
+    shared = F.filter(
+        F.col("p.a.probes"),
+        lambda x: F.array_contains(F.col("p.b.probes"), x),
+    )
+    first_common = F.get(shared, F.lit(0))
+    # evidence floor: the pair must agree on FP_MIN_SHARED_SITES
+    # distinct VALUES, not just one (cell, value) coincidence — the
+    # probe_shared_sites rule as column math (probes are <= 64-element
+    # int arrays; both references to `shared` are cheap array ops at
+    # pair volume, not per-element lambda fan-out)
+    sites = F.size(
+        F.array_distinct(
+            F.transform(shared, lambda x: x.bitwiseAND(F.lit(65535)))
+        )
     )
     cand = (
         buckets.select("pv", F.explode(pair_array(F.col("ms"))).alias("p"))
-        .filter(first_common == F.col("pv"))
+        .filter(
+            (first_common == F.col("pv"))
+            & (sites >= F.lit(FP_MIN_SHARED_SITES))
+        )
         .select(
             F.col("p.a.clip_id").alias("id_a"),
             F.col("p.b.clip_id").alias("id_b"),
@@ -558,10 +681,14 @@ def verify_pairs(
 ) -> DataFrame:
     """Stream-verify candidate (id_a, id_b) pairs: join each side back
     to its packed sub-fingerprint stream (id-keyed, pair volume only),
-    score bit-set Jaccard over the aligned overlap + overlap ratio in
-    one mapInPandas, keep pairs passing both thresholds — the H&K
-    verify step, shared by the subfp tier and the composed job's
-    fp64-candidate verification.
+    score bit-set Jaccard at the best shift-scanned alignment +
+    overlap ratio in one mapInPandas, keep pairs passing both
+    thresholds — the H&K verify step, shared by the subfp tier and
+    the composed job's fp64-candidate verification. The scan also
+    un-breaks a measured fp64-tier false NEGATIVE: an integer-hop
+    trim twin collides at hamming 4 but scored aligned-Jaccard 0.22
+    (trim_start_32ms robustness row) — the old aligned-only verify
+    would have rejected a true duplicate the fp64 key caught.
 
     Why verify fp64 candidates at all: driving the datagen corpus
     surfaced a FALSE-dup class — two DIFFERENT sparse clips (few
@@ -593,13 +720,21 @@ def verify_pairs(
                     "id_b": b.id_b,
                     "jaccard": [s[0] for s in stats],
                     "overlap_ratio": [s[1] for s in stats],
+                    "shift": pd.array(
+                        [s[2] for s in stats], dtype="int32"
+                    ),
                 }
             )
 
+    # the subfp_pair_passes predicate as column math (kept JVM-side):
+    # shifted matches pay the max-statistic penalty
+    bar = F.when(
+        F.col("shift") == 0, F.lit(min_jaccard)
+    ).otherwise(F.lit(min_jaccard + FP_SHIFT_PENALTY))
     return (
         joined.mapInPandas(verify, _SUBFP_PAIR_SCHEMA)
         .filter(
-            (F.col("jaccard") >= min_jaccard)
+            (F.col("jaccard") >= bar)
             & (F.col("overlap_ratio") >= min_overlap_ratio)
         )
     )

@@ -64,8 +64,9 @@ AUDIO_DEDUP_MANIFEST_TABLE = "audio_dedup_manifest"
 # manifest written by an older job version re-runs the stage instead
 # of resuming into incompatible committed rows (v2: + subfps, probes;
 # v3: probes re-keyed to encoded (pos << 16 | value) at active
-# positions)
-_FP_SCHEMA_V = 3
+# positions; v4: trim-robust coarse-cell probes, (cell << 16 | value)
+# double-emitted at adjacent cells)
+_FP_SCHEMA_V = 4
 
 
 def run_audio_dedup(

@@ -266,8 +266,34 @@ def test_fp_robustness_contract():
     ):
         assert rows[name]["subfp_tier_groups"], (name, rows[name])
     assert rows["add_noise_snr10dB"]["subfp_jaccard"] >= 0.6
+    # trim robustness (round 8): coarse-cell probes + shift-scan verify
+    # recover trimmed re-uploads up to the FP_SHIFT_SCAN window —
+    # integer-hop trims exactly (32 ms: Jaccard 1.0), arbitrary trims
+    # through the sub-hop residual (100/500 ms) — while a trim past
+    # the window stays out (the bounded-tolerance pin). Band-limiting
+    # and hard clipping are subfp-tier recoveries too (fp64 loses
+    # both at hamming 16/12).
+    for name in (
+        "trim_start_4ms",
+        "trim_start_32ms",
+        "trim_start_100ms",
+        "trim_start_500ms",
+        "bandlimit_300_3400",
+        "hard_clip_0.5",
+        "time_stretch_+1pct",
+    ):
+        assert rows[name]["subfp_tier_groups"], (name, rows[name])
+    assert rows["trim_start_32ms"]["subfp_jaccard"] == pytest.approx(1.0)
+    assert rows["trim_start_100ms"]["subfp_jaccard"] >= 0.7
+    assert not rows["trim_start_1000ms"]["subfp_tier_groups"]
+    # 4% stretch sits AT the Jaccard threshold (measured 0.40) — pin
+    # the floor loosely, not the group bit, so host-independent but
+    # honest about the boundary
+    assert rows["time_stretch_+4pct"]["subfp_jaccard"] >= 0.3
     assert not rows["control_distinct_signal"]["subfp_tier_groups"]
-    assert rows["control_distinct_signal"]["subfp_jaccard"] <= 0.12
+    # the 33-alignment scan raises the null max-statistic (~0.03 ->
+    # ~0.09 measured) — still a >4x margin under FP_SUBFP_JACCARD
+    assert rows["control_distinct_signal"]["subfp_jaccard"] <= 0.15
 
 
 def test_pairs_match_brute_force(spark):
@@ -334,16 +360,47 @@ def test_popcount16_and_pack_roundtrip():
 
 
 def test_subfp_match_stats_hand_pin():
-    """Bit-set Jaccard over the aligned overlap, by-hand arithmetic:
-    words (0011,1100) vs (0001,1100) -> inter 1+2, union 2+2."""
+    """Bit-set Jaccard at the best scanned alignment, by-hand
+    arithmetic. Unshifted case: words (0011,1100) vs (0001,1100) ->
+    inter 1+2, union 2+2 at s=0, and no reachable shift beats it
+    (the scan is capped at min_len // 2 = 1 here; s=-1: 2/8)."""
     a = afp.pack_subfps(np.array([0b0011, 0b1100], dtype=np.uint16))
     b = afp.pack_subfps(np.array([0b0001, 0b1100, 0b1111], dtype=np.uint16))
-    jac, ratio = afp.subfp_match_stats(a, b)
+    jac, ratio, shift = afp.subfp_match_stats(a, b)
     assert jac == pytest.approx(3 / 4)
     assert ratio == pytest.approx(2 / 3)
-    assert afp.subfp_match_stats(b"", b"") == (0.0, 0.0)
+    assert shift == 0
+    assert afp.subfp_match_stats(b"", b"") == (0.0, 0.0, 0)
     z = afp.pack_subfps(np.zeros(4, dtype=np.uint16))
     assert afp.subfp_match_stats(z, z)[0] == 0.0  # no evidence != match
+    # shifted twin: c = two junk words + seq, exact at s=-2 (jac 1.0,
+    # overlap 6 of max(8,6)); index-aligned scoring saw junk vs signal
+    seq = np.array([3, 12, 48, 192, 768, 3072], dtype=np.uint16)
+    c = afp.pack_subfps(
+        np.concatenate([np.array([0b1010, 0b0101], dtype=np.uint16), seq])
+    )
+    jac, ratio, shift = afp.subfp_match_stats(afp.pack_subfps(seq), c)
+    assert (jac, shift) == (pytest.approx(1.0), -2)
+    assert ratio == pytest.approx(6 / 8)
+    # symmetric in value (scan covers both signs)
+    sym = afp.subfp_match_stats(c, afp.pack_subfps(seq))
+    assert (sym[0], sym[1], sym[2]) == (jac, ratio, 2)
+    # the scan is bounded: max_shift=1 cannot reach the s=-2 alignment
+    jac1, _, _ = afp.subfp_match_stats(afp.pack_subfps(seq), c, max_shift=1)
+    assert jac1 < 1.0
+    # half-min-length cap: a 2-word stream against the same stream
+    # 3 positions later can never align (cap = 1)
+    short = np.array([3, 12], dtype=np.uint16)
+    far = afp.pack_subfps(
+        np.concatenate([np.array([80, 80, 80], dtype=np.uint16), short])
+    )
+    jacc, _, _ = afp.subfp_match_stats(afp.pack_subfps(short), far)
+    assert jacc < 1.0
+    # the penalized acceptance predicate (shared production rule)
+    assert afp.subfp_pair_passes(0.45, 0.6, 0)
+    assert not afp.subfp_pair_passes(0.45, 0.6, 3)  # pays the penalty
+    assert afp.subfp_pair_passes(0.55, 0.6, 3)
+    assert not afp.subfp_pair_passes(0.9, 0.4, 0)  # containment floor
 
 
 _SUBFP_SCHEMA = "clip_id string, bytes binary, codec string, sr_hz int"
@@ -375,8 +432,9 @@ def test_subfp_grouping_matches_brute_force(spark):
     tier exists for."""
     want = {r[0]: r[4] for r in fpx.SUBFP_EXPECTED}
     assert want == {
-        "a0": "a0", "a1": "a0", "a2": "a0", "a3": "a0",
-        "b0": "b0", "b1": "b1", "c0": "c0", "e0": "e0",
+        "a0": "a0", "a1": "a0", "a2": "a0", "a3": "a0", "a4": "a0",
+        "b0": "b0", "b1": "b1", "c0": "c0", "d0": "d0", "e0": "e0",
+        "t0": "t0",
     }
 
     rows, schema = _subfp_corpus()
@@ -416,13 +474,14 @@ def test_subfp_grouping_matches_brute_force(spark):
     assert fp64_groups["a1"] != fp64_groups["a0"]
     assert fp64_groups["a2"] != fp64_groups["a0"]
     assert fp64_groups["a3"] != fp64_groups["a0"]  # truncation too
+    assert fp64_groups["a4"] != fp64_groups["a0"]  # non-integer trim too
 
 
 def test_fingerprint_clips_full_consistency(spark):
     """fingerprint_clips_full extends (never drifts from) the frozen
     fp64 kernel: shared fields equal fingerprint_for_clip exactly,
     the packed stream unpacks to n_subfp words, probes match the
-    stride spec, error rows carry empty stream/probes."""
+    probe spec, error rows carry empty stream/probes."""
     rows, schema = _subfp_corpus()
     fpf = {r.clip_id: r for r in afp.fingerprint_clips_full(
         spark.createDataFrame(rows, schema)

@@ -74,8 +74,13 @@ def measure() -> dict:
         # bit-set Jaccard / overlap-ratio over the aligned streams
         # (verify) — audio_subfp_pairs semantics on this single pair
         probes = afp.probe_vector(subs)
-        blocked = bool(set(base_probes) & set(probes))
-        jac, ratio = afp.subfp_match_stats(base_packed, afp.pack_subfps(subs))
+        blocked = (
+            afp.probe_shared_sites(base_probes, probes)
+            >= afp.FP_MIN_SHARED_SITES
+        )
+        jac, ratio, shift = afp.subfp_match_stats(
+            base_packed, afp.pack_subfps(subs)
+        )
         out["rows"].append(
             {
                 "perturbation": name,
@@ -83,10 +88,9 @@ def measure() -> dict:
                 "fp64_hamming": h,
                 "groups_at_default": h <= 7,
                 "subfp_jaccard": round(jac, 4),
+                "subfp_shift": shift,
                 "subfp_tier_groups": bool(
-                    blocked
-                    and jac >= afp.FP_SUBFP_JACCARD
-                    and ratio >= afp.FP_MIN_OVERLAP_RATIO
+                    blocked and afp.subfp_pair_passes(jac, ratio, shift)
                 ),
             }
         )
@@ -141,13 +145,14 @@ def main() -> None:
     print(f"probe: {DUR_S}s broadband mix @ {SR} Hz, {res['n_subfp']} subfps")
     print(
         f"{'perturbation':<24} {'subfp BER':>10} {'fp64 ham':>9} {'groups':>7}"
-        f" {'jaccard':>8} {'subfp tier':>10}"
+        f" {'jaccard':>8} {'shift':>6} {'subfp tier':>10}"
     )
     for r in res["rows"]:
         print(
             f"{r['perturbation']:<24} {r['subfp_ber']:>10.4f}"
             f" {r['fp64_hamming']:>9d} {str(r['groups_at_default']):>7}"
-            f" {r['subfp_jaccard']:>8.4f} {str(r['subfp_tier_groups']):>10}"
+            f" {r['subfp_jaccard']:>8.4f} {r['subfp_shift']:>6d}"
+            f" {str(r['subfp_tier_groups']):>10}"
         )
     print(json.dumps(res))
 

@@ -225,13 +225,16 @@ def write_clips_with_spark(df, path: str) -> None:
     ).parquet(path)
 
 
-def write_clips_parquet(path: str, n_rows: int) -> None:
+def write_clips_parquet(path: str, n_rows: int, start: int = 0) -> None:
     """Write the clips table as parquet (the Iceberg-fallback physical
-    layout, io/catalog.py) with a fixed schema."""
+    layout, io/catalog.py) with a fixed schema. `start` offsets the
+    deterministic row index — rows [start, start+n_rows) — so a
+    disjoint-id ingest increment for the incremental dedup path is one
+    call (make_row is a pure function of the index)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = [make_row(i) for i in range(n_rows)]
+    rows = [make_row(start + i) for i in range(n_rows)]
     cols = list(zip(*rows))
     table = pa.table(
         {

@@ -2382,6 +2382,90 @@ def audio_subfp_docs(spark, sf_dir):
     )
 
 
+def _audio_increment_oracle_sql() -> str:
+    """Literal expected-truth table for the incremental-ingest path
+    (fixtures/audio_fp_fixtures.py INCREMENT_EXPECTED — incremental
+    semantics re-derived by independent union-finds over the
+    production predicates: committed groups from the base alone, the
+    batch labeled against prefixed committed-group nodes)."""
+    from .fixtures.audio_fp_fixtures import INCREMENT_EXPECTED
+
+    def q(s):
+        return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+    rows = ",\n      ".join(
+        f"({q(cid)}, {q(err)}, {n}, {'TRUE' if deg else 'FALSE'},"
+        f" {q(g)}, {q(d)})"
+        for cid, err, n, deg, g, d in INCREMENT_EXPECTED
+    )
+    return f"""
+    SELECT CAST(clip_id AS VARCHAR) AS clip_id,
+           CAST(err AS VARCHAR) AS err,
+           CAST(n_subfp AS INTEGER) AS n_subfp,
+           fp_degenerate,
+           CAST(group_id AS VARCHAR) AS group_id,
+           CAST(decision AS VARCHAR) AS decision
+    FROM (VALUES
+      {rows}
+    ) AS t(clip_id, err, n_subfp, fp_degenerate, group_id, decision)
+    """
+
+
+@query("audio_increment_docs", _audio_increment_oracle_sql())
+def audio_increment_docs(spark, sf_dir):
+    """Incremental audio-dedup ingest under the hard gate (late round
+    8): the committed base (7 subfp-corpus rows) is fingerprinted and
+    grouped once, then the increment batch (noisy twins, the 200 ms
+    trim, a past-window trim, a never-seen AM duplicate pair, a
+    degenerate and an error row) is matched against it with
+    audio_fp_match_against (the same blocking keys + shift-scan
+    verify as the self-join tier, index never self-joined) and labeled
+    by assign_increment (committed groups immutable and min-wins via
+    the sort-first prefix trick; unmatched new clips group among
+    themselves). The frozen truth is derived INDEPENDENTLY
+    (brute-force union-finds over the predicates), so the gate
+    cross-checks candidate recall of the key join AND the incremental
+    labeling. Not SQL-expressible (FFT), so the oracle is the
+    frozen-literal pattern (audio_fp_docs).
+
+    sf_dir is unused: the fixture corpus IS the input."""
+    from .fixtures.audio_fp_fixtures import (
+        INCREMENT_BASE_IDS,
+        build_increment_rows,
+        build_subfp_rows,
+    )
+    from .operators.audio_fp import (
+        assign_increment,
+        audio_fp_match_against,
+        audio_subfp_neardup_groups,
+        audio_subfp_pairs,
+        fingerprint_clips_full,
+    )
+
+    schema = "clip_id string, bytes binary, codec string, sr_hz int"
+    base_rows = [
+        r for r in build_subfp_rows() if r[0] in INCREMENT_BASE_IDS
+    ]
+    idx_fp = fingerprint_clips_full(
+        spark.createDataFrame(base_rows, schema)
+    ).localCheckpoint(eager=False)
+    batch_fp = fingerprint_clips_full(
+        spark.createDataFrame(build_increment_rows(), schema)
+    ).localCheckpoint(eager=False)
+
+    index_groups = audio_subfp_neardup_groups(idx_fp)
+    decisions, _deferred = assign_increment(
+        batch_fp,
+        audio_subfp_pairs(batch_fp),
+        audio_fp_match_against(idx_fp, batch_fp, tier="subfp"),
+        index_groups,
+    )
+    return (
+        batch_fp.select("clip_id", "err", "n_subfp", "fp_degenerate")
+        .join(decisions.select("clip_id", "group_id", "decision"), "clip_id")
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

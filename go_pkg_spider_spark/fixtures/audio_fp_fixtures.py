@@ -318,3 +318,152 @@ EXPECTED: list[tuple] = [
     (13, "empty_bytes", 0, 0, True, 13),
     (14, None, 0, 0, True, 14),
 ]
+
+
+# --- incremental-ingest gate corpus (audio_increment_docs) ---
+# The committed base is the subfp corpus minus the rows that arrive
+# as the increment; the increment exercises every incremental path:
+# cross-attach (a1/a2 noisy twins, a4 trim — all match committed a0),
+# past-window reject (t0), a new-new pair the base has never seen
+# (x0/x1 — founds a new group), a degenerate row (z0) and a typed
+# error row (e1).
+INCREMENT_BASE_IDS = ("a0", "a3", "b0", "b1", "c0", "d0", "e0")
+
+
+def build_increment_rows() -> list[tuple[str, bytes | None, str | None, int | None]]:
+    sr = 16_000
+    rows = {cid: (cid, b, c, s) for cid, b, c, s in build_subfp_rows()}
+    # a signal family the base corpus lacks: AM tone (stationary
+    # carrier, moving energy). NOT another chirp — two linear chirps
+    # with similar sweep rates produce similar band-delta sign
+    # patterns up to a time offset (the H&K bits encode local band
+    # movement), and a 500->1500 Hz probe measurably matched t0's
+    # 900->2000 Hz tail through the shift scan.
+    x = _am(sr, sr, 1200.0, 7.0)
+    return [
+        rows["a1"],
+        rows["a2"],
+        rows["a4"],
+        rows["t0"],
+        ("x0", _wav(x, sr), "wav", sr),
+        ("x1", _wav(_noisy(x, 20.0), sr), "wav", sr),
+        ("z0", _wav(np.zeros(sr), sr), "wav", sr),
+        ("e1", rows["a0"][1], "speex", sr),
+    ]
+
+
+INCREMENT_EXPECTED_COLUMNS = (
+    "clip_id",
+    "err",
+    "n_subfp",
+    "fp_degenerate",
+    "group_id",
+    "decision",
+)
+
+
+def derive_increment_expected() -> list[tuple]:
+    """Recompute the incremental gate truth INDEPENDENTLY of the Spark
+    operators: committed groups = brute-force subfp union-find over
+    the base rows alone; increment labels = union-find over the batch
+    rows plus one node per reachable committed group (prefixed so the
+    committed group always wins the min-id label — the
+    assign_increment semantics re-derived from the predicates, not
+    from the production code path)."""
+    from ..operators.audio_fp import (
+        FP_MIN_SHARED_SITES,
+        _fp_row_full,
+        probe_shared_sites,
+        subfp_match_stats,
+        subfp_pair_passes,
+    )
+
+    def match(ra, rb) -> bool:
+        if probe_shared_sites(ra[6], rb[6]) < FP_MIN_SHARED_SITES:
+            return False
+        jac, ratio, shift = subfp_match_stats(ra[5], rb[5])
+        return subfp_pair_passes(jac, ratio, shift)
+
+    base_rows = {cid: r for cid, r in (
+        (cid, _fp_row_full(cid, b, c, s))
+        for cid, b, c, s in build_subfp_rows()
+        if cid in INCREMENT_BASE_IDS
+    )}
+    batch_rows = {
+        cid: _fp_row_full(cid, b, c, s)
+        for cid, b, c, s in build_increment_rows()
+    }
+
+    def eligible(rows):
+        return sorted(c for c, r in rows.items() if r[1] is None and not r[4])
+
+    # committed groups over the base alone (the batch job's truth)
+    parent = {cid: cid for cid in base_rows}
+
+    def find(p, x):
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    b_elig = eligible(base_rows)
+    for i, a in enumerate(b_elig):
+        for b in b_elig[i + 1:]:
+            ra, rb = find(parent, a), find(parent, b)
+            if ra != rb and match(base_rows[a], base_rows[b]):
+                parent[max(ra, rb)] = min(ra, rb)
+    base_group = {cid: find(parent, cid) for cid in base_rows}
+
+    # increment graph: batch nodes + prefixed committed-group nodes
+    nodes = {cid: cid for cid in batch_rows}
+    i_elig = eligible(batch_rows)
+    for i, a in enumerate(i_elig):
+        for b in i_elig[i + 1:]:
+            if match(batch_rows[a], batch_rows[b]):
+                ra, rb = find(nodes, a), find(nodes, b)
+                if ra != rb:
+                    nodes[max(ra, rb)] = min(ra, rb)
+    for a in i_elig:
+        for b in b_elig:
+            if match(batch_rows[a], base_rows[b]):
+                g = "\x00" + base_group[b]
+                nodes.setdefault(g, g)
+                ra, rb = find(nodes, a), find(nodes, g)
+                if ra != rb:
+                    nodes[max(ra, rb)] = min(ra, rb)
+
+    out = []
+    for cid in sorted(batch_rows):
+        err, n_subfp, deg = (
+            batch_rows[cid][1],
+            batch_rows[cid][2],
+            batch_rows[cid][4],
+        )
+        label = find(nodes, cid) if cid in i_elig else cid
+        group = label[1:] if label.startswith("\x00") else label
+        if err is not None:
+            decision = "error"
+        elif deg:
+            decision = "keep_degenerate"
+        elif group != cid:
+            decision = "drop_audio_dup"
+        else:
+            decision = "keep"
+        out.append((cid, err, n_subfp, deg, group, decision))
+    return out
+
+
+# Frozen output of derive_increment_expected() — the audio_increment
+# gate truth: a1/a2/a4 attach to the committed a0 group, t0 keeps
+# (past the scan window), x1 drops into the NEW x0 group founded by
+# the increment, z0/e1 stay degenerate/error singletons.
+INCREMENT_EXPECTED: list[tuple] = [
+    ("a1", None, 29, False, "a0", "drop_audio_dup"),
+    ("a2", None, 29, False, "a0", "drop_audio_dup"),
+    ("a4", None, 23, False, "a0", "drop_audio_dup"),
+    ("e1", "codec_not_whitelisted", 0, True, "e1", "error"),
+    ("t0", None, 38, False, "t0", "keep"),
+    ("x0", None, 29, False, "x0", "keep"),
+    ("x1", None, 29, False, "x0", "drop_audio_dup"),
+    ("z0", None, 29, True, "z0", "keep_degenerate"),
+]

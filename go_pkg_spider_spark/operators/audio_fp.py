@@ -678,6 +678,7 @@ def verify_pairs(
     cand: DataFrame,
     min_jaccard: float = FP_SUBFP_JACCARD,
     min_overlap_ratio: float = FP_MIN_OVERLAP_RATIO,
+    fpf_b: DataFrame | None = None,
 ) -> DataFrame:
     """Stream-verify candidate (id_a, id_b) pairs: join each side back
     to its packed sub-fingerprint stream (id-keyed, pair volume only),
@@ -699,12 +700,18 @@ def verify_pairs(
     Jaccard 0.09-0.23, i.e. different audio; every true re-encode
     twin scores 1.0). Verification costs one id-keyed join at pair
     volume — negligible next to the decode stage."""
+    # fpf_b (optional): the frame id_b keys into when the two pair
+    # sides come from DIFFERENT tables (the incremental matcher: id_a
+    # is the new batch, id_b the committed index) — each side's join
+    # then scans only its own streams, and an id present in both
+    # frames cannot fan the pair out
     seqs = fpf.select("clip_id", "subfps")
+    seqs_b = (fpf_b if fpf_b is not None else fpf).select("clip_id", "subfps")
     joined = cand.select("id_a", "id_b").join(
         seqs.select(F.col("clip_id").alias("id_a"), F.col("subfps").alias("sub_a")),
         "id_a",
     ).join(
-        seqs.select(F.col("clip_id").alias("id_b"), F.col("subfps").alias("sub_b")),
+        seqs_b.select(F.col("clip_id").alias("id_b"), F.col("subfps").alias("sub_b")),
         "id_b",
     )
 
@@ -763,3 +770,222 @@ def audio_subfp_neardup_groups(
         "clip_id",
         F.coalesce(F.col("component"), F.col("clip_id")).alias("group_id"),
     )
+
+
+# --- incremental ingest: match a NEW batch against a committed index ---
+# At corpus scale you never re-fingerprint 10^12 committed clips when
+# 10^6 new ones arrive: the committed fingerprint table IS the state.
+# The matcher below scans the index ONCE, narrowly (clip_id + blocking
+# keys; the 8 KiB packed stream column is pruned at the parquet scan
+# and moves only for verified-candidate endpoint ids), and never
+# self-joins it.
+
+# An index clip may legitimately appear in many new clips' candidate
+# lists, but ONE blocking key matching more than this many index rows
+# is a hot key (a viral jingle / a degenerate-ish common pattern), the
+# same quadratic hazard max_bucket_size caps in the self-join path —
+# capped per key with drop accounting, smallest clip_ids kept
+# (deterministic, the capped_buckets convention).
+FP_MAX_KEY_MATCHES = 1024
+
+
+def _tier_key_rows(fp: DataFrame, tier: str) -> DataFrame:
+    """(clip_id, key) blocking rows for eligible fingerprint rows —
+    the SAME keys each tier blocks on in its self-join pair generator,
+    as a flat joinable frame: fp64 -> the 8 pigeonhole blocks encoded
+    (blk_idx << 8) | byte; subfp -> the coarse (cell << 16) | value
+    probes. fp64 rows carry the key's fp64 for the hamming cut."""
+    elig = fp.filter(F.col("err").isNull() & ~F.col("fp_degenerate"))
+    if tier == "fp64":
+        return elig.select(
+            "clip_id",
+            "fp64",
+            F.explode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("fp64"), i * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .bitwiseOR(F.lit(i << 8))
+                        for i in range(8)
+                    ]
+                )
+            ).alias("key"),
+        )
+    return elig.select("clip_id", F.explode("probes").alias("key"))
+
+
+def audio_fp_match_against(
+    index_fpf: DataFrame,
+    batch_fpf: DataFrame,
+    tier: str = "fp64",
+    max_hamming: int = 7,
+    max_key_matches: int = FP_MAX_KEY_MATCHES,
+    min_jaccard: float = FP_SUBFP_JACCARD,
+    min_overlap_ratio: float = FP_MIN_OVERLAP_RATIO,
+    observation=None,
+) -> DataFrame:
+    """(id_a=new clip, id_b=index clip, jaccard, overlap_ratio, shift)
+    verified near-dup matches of a new batch against a committed
+    fingerprint index (fingerprint_clips_full rows on both sides) —
+    the incremental-ingest twin of audio_fp_pairs / audio_subfp_pairs.
+    Candidates block on the same per-tier keys as the self-join path
+    and are ALWAYS stream-verified (the datagen drive showed raw fp64
+    collisions are false on sparse corpora; the committed streams make
+    verification an id-keyed join at candidate-pair volume). The subfp
+    evidence floor (FP_MIN_SHARED_SITES distinct shared values) falls
+    out of the same key-match aggregation that dedupes candidates.
+
+    Shuffle shape: one exchange on the blocking key (index keys are
+    rank-capped per key — a window, same exchange), one groupBy at
+    key-match volume, one id-keyed verify join at candidate volume.
+    The batch side is one ingest batch; nothing here scales with
+    index x index."""
+    from pyspark.sql.window import Window
+
+    if tier not in ("fp64", "subfp"):
+        raise ValueError(f"unknown tier {tier!r} (fp64 | subfp)")
+    new_keys = _tier_key_rows(batch_fpf, tier)
+    idx_keys = _tier_key_rows(index_fpf, tier)
+    ranked = idx_keys.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("key").orderBy("clip_id")),
+    )
+    if observation is not None:
+        ranked = ranked.observe(
+            observation,
+            F.sum(
+                F.when(F.col("rn") > max_key_matches, 1).otherwise(0)
+            ).alias("dropped_index_keys"),
+            F.max("rn").alias("max_key_matches_seen"),
+        )
+    idx_kept = ranked.filter(F.col("rn") <= max_key_matches).drop("rn")
+
+    if tier == "fp64":
+        cand = (
+            new_keys.join(
+                idx_kept.select(
+                    F.col("clip_id").alias("id_b"),
+                    F.col("fp64").alias("fp64_b"),
+                    "key",
+                ),
+                "key",
+            )
+            .filter(F.col("clip_id") != F.col("id_b"))
+            .select(
+                F.col("clip_id").alias("id_a"),
+                "id_b",
+                F.bit_count(
+                    F.col("fp64").bitwiseXOR(F.col("fp64_b"))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        cand = (
+            new_keys.join(
+                idx_kept.select(F.col("clip_id").alias("id_b"), "key"), "key"
+            )
+            .filter(F.col("clip_id") != F.col("id_b"))
+            .groupBy(F.col("clip_id").alias("id_a"), "id_b")
+            .agg(
+                F.count_distinct(
+                    F.col("key").bitwiseAND(F.lit(65535))
+                ).alias("sites")
+            )
+            .filter(F.col("sites") >= F.lit(FP_MIN_SHARED_SITES))
+            .select("id_a", "id_b")
+        )
+    return verify_pairs(
+        batch_fpf, cand, min_jaccard, min_overlap_ratio, fpf_b=index_fpf
+    )
+
+
+# Old-group nodes enter the increment's component graph under this
+# prefix: it sorts before every real clip_id, so the min-id component
+# label is ALWAYS a committed group when one is reachable — a new
+# clip can only found a new group when it matches nothing committed.
+_OLD_GROUP_PREFIX = "\x00"
+
+
+def assign_increment(
+    batch_fpf: DataFrame,
+    within_pairs: DataFrame,
+    cross_matches: DataFrame,
+    index_groups: DataFrame,
+) -> tuple[DataFrame, int]:
+    """Label every NEW clip with a group under incremental semantics:
+    committed groups are immutable, a new clip joins the (smallest)
+    committed group it verifies against — transitively through other
+    new clips — and clips matching nothing committed form new groups
+    among themselves exactly like the batch job. Returns (decisions
+    for the new rows — the run_audio_dedup decisions schema — plus
+    the count of DEFERRED MERGES: components whose new clips bridge
+    k >= 2 distinct committed groups contribute k-1 each. Committed
+    rows are never rewritten (the committed tables are the immutable
+    state the whole incremental design rests on); a deferred merge is
+    surfaced as a metric for a later full-recluster run, the standard
+    incremental-connected-components tradeoff. The count is a scalar
+    aggregate over the (pair-volume) component frame — a bounded
+    control-path collect.
+
+    within_pairs: (id_a, id_b) verified pairs AMONG the batch;
+    cross_matches: (id_a=new, id_b=index clip) verified matches;
+    index_groups: (clip_id, group_id) committed decisions."""
+    edges = within_pairs.select("id_a", "id_b").unionByName(
+        cross_matches.select("id_a", "id_b")
+        .join(
+            index_groups.select(
+                F.col("clip_id").alias("id_b"), "group_id"
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            F.concat(F.lit(_OLD_GROUP_PREFIX), F.col("group_id")).alias(
+                "id_b"
+            ),
+        )
+    )
+    comp = connected_components(edges, src="id_a", dst="id_b", id_col="id")
+    old_counts = (
+        comp.filter(F.col("id").startswith(_OLD_GROUP_PREFIX))
+        .groupBy("component")
+        .agg(F.count_distinct("id").alias("n_old"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("n_old") - F.lit(1)), F.lit(0)
+            ).alias("deferred")
+        )
+        .collect()
+    )
+    deferred_merges = int(old_counts[0].deferred)
+
+    assigned = comp.filter(
+        ~F.col("id").startswith(_OLD_GROUP_PREFIX)
+    ).select(
+        F.col("id").alias("clip_id"),
+        F.when(
+            F.col("component").startswith(_OLD_GROUP_PREFIX),
+            F.substring(F.col("component"), 2, 2_147_483_647),
+        )
+        .otherwise(F.col("component"))
+        .alias("component"),
+    )
+    enriched = batch_fpf.select(
+        "clip_id", "err", "fp_degenerate", "fp64"
+    ).join(assigned, "clip_id", "left")
+    decision = (
+        F.when(F.col("err").isNotNull(), "error")
+        .when(F.col("fp_degenerate"), "keep_degenerate")
+        .when(F.col("component") != F.col("clip_id"), "drop_audio_dup")
+        .otherwise("keep")
+    )
+    decisions = enriched.select(
+        "clip_id",
+        "fp64",
+        F.coalesce(F.col("component"), F.col("clip_id")).alias("group_id"),
+        decision.alias("decision"),
+    )
+    return decisions, deferred_merges

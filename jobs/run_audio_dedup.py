@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 AUDIO_DEDUP_MANIFEST_TABLE = "audio_dedup_manifest"
@@ -256,6 +257,203 @@ def _run_locked(
     return summary
 
 
+def _increment_roots(output_root: str) -> list[str]:
+    """Committed increment roots under output_root/increments, sorted
+    by name. Only increments whose DECISIONS stage committed count —
+    a crashed half-written increment is invisible to readers and its
+    re-run resumes from its own manifest."""
+    base = os.path.join(output_root, "increments")
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        os.path.join(base, d)
+        for d in os.listdir(base)
+        if os.path.isdir(os.path.join(base, d, "decisions"))
+    )
+
+
+def read_all_fingerprints(spark, output_root: str):
+    """The full committed fingerprint state: the base run's table plus
+    every committed increment — the index the next increment matches
+    against. A union of parquet scans (no shuffle); column pruning
+    still reaches every member scan."""
+    from go_pkg_spider_spark.io.catalog import Catalog
+
+    df = Catalog(spark, output_root).read("fingerprints")
+    for root in _increment_roots(output_root):
+        df = df.unionByName(Catalog(spark, root).read("fingerprints"))
+    return df
+
+
+def read_all_decisions(spark, output_root: str):
+    """Base decisions plus every committed increment's — one row per
+    clip ever ingested (increments only ever ADD clip ids)."""
+    from go_pkg_spider_spark.io.catalog import Catalog
+
+    df = Catalog(spark, output_root).read("decisions")
+    for root in _increment_roots(output_root):
+        df = df.unionByName(Catalog(spark, root).read("decisions"))
+    return df
+
+
+def run_audio_dedup_increment(
+    spark,
+    new_clips,
+    output_root: str,
+    run_id: str,
+    tier: str = "fp64",
+    max_hamming: int = 7,
+    max_bucket_size: int = 1024,
+    max_key_matches: int | None = None,
+    min_jaccard: float | None = None,
+    min_overlap_ratio: float | None = None,
+) -> dict:
+    """Incremental ingest against a committed run_audio_dedup root:
+    fingerprint ONLY the new batch, match it against the committed
+    fingerprint state (base + prior increments — never re-decoded,
+    never self-joined), and label the new clips under incremental
+    semantics (committed groups immutable, smallest committed group
+    wins, unmatched new clips form groups among themselves; bridges
+    across k committed groups surface as a deferred_merges metric —
+    see operators/audio_fp.assign_increment).
+
+    Each increment is its own immutable stage chain under
+    output_root/increments/<run_id> with its own lease + manifest, so
+    re-running an increment resumes instead of double-appending, and
+    a crashed increment never corrupts the committed state — the
+    idempotence story the streaming twin (jobs/run_streaming.py
+    audio-dedup) leans on for exactly-once batches. Cross-matches are
+    ALWAYS stream-verified (the raw-fp64 false-dup lesson); there is
+    deliberately no --no-verify-pairs dial here."""
+    from pyspark.sql import Observation, functions as F
+
+    from go_pkg_spider_spark.io.catalog import Catalog
+    from go_pkg_spider_spark.io.stages import StageRunner, run_lease
+    from go_pkg_spider_spark.operators import audio_fp as afp
+
+    if tier not in ("fp64", "subfp"):
+        raise ValueError(f"unknown tier {tier!r} (fp64 | subfp)")
+    if not Catalog(spark, output_root).exists("decisions"):
+        raise ValueError(
+            f"no committed run_audio_dedup state under {output_root!r} — "
+            "run the batch job first"
+        )
+    if min_jaccard is None:
+        min_jaccard = afp.FP_SUBFP_JACCARD
+    if min_overlap_ratio is None:
+        min_overlap_ratio = afp.FP_MIN_OVERLAP_RATIO
+    if max_key_matches is None:
+        max_key_matches = afp.FP_MAX_KEY_MATCHES
+
+    params = {
+        "tier": tier,
+        "min_jaccard": min_jaccard,
+        "min_overlap_ratio": min_overlap_ratio,
+        "max_bucket_size": max_bucket_size,
+        "max_key_matches": max_key_matches,
+    }
+    if tier == "fp64":
+        params["max_hamming"] = max_hamming
+
+    inc_root = os.path.join(output_root, "increments", run_id)
+    with run_lease(inc_root, run_id):
+        cat = Catalog(spark, inc_root)
+        runner = StageRunner(
+            spark,
+            cat,
+            AUDIO_DEDUP_MANIFEST_TABLE,
+            params,
+            run_id,
+            stage_params={"fingerprints": {"fp_schema_v": _FP_SCHEMA_V}},
+        )
+        summary = runner.summary
+        commit, resumable = runner.commit, runner.resumable
+
+        if not resumable("fingerprints"):
+            commit("fingerprints", afp.fingerprint_clips_full(new_clips))
+        fp_new = cat.read("fingerprints")
+        # the committed state is read AFTER the lease is held so a
+        # concurrent increment cannot commit between read and match;
+        # increments under different run_ids still race on the
+        # DEFERRED-merge semantics only (both attach to committed
+        # groups; neither sees the other — same tradeoff as bridges)
+        index_fp = read_all_fingerprints(spark, output_root)
+
+        if not resumable("within_pairs"):
+            if tier == "fp64":
+                wp = afp.verify_pairs(
+                    fp_new,
+                    afp.audio_fp_pairs(
+                        fp_new,
+                        max_hamming=max_hamming,
+                        max_bucket_size=max_bucket_size,
+                    ),
+                    min_jaccard,
+                    min_overlap_ratio,
+                )
+            else:
+                wp = afp.audio_subfp_pairs(
+                    fp_new,
+                    min_jaccard=min_jaccard,
+                    min_overlap_ratio=min_overlap_ratio,
+                    max_bucket_size=max_bucket_size,
+                )
+            commit("within_pairs", wp)
+
+        if not resumable("matches"):
+            obs = Observation()
+            cross = afp.audio_fp_match_against(
+                index_fp,
+                fp_new,
+                tier=tier,
+                max_hamming=max_hamming,
+                max_key_matches=max_key_matches,
+                min_jaccard=min_jaccard,
+                min_overlap_ratio=min_overlap_ratio,
+                observation=obs,
+            )
+
+            def _match_metrics():
+                try:
+                    got = obs.get
+                except Exception:
+                    # same AQE empty-relation collapse as the batch
+                    # job's bucket metrics: zero key matches = zero
+                    # drops by definition
+                    got = {}
+                return {
+                    "dropped_index_keys": str(got.get("dropped_index_keys") or 0),
+                    "max_key_matches_seen": str(
+                        got.get("max_key_matches_seen") or 0
+                    ),
+                    "tier": tier,
+                }
+
+            commit("matches", cross, metrics_after=_match_metrics)
+
+        if not resumable("decisions"):
+            decisions, deferred = afp.assign_increment(
+                fp_new,
+                cat.read("within_pairs"),
+                cat.read("matches"),
+                read_all_decisions(spark, output_root).select(
+                    "clip_id", "group_id"
+                ),
+            )
+            commit(
+                "decisions",
+                decisions,
+                metrics_after=lambda: {"deferred_merges": str(deferred)},
+            )
+
+        dec = cat.read("decisions")
+        summary["decision_histogram"] = {
+            r.decision: r["count"]
+            for r in dec.groupBy("decision").count().collect()
+        }
+        return summary
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description="composed audio near-dup job")
     p.add_argument("--input", required=True, help="clips table path")
@@ -278,24 +476,52 @@ def main() -> None:
         help="skip stream verification of fp64-tier candidates "
         "(raw hamming grouping; false-dups on sparse corpora)",
     )
+    p.add_argument(
+        "--append",
+        action="store_true",
+        help="incremental ingest: --input is a NEW batch matched "
+        "against the committed state under --output-root (which must "
+        "hold a prior batch run); writes an immutable increment under "
+        "increments/<run-id>. Always stream-verifies.",
+    )
+    p.add_argument(
+        "--max-key-matches",
+        type=int,
+        default=None,
+        help="append mode: hot-key cap on index-side blocking keys",
+    )
     args = p.parse_args()
 
     from go_pkg_spider_spark.session import get_spark
 
     spark = get_spark(app_name=f"audio-dedup-{args.run_id}")
     clips = spark.read.parquet(args.input)
-    summary = run_audio_dedup(
-        spark,
-        clips,
-        args.output_root,
-        run_id=args.run_id,
-        tier=args.tier,
-        max_hamming=args.max_hamming,
-        max_bucket_size=args.max_bucket_size,
-        min_jaccard=args.min_jaccard,
-        min_overlap_ratio=args.min_overlap_ratio,
-        verify_pairs=not args.no_verify_pairs,
-    )
+    if args.append:
+        summary = run_audio_dedup_increment(
+            spark,
+            clips,
+            args.output_root,
+            run_id=args.run_id,
+            tier=args.tier,
+            max_hamming=args.max_hamming,
+            max_bucket_size=args.max_bucket_size,
+            max_key_matches=args.max_key_matches,
+            min_jaccard=args.min_jaccard,
+            min_overlap_ratio=args.min_overlap_ratio,
+        )
+    else:
+        summary = run_audio_dedup(
+            spark,
+            clips,
+            args.output_root,
+            run_id=args.run_id,
+            tier=args.tier,
+            max_hamming=args.max_hamming,
+            max_bucket_size=args.max_bucket_size,
+            min_jaccard=args.min_jaccard,
+            min_overlap_ratio=args.min_overlap_ratio,
+            verify_pairs=not args.no_verify_pairs,
+        )
     print(json.dumps(summary))
     spark.stop()
 

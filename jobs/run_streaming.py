@@ -131,6 +131,68 @@ def cmd_ann_topk(args) -> dict:
     return {"job": "ann-topk", "sink_batches": batches, "sink_rows": rows}
 
 
+def cmd_audio_dedup(args) -> dict:
+    """Streaming incremental audio dedup: each micro-batch of clips is
+    one run_audio_dedup_increment against the committed dedup root.
+    Exactly-once WITHOUT sink transactionality: Structured Streaming
+    replays a failed batch under the SAME batch_id, the increment's
+    run_id is derived from it, and the increment's own stage manifest
+    resumes instead of double-appending — the committed root is the
+    only state (foreachBatch holds none, so no unbounded-state dial
+    applies here)."""
+    from run_audio_dedup import _increment_roots, run_audio_dedup_increment
+
+    from go_pkg_spider_spark.io.catalog import Catalog
+    from go_pkg_spider_spark.streaming.jobs import read_clips_stream
+
+    spark = _spark("stream-audio-dedup")
+    stream = read_clips_stream(
+        spark, args.input, max_files_per_trigger=args.max_files_per_trigger
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        run_audio_dedup_increment(
+            spark,
+            batch_df,
+            args.dedup_root,
+            run_id=f"{args.stream_id}-{batch_id:012d}",
+            tier=args.tier,
+            max_hamming=args.max_hamming,
+            min_jaccard=args.min_jaccard,
+            min_overlap_ratio=args.min_overlap_ratio,
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", args.checkpoint
+    )
+    if args.available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.start()
+        q.awaitTermination(args.timeout_sec)
+        q.stop()
+
+    prefix = os.path.join(args.dedup_root, "increments", args.stream_id + "-")
+    inc_roots = [r for r in _increment_roots(args.dedup_root) if r.startswith(prefix)]
+    hist: dict[str, int] = {}
+    rows = 0
+    for root in inc_roots:
+        for r in (
+            Catalog(spark, root).read("decisions").groupBy("decision").count().collect()
+        ):
+            hist[r.decision] = hist.get(r.decision, 0) + r["count"]
+            rows += r["count"]
+    return {
+        "job": "audio-dedup",
+        "increments": len(inc_roots),
+        "sink_rows": rows,
+        "decision_histogram": hist,
+    }
+
+
 def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", required=True)
@@ -167,8 +229,27 @@ def main() -> None:
     ann.add_argument("--scorer", choices=("join", "gemm"), default="join")
     _common(ann)
 
+    ad = sub.add_parser("audio-dedup")
+    ad.add_argument("--input", required=True, help="clips landing directory")
+    ad.add_argument("--dedup-root", required=True,
+                    help="committed run_audio_dedup.py output root")
+    ad.add_argument("--checkpoint", required=True)
+    ad.add_argument("--stream-id", default="stream",
+                    help="increment run_id prefix (one per logical stream)")
+    ad.add_argument("--tier", choices=("fp64", "subfp"), default="fp64")
+    ad.add_argument("--max-hamming", type=int, default=7)
+    ad.add_argument("--min-jaccard", type=float, default=None)
+    ad.add_argument("--min-overlap-ratio", type=float, default=None)
+    ad.add_argument("--available-now", action="store_true")
+    ad.add_argument("--timeout-sec", type=int, default=60)
+    ad.add_argument("--max-files-per-trigger", type=int, default=8)
+
     args = p.parse_args()
-    summary = cmd_quality_filter(args) if args.cmd == "quality-filter" else cmd_ann_topk(args)
+    summary = {
+        "quality-filter": cmd_quality_filter,
+        "ann-topk": cmd_ann_topk,
+        "audio-dedup": cmd_audio_dedup,
+    }[args.cmd](args)
     print(json.dumps(summary))
 
 

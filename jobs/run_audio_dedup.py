@@ -454,9 +454,121 @@ def run_audio_dedup_increment(
         return summary
 
 
+def run_audio_dedup_compact(
+    spark,
+    source_root: str,
+    target_root: str,
+    run_id: str = "compact",
+) -> dict:
+    """Resolve every deferred merge by reclustering over the edges the
+    base run and all increments ALREADY committed — no clip is
+    re-decoded, no pair re-verified; the work is one connected
+    components over pair-volume tables plus the decision rebuild.
+    Writes a fresh consolidated base (fingerprints union + unioned
+    pairs + components + decisions) into target_root via the normal
+    stage chain — blue/green: the source root stays untouched and
+    readable until the caller switches readers, so a crash mid-compact
+    never corrupts the committed state. The new root is itself a valid
+    --append target.
+
+    Why this resolves bridges: an increment clip that verified against
+    two committed groups carries edges to members of BOTH in its
+    committed matches table; the global components pass merges them —
+    exactly the merge assign_increment deferred.
+
+    Honest limit: increments that ran CONCURRENTLY under different
+    run_ids never matched against each other, so a mutual dup between
+    them has no committed edge and compaction cannot conjure one —
+    sequential ingest (the streaming twin's batch-id ordering) has no
+    such gap. Recovering it would take a re-match pass, not a
+    recluster."""
+    from pyspark.sql import functions as F
+
+    from go_pkg_spider_spark.io.catalog import Catalog
+    from go_pkg_spider_spark.io.stages import StageRunner, run_lease
+    from go_pkg_spider_spark.operators import components as cc_ops
+
+    src = Catalog(spark, source_root)
+    if not src.exists("decisions"):
+        raise ValueError(
+            f"no committed run_audio_dedup state under {source_root!r}"
+        )
+    inc_roots = _increment_roots(source_root)
+
+    with run_lease(target_root, run_id):
+        cat = Catalog(spark, target_root)
+        runner = StageRunner(
+            spark,
+            cat,
+            AUDIO_DEDUP_MANIFEST_TABLE,
+            {"compacted_from": source_root, "n_increments": len(inc_roots)},
+            run_id,
+            stage_params={"fingerprints": {"fp_schema_v": _FP_SCHEMA_V}},
+        )
+        summary = runner.summary
+        commit, resumable = runner.commit, runner.resumable
+
+        if not resumable("fingerprints"):
+            commit("fingerprints", read_all_fingerprints(spark, source_root))
+        fp = cat.read("fingerprints")
+
+        if not resumable("pairs"):
+            edges = src.read("pairs").select("id_a", "id_b")
+            for root in inc_roots:
+                icat = Catalog(spark, root)
+                edges = edges.unionByName(
+                    icat.read("within_pairs").select("id_a", "id_b")
+                ).unionByName(icat.read("matches").select("id_a", "id_b"))
+            commit("pairs", edges)
+
+        if not resumable("components"):
+            labels = cc_ops.connected_components(
+                cat.read("pairs"), src="id_a", dst="id_b", id_col="id"
+            )
+            commit(
+                "components",
+                labels.select(F.col("id").alias("clip_id"), "component"),
+            )
+
+        if not resumable("decisions"):
+            labels = cat.read("components")
+            enriched = fp.select(
+                "clip_id", "err", "fp_degenerate", "fp64"
+            ).join(labels, "clip_id", "left")
+            decision = (
+                F.when(F.col("err").isNotNull(), "error")
+                .when(F.col("fp_degenerate"), "keep_degenerate")
+                .when(F.col("component") != F.col("clip_id"), "drop_audio_dup")
+                .otherwise("keep")
+            )
+            commit(
+                "decisions",
+                enriched.select(
+                    "clip_id",
+                    "fp64",
+                    F.coalesce(F.col("component"), F.col("clip_id")).alias(
+                        "group_id"
+                    ),
+                    decision.alias("decision"),
+                ),
+            )
+
+        dec = cat.read("decisions")
+        summary["decision_histogram"] = {
+            r.decision: r["count"]
+            for r in dec.groupBy("decision").count().collect()
+        }
+        summary["compacted_increments"] = len(inc_roots)
+        return summary
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description="composed audio near-dup job")
-    p.add_argument("--input", required=True, help="clips table path")
+    p.add_argument(
+        "--input",
+        default=None,
+        help="clips table path (required except with --compact-to)",
+    )
     p.add_argument("--output-root", required=True)
     p.add_argument("--run-id", default="adhoc")
     p.add_argument(
@@ -490,11 +602,29 @@ def main() -> None:
         default=None,
         help="append mode: hot-key cap on index-side blocking keys",
     )
+    p.add_argument(
+        "--compact-to",
+        default=None,
+        metavar="TARGET_ROOT",
+        help="recluster the committed root (base + all increments) "
+        "over its COMMITTED edges into a fresh consolidated base at "
+        "TARGET_ROOT, resolving deferred merges — blue/green, the "
+        "source root is untouched; --input is ignored",
+    )
     args = p.parse_args()
 
     from go_pkg_spider_spark.session import get_spark
 
+    if args.compact_to is None and args.input is None:
+        p.error("--input is required except with --compact-to")
     spark = get_spark(app_name=f"audio-dedup-{args.run_id}")
+    if args.compact_to is not None:
+        summary = run_audio_dedup_compact(
+            spark, args.output_root, args.compact_to, run_id=args.run_id
+        )
+        print(json.dumps(summary))
+        spark.stop()
+        return
     clips = spark.read.parquet(args.input)
     if args.append:
         summary = run_audio_dedup_increment(

@@ -28,6 +28,7 @@ from jobs.run_audio_dedup import (
     read_all_decisions,
     read_all_fingerprints,
     run_audio_dedup,
+    run_audio_dedup_compact,
     run_audio_dedup_increment,
 )
 
@@ -204,6 +205,50 @@ def test_increment_bridge_counts_deferred_merge(spark, tmp_path):
     got = _decisions(spark, root)
     assert got["a1"] == ("a0", "drop_audio_dup")
     assert got["a3"] == ("a3", "keep")  # committed row untouched
+
+
+def test_compact_resolves_deferred_merges(spark, tmp_path):
+    """The --compact-to maintenance pass must recluster over the
+    COMMITTED edges alone (no re-fingerprint, no re-verify) and
+    resolve the bridge the increment deferred: the fp64 base leaves
+    a0/a3 split, the subfp increment's a1 bridges them, and the
+    compacted root puts all three in ONE group. The compacted root is
+    itself a valid append target, and re-compacting resumes."""
+    rows = _rows_by_id()
+    root = str(tmp_path / "root")
+    run_audio_dedup(
+        spark, _df(spark, [rows["a0"], rows["a3"], rows["b0"]]), root,
+        run_id="base", tier="fp64",
+    )
+    run_audio_dedup_increment(
+        spark, _df(spark, [rows["a1"]]), root, run_id="inc", tier="subfp"
+    )
+    # deferred state: committed a3 still keeps its own group
+    assert _decisions(spark, root)["a3"] == ("a3", "keep")
+
+    target = str(tmp_path / "compacted")
+    s = run_audio_dedup_compact(spark, root, target)
+    assert s["compacted_increments"] == 1
+    assert s["decision_histogram"] == {"keep": 2, "drop_audio_dup": 2}
+    got = _decisions(spark, target)
+    assert got["a0"] == ("a0", "keep")
+    assert got["a1"] == ("a0", "drop_audio_dup")
+    assert got["a3"] == ("a0", "drop_audio_dup")  # the deferred merge
+    assert got["b0"] == ("b0", "keep")
+    # source root untouched (blue/green)
+    assert _decisions(spark, root)["a3"] == ("a3", "keep")
+
+    # resume: re-compacting the same source into the same target skips
+    again = run_audio_dedup_compact(spark, root, target)
+    assert again["stages_run"] == 0
+    assert again["stages_skipped"] == 4
+
+    # the compacted root accepts appends: a2 attaches to the merged a0
+    s2 = run_audio_dedup_increment(
+        spark, _df(spark, [rows["a2"]]), target, run_id="inc2", tier="subfp"
+    )
+    assert s2["decision_histogram"] == {"drop_audio_dup": 1}
+    assert _decisions(spark, target)["a2"] == ("a0", "drop_audio_dup")
 
 
 def test_streaming_twin_parity_and_restart(spark, tmp_path):

@@ -459,6 +459,12 @@ def run_audio_dedup_compact(
     source_root: str,
     target_root: str,
     run_id: str = "compact",
+    rematch: bool = False,
+    tier: str = "subfp",
+    max_hamming: int = 7,
+    max_bucket_size: int = 1024,
+    min_jaccard: float | None = None,
+    min_overlap_ratio: float | None = None,
 ) -> dict:
     """Resolve every deferred merge by reclustering over the edges the
     base run and all increments ALREADY committed — no clip is
@@ -476,18 +482,31 @@ def run_audio_dedup_compact(
     committed matches table; the global components pass merges them —
     exactly the merge assign_increment deferred.
 
-    Honest limit: increments that ran CONCURRENTLY under different
-    run_ids never matched against each other, so a mutual dup between
-    them has no committed edge and compaction cannot conjure one —
-    sequential ingest (the streaming twin's batch-id ordering) has no
-    such gap. Recovering it would take a re-match pass, not a
-    recluster."""
+    Honest limit of the default (edge-union) mode: increments that ran
+    CONCURRENTLY under different run_ids never matched against each
+    other, so a mutual dup between them has no committed edge and the
+    recluster cannot conjure one — sequential ingest (the streaming
+    twin's batch-id ordering) has no such gap. `rematch=True` closes
+    it: instead of unioning committed edges, the pairs stage re-runs
+    the full self-join pair generator (tier + thresholds as given)
+    over the UNIONED fingerprint table — still no re-decode (the
+    decode is what makes the batch job expensive; pair generation over
+    committed fingerprints is the cheap tail), at the cost of
+    re-verifying candidate pairs."""
     from pyspark.sql import functions as F
 
     from go_pkg_spider_spark.io.catalog import Catalog
     from go_pkg_spider_spark.io.stages import StageRunner, run_lease
     from go_pkg_spider_spark.operators import components as cc_ops
 
+    from go_pkg_spider_spark.operators import audio_fp as afp
+
+    if tier not in ("fp64", "subfp"):
+        raise ValueError(f"unknown tier {tier!r} (fp64 | subfp)")
+    if min_jaccard is None:
+        min_jaccard = afp.FP_SUBFP_JACCARD
+    if min_overlap_ratio is None:
+        min_overlap_ratio = afp.FP_MIN_OVERLAP_RATIO
     src = Catalog(spark, source_root)
     if not src.exists("decisions"):
         raise ValueError(
@@ -495,13 +514,28 @@ def run_audio_dedup_compact(
         )
     inc_roots = _increment_roots(source_root)
 
+    params: dict = {
+        "compacted_from": source_root,
+        "n_increments": len(inc_roots),
+        "rematch": rematch,
+    }
+    if rematch:
+        params.update(
+            tier=tier,
+            min_jaccard=min_jaccard,
+            min_overlap_ratio=min_overlap_ratio,
+            max_bucket_size=max_bucket_size,
+        )
+        if tier == "fp64":
+            params["max_hamming"] = max_hamming
+
     with run_lease(target_root, run_id):
         cat = Catalog(spark, target_root)
         runner = StageRunner(
             spark,
             cat,
             AUDIO_DEDUP_MANIFEST_TABLE,
-            {"compacted_from": source_root, "n_increments": len(inc_roots)},
+            params,
             run_id,
             stage_params={"fingerprints": {"fp_schema_v": _FP_SCHEMA_V}},
         )
@@ -513,12 +547,32 @@ def run_audio_dedup_compact(
         fp = cat.read("fingerprints")
 
         if not resumable("pairs"):
-            edges = src.read("pairs").select("id_a", "id_b")
-            for root in inc_roots:
-                icat = Catalog(spark, root)
-                edges = edges.unionByName(
-                    icat.read("within_pairs").select("id_a", "id_b")
-                ).unionByName(icat.read("matches").select("id_a", "id_b"))
+            if rematch:
+                if tier == "fp64":
+                    edges = afp.verify_pairs(
+                        fp,
+                        afp.audio_fp_pairs(
+                            fp,
+                            max_hamming=max_hamming,
+                            max_bucket_size=max_bucket_size,
+                        ),
+                        min_jaccard,
+                        min_overlap_ratio,
+                    ).select("id_a", "id_b")
+                else:
+                    edges = afp.audio_subfp_pairs(
+                        fp,
+                        min_jaccard=min_jaccard,
+                        min_overlap_ratio=min_overlap_ratio,
+                        max_bucket_size=max_bucket_size,
+                    ).select("id_a", "id_b")
+            else:
+                edges = src.read("pairs").select("id_a", "id_b")
+                for root in inc_roots:
+                    icat = Catalog(spark, root)
+                    edges = edges.unionByName(
+                        icat.read("within_pairs").select("id_a", "id_b")
+                    ).unionByName(icat.read("matches").select("id_a", "id_b"))
             commit("pairs", edges)
 
         if not resumable("components"):
@@ -611,6 +665,14 @@ def main() -> None:
         "TARGET_ROOT, resolving deferred merges — blue/green, the "
         "source root is untouched; --input is ignored",
     )
+    p.add_argument(
+        "--rematch",
+        action="store_true",
+        help="with --compact-to: re-run the full pair generator over "
+        "the unioned fingerprints (tier/threshold flags apply) instead "
+        "of unioning committed edges — recovers mutual dups between "
+        "CONCURRENT increments; still no re-decode",
+    )
     args = p.parse_args()
 
     from go_pkg_spider_spark.session import get_spark
@@ -620,7 +682,16 @@ def main() -> None:
     spark = get_spark(app_name=f"audio-dedup-{args.run_id}")
     if args.compact_to is not None:
         summary = run_audio_dedup_compact(
-            spark, args.output_root, args.compact_to, run_id=args.run_id
+            spark,
+            args.output_root,
+            args.compact_to,
+            run_id=args.run_id,
+            rematch=args.rematch,
+            tier=args.tier,
+            max_hamming=args.max_hamming,
+            max_bucket_size=args.max_bucket_size,
+            min_jaccard=args.min_jaccard,
+            min_overlap_ratio=args.min_overlap_ratio,
         )
         print(json.dumps(summary))
         spark.stop()

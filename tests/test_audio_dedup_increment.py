@@ -251,6 +251,36 @@ def test_compact_resolves_deferred_merges(spark, tmp_path):
     assert _decisions(spark, target)["a2"] == ("a0", "drop_audio_dup")
 
 
+def test_compact_rematch_recovers_missing_edges(spark, tmp_path):
+    """--rematch re-runs the pair generator over the unioned
+    fingerprints instead of trusting committed edges — recovering
+    pairs no committed table holds (concurrent increments, or as
+    here, an increment that ran under a stricter threshold). Plain
+    edge-union compaction faithfully preserves the miss; rematch at
+    the default threshold finds it. No re-decode either way."""
+    rows = _rows_by_id()
+    root = str(tmp_path / "root")
+    run_audio_dedup(
+        spark, _df(spark, [rows["a0"], rows["b0"]]), root,
+        run_id="base", tier="subfp",
+    )
+    # strict-threshold increment: the 20 dB twin scores ~0.97 < 0.995
+    s = run_audio_dedup_increment(
+        spark, _df(spark, [rows["a1"]]), root, run_id="inc",
+        tier="subfp", min_jaccard=0.995,
+    )
+    assert s["decision_histogram"] == {"keep": 1}  # the miss
+
+    plain = str(tmp_path / "plain")
+    sp = run_audio_dedup_compact(spark, root, plain)
+    assert sp["decision_histogram"] == {"keep": 3}  # faithfully missed
+
+    re = str(tmp_path / "rematch")
+    sr = run_audio_dedup_compact(spark, root, re, rematch=True, tier="subfp")
+    assert sr["decision_histogram"] == {"keep": 2, "drop_audio_dup": 1}
+    assert _decisions(spark, re)["a1"] == ("a0", "drop_audio_dup")
+
+
 def test_streaming_twin_parity_and_restart(spark, tmp_path):
     """The foreachBatch streaming twin over a landing dir must produce
     the same increment decisions as the batch --append call, and a

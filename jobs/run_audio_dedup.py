@@ -272,26 +272,34 @@ def _increment_roots(output_root: str) -> list[str]:
     )
 
 
-def read_all_fingerprints(spark, output_root: str):
+def read_all_fingerprints(spark, output_root: str, inc_roots=None):
     """The full committed fingerprint state: the base run's table plus
     every committed increment — the index the next increment matches
     against. A union of parquet scans (no shuffle); column pruning
-    still reaches every member scan."""
+    still reaches every member scan. inc_roots (optional) pins the
+    increment list to a caller-taken snapshot so a multi-stage reader
+    (compaction) unions a CONSISTENT set even if new increments land
+    mid-run."""
     from go_pkg_spider_spark.io.catalog import Catalog
 
     df = Catalog(spark, output_root).read("fingerprints")
-    for root in _increment_roots(output_root):
+    if inc_roots is None:
+        inc_roots = _increment_roots(output_root)
+    for root in inc_roots:
         df = df.unionByName(Catalog(spark, root).read("fingerprints"))
     return df
 
 
-def read_all_decisions(spark, output_root: str):
+def read_all_decisions(spark, output_root: str, inc_roots=None):
     """Base decisions plus every committed increment's — one row per
-    clip ever ingested (increments only ever ADD clip ids)."""
+    clip ever ingested (increments only ever ADD clip ids). inc_roots
+    as in read_all_fingerprints."""
     from go_pkg_spider_spark.io.catalog import Catalog
 
     df = Catalog(spark, output_root).read("decisions")
-    for root in _increment_roots(output_root):
+    if inc_roots is None:
+        inc_roots = _increment_roots(output_root)
+    for root in inc_roots:
         df = df.unionByName(Catalog(spark, root).read("decisions"))
     return df
 
@@ -376,8 +384,17 @@ def run_audio_dedup_increment(
         # concurrent increment cannot commit between read and match;
         # increments under different run_ids still race on the
         # DEFERRED-merge semantics only (both attach to committed
-        # groups; neither sees the other — same tradeoff as bridges)
-        index_fp = read_all_fingerprints(spark, output_root)
+        # groups; neither sees the other — same tradeoff as bridges).
+        # THIS increment is excluded from its own index: re-running a
+        # COMPLETED run_id with changed params would otherwise match
+        # the batch against its own prior fingerprints and attach to
+        # its own stale decisions.
+        index_incs = [
+            r for r in _increment_roots(output_root) if r != inc_root
+        ]
+        index_fp = read_all_fingerprints(
+            spark, output_root, inc_roots=index_incs
+        )
 
         if not resumable("within_pairs"):
             if tier == "fp64":
@@ -436,9 +453,9 @@ def run_audio_dedup_increment(
                 fp_new,
                 cat.read("within_pairs"),
                 cat.read("matches"),
-                read_all_decisions(spark, output_root).select(
-                    "clip_id", "group_id"
-                ),
+                read_all_decisions(
+                    spark, output_root, inc_roots=index_incs
+                ).select("clip_id", "group_id"),
             )
             commit(
                 "decisions",
@@ -543,7 +560,13 @@ def run_audio_dedup_compact(
         commit, resumable = runner.commit, runner.resumable
 
         if not resumable("fingerprints"):
-            commit("fingerprints", read_all_fingerprints(spark, source_root))
+            # inc_roots is the snapshot taken above: the fingerprint
+            # union and the edge union must cover the SAME increment
+            # set even if a new increment commits mid-compaction
+            commit(
+                "fingerprints",
+                read_all_fingerprints(spark, source_root, inc_roots=inc_roots),
+            )
         fp = cat.read("fingerprints")
 
         if not resumable("pairs"):

@@ -278,6 +278,8 @@ def test_fp_robustness_contract():
         "trim_start_32ms",
         "trim_start_100ms",
         "trim_start_500ms",
+        "prepend_silence_100ms",
+        "prepend_silence_500ms",
         "bandlimit_300_3400",
         "hard_clip_0.5",
         "time_stretch_+1pct",
@@ -285,6 +287,11 @@ def test_fp_robustness_contract():
         assert rows[name]["subfp_tier_groups"], (name, rows[name])
     assert rows["trim_start_32ms"]["subfp_jaccard"] == pytest.approx(1.0)
     assert rows["trim_start_100ms"]["subfp_jaccard"] >= 0.7
+    # the winning shift equals the offset in hops, signed: a trim
+    # shifts positive, an added intro negative (both directions of
+    # the scan are exercised)
+    assert rows["trim_start_100ms"]["subfp_shift"] == 3
+    assert rows["prepend_silence_100ms"]["subfp_shift"] == -3
     assert not rows["trim_start_1000ms"]["subfp_tier_groups"]
     # 4% stretch sits AT the Jaccard threshold (measured 0.40) — pin
     # the floor loosely, not the group bit, so host-independent but

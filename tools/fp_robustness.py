@@ -118,6 +118,13 @@ def measure() -> dict:
     # on a 2 s probe — the honest recall boundary.
     for ms in (4, 32, 100, 500, 1000):
         row(f"trim_start_{ms}ms", sig[int(SR * ms / 1000):])
+    # prepended silence (the offset's other sign — an added intro);
+    # exercises the scan's negative-shift direction
+    for ms in (100, 500):
+        row(
+            f"prepend_silence_{ms}ms",
+            np.concatenate([np.zeros(int(SR * ms / 1000)), sig]),
+        )
     # time stretch (resample, then play back claiming the old rate)
     for pct in (1, 4):
         st = linear_resample(sig, SR, int(SR * (1 + pct / 100)))

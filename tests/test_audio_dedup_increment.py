@@ -173,6 +173,35 @@ def test_increment_rerun_resumes(spark, tmp_path):
     assert read_all_decisions(spark, root).count() == 3
 
 
+def test_increment_fp64_tier(spark, tmp_path):
+    """The cheap tier works through the job-level append path too: an
+    exact re-encode twin (same PCM, FLAC container) collides at fp64
+    hamming 0, survives the always-on stream verify at Jaccard 1.0,
+    and attaches to the committed group; the 20 dB noisy twin stays
+    un-matched at this tier (the measured contrast)."""
+    from go_pkg_spider_spark.fixtures.audio_fixtures import _flac
+    from go_pkg_spider_spark.fixtures.audio_fp_fixtures import _chirp
+
+    rows = _rows_by_id()
+    root = str(tmp_path / "root")
+    run_audio_dedup(
+        spark, _df(spark, [rows["a0"], rows["b0"]]), root,
+        run_id="base", tier="fp64",
+    )
+    up = _chirp(_SR, _SR, 200.0, 2000.0)
+    s = run_audio_dedup_increment(
+        spark,
+        _df(spark, [("f0", _flac(up, _SR), "flac", _SR), rows["a1"]]),
+        root,
+        run_id="inc",
+        tier="fp64",
+    )
+    assert s["decision_histogram"] == {"drop_audio_dup": 1, "keep": 1}
+    got = _decisions(spark, root)
+    assert got["f0"] == ("a0", "drop_audio_dup")
+    assert got["a1"] == ("a1", "keep")  # fp64 misses the noisy twin
+
+
 def test_increment_requires_committed_base(spark, tmp_path):
     with pytest.raises(ValueError, match="no committed"):
         run_audio_dedup_increment(

@@ -2466,6 +2466,66 @@ def audio_increment_docs(spark, sf_dir):
     )
 
 
+def _audio_snippet_oracle_sql() -> str:
+    """Literal expected-truth table for the snippet containment search
+    (fixtures/audio_fp_fixtures.py SNIPPET_EXPECTED — brute-force
+    scoring of every eligible query against every eligible index clip
+    with the exact production predicate)."""
+    from .fixtures.audio_fp_fixtures import SNIPPET_EXPECTED
+
+    rows = ",\n      ".join(
+        f"('{qid}', '{cid}', {jac}, {pos})"
+        for qid, cid, jac, pos in SNIPPET_EXPECTED
+    )
+    return f"""
+    SELECT CAST(qid AS VARCHAR) AS qid,
+           CAST(clip_id AS VARCHAR) AS clip_id,
+           CAST(jaccard AS DOUBLE) AS jaccard,
+           CAST(pos AS INTEGER) AS pos
+    FROM (VALUES
+      {rows}
+    ) AS t(qid, clip_id, jaccard, pos)
+    """
+
+
+@query("audio_snippet_docs", _audio_snippet_oracle_sql())
+def audio_snippet_docs(spark, sf_dir):
+    """Query-by-snippet containment search under the hard gate (late
+    round 8) — the H&K retrieval case the pair tiers cannot serve: a
+    3 s cut from the MIDDLE of a composite clip shares neither an fp64
+    key nor the first-active probes. audio_snippet_search blocks on
+    distinct value-pair shingles over the FULL streams (>= 3 shared —
+    measured: true cuts share 6..21, distinct controls 0..2), then
+    slides each query over each candidate stream and keeps the
+    best-window bit-set Jaccard (measured margins: exact cut 1.0,
+    worst-case sub-hop 0.86, 20 dB noisy 0.61 vs controls <= 0.10).
+    The frozen truth is by construction — each cut matches exactly its
+    source clip at the cut position in hops — and derived brute-force
+    (every eligible pair scored, independent of the Spark join path,
+    so the gate cross-checks blocking recall). Not SQL-expressible
+    (FFT), so the oracle is the frozen-literal pattern.
+
+    sf_dir is unused: the fixture corpus IS the input."""
+    from pyspark.sql import functions as F
+
+    from .fixtures.audio_fp_fixtures import (
+        build_snippet_index_rows,
+        build_snippet_query_rows,
+    )
+    from .operators.audio_fp import audio_snippet_search, fingerprint_clips_full
+
+    schema = "clip_id string, bytes binary, codec string, sr_hz int"
+    idx = fingerprint_clips_full(
+        spark.createDataFrame(build_snippet_index_rows(), schema)
+    ).localCheckpoint(eager=False)
+    qs = fingerprint_clips_full(
+        spark.createDataFrame(build_snippet_query_rows(), schema)
+    ).localCheckpoint(eager=False)
+    return audio_snippet_search(idx, qs).select(
+        "qid", "clip_id", F.round("jaccard", 6).alias("jaccard"), "pos"
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

@@ -467,3 +467,130 @@ INCREMENT_EXPECTED: list[tuple] = [
     ("x1", None, 29, False, "x0", "drop_audio_dup"),
     ("z0", None, 29, True, "z0", "keep_degenerate"),
 ]
+
+
+# --- snippet containment-search gate corpus (audio_snippet_docs) ---
+# Index: two long composite clips (distinct segment families), a
+# distinct filler, a degenerate and an error row. Queries: cuts from
+# the composites (integer-hop, worst-case sub-hop, 20 dB noisy), a
+# distinct-control snippet, a degenerate and an error query. Truth is
+# known by construction: each cut matches exactly its source clip at
+# the cut position.
+def _snippet_hay0(sr: int) -> np.ndarray:
+    """20 s composite: AM tone | up chirp | hash noise | down chirp."""
+    return np.concatenate(
+        [
+            _am(5 * sr, sr, 700.0, 3.0),
+            _chirp(5 * sr, sr, 200.0, 2000.0),
+            0.3 * _hashnoise(5 * sr),
+            _chirp(5 * sr, sr, 2000.0, 200.0),
+        ]
+    )
+
+
+def _snippet_hay1(sr: int) -> np.ndarray:
+    """10 s composite from a different segment family."""
+    return np.concatenate(
+        [_am(5 * sr, sr, 420.0, 6.0), _chirp(5 * sr, sr, 2600.0, 900.0)]
+    )
+
+
+def build_snippet_index_rows() -> list[tuple]:
+    sr = 16_000
+    return [
+        ("h0", _wav(_snippet_hay0(sr), sr), "wav", sr),
+        ("h1", _wav(_snippet_hay1(sr), sr), "wav", sr),
+        ("f0", _wav(_am(5 * sr, sr, 1000.0, 2.0), sr), "wav", sr),
+        ("c0", _wav(np.zeros(sr), sr), "wav", sr),
+        ("e0", _wav(_am(sr, sr, 500.0, 4.0), sr), "speex", sr),
+    ]
+
+
+def build_snippet_query_rows() -> list[tuple]:
+    sr = 16_000
+    h0, h1 = _snippet_hay0(sr), _snippet_hay1(sr)
+    cut0 = (5 * sr) - ((5 * sr) % 512)  # integer-hop boundary
+    return [
+        ("q_exact", _wav(h0[cut0:cut0 + 3 * sr], sr), "wav", sr),
+        (
+            "q_subhop",
+            _wav(h0[int(5.013 * sr):int(8.013 * sr)], sr),
+            "wav",
+            sr,
+        ),
+        ("q_noisy", _wav(_noisy(h0[cut0:cut0 + 3 * sr], 20.0), sr), "wav", sr),
+        ("q_h1", _wav(h1[int(6.2 * sr):int(9.2 * sr)], sr), "wav", sr),
+        # the control is the AM probe that measurably shares a couple
+        # of COINCIDENTAL shingle keys with h0 (2 < FP_SNIPPET_MIN_
+        # SHARED) — it exercises the evidence floor, not just key
+        # disjointness
+        ("q_ctrl", _wav(_am(3 * sr, sr, 1500.0, 11.0), sr), "wav", sr),
+        ("q_deg", _wav(np.zeros(3 * sr), sr), "wav", sr),
+        ("q_err", _wav(_am(sr, sr, 500.0, 4.0), sr), "speex", sr),
+    ]
+
+
+SNIPPET_EXPECTED_COLUMNS = ("qid", "clip_id", "jaccard", "pos")
+
+
+def derive_snippet_expected() -> list[tuple]:
+    """Brute-force snippet truth: every eligible query scored against
+    every eligible index clip with the production predicate (shared
+    distinct shingle keys >= FP_SNIPPET_MIN_SHARED, best-window
+    Jaccard >= FP_SNIPPET_JACCARD) — independent of the Spark
+    blocking/join path, so the gate cross-checks candidate recall."""
+    from ..operators.audio_fp import (
+        FP_SNIPPET_JACCARD,
+        FP_SNIPPET_MIN_SHARED,
+        _fp_row_full,
+        snippet_shingle_keys,
+        subfp_best_window,
+        unpack_subfps,
+    )
+
+    idx = {
+        cid: r
+        for cid, r in (
+            (cid, _fp_row_full(cid, b, c, s))
+            for cid, b, c, s in build_snippet_index_rows()
+        )
+    }
+    qs = {
+        cid: r
+        for cid, r in (
+            (cid, _fp_row_full(cid, b, c, s))
+            for cid, b, c, s in build_snippet_query_rows()
+        )
+    }
+
+    def elig(rows):
+        return sorted(c for c, r in rows.items() if r[1] is None and not r[4])
+
+    out = []
+    for qid in elig(qs):
+        qkeys = set(
+            int(k) for k in snippet_shingle_keys(unpack_subfps(qs[qid][5]))
+        )
+        for cid in elig(idx):
+            hkeys = set(
+                int(k)
+                for k in snippet_shingle_keys(unpack_subfps(idx[cid][5]))
+            )
+            if len(qkeys & hkeys) < FP_SNIPPET_MIN_SHARED:
+                continue
+            jac, pos = subfp_best_window(idx[cid][5], qs[qid][5])
+            if jac >= FP_SNIPPET_JACCARD:
+                out.append((qid, cid, round(jac, 6), pos))
+    return sorted(out)
+
+
+# Frozen output of derive_snippet_expected(): the three h0 cuts land
+# on h0 at the cut position (156 hops = 5 s; the sub-hop cut one hop
+# later), the h1 cut on h1 only (194 hops = 6.2 s); the
+# control/degenerate/error queries match nothing.
+SNIPPET_EXPECTED: list[tuple] = [
+    ("q_exact", "h0", 1.0, 156),
+    ("q_h1", "h1", 0.931034, 194),
+    ("q_noisy", "h0", 0.607527, 156),
+    ("q_subhop", "h0", 0.861538, 157),
+]

@@ -989,3 +989,166 @@ def assign_increment(
         decision.alias("decision"),
     )
     return decisions, deferred_merges
+
+
+# --- snippet containment search: find clips CONTAINING a query cut ---
+# The H&K retrieval case the pair tiers cannot serve: a 3 s jingle cut
+# from the middle of a 2 min clip shares neither an fp64 key nor the
+# first-active probes (those see stream prefixes). Blocking here keys
+# DISTINCT VALUE-PAIR SHINGLES (v[i] << 16 | v[i+1], both nonzero)
+# over the FULL stream of both sides — position-free, so a cut from
+# anywhere matches; measured on a 20 s composite: true cuts share
+# 6..21 distinct shingles (down to 10 dB SNR), distinct controls 0..2.
+FP_SNIPPET_MIN_SHARED = 3
+# Verify slides the query over the candidate stream and scores bit-set
+# Jaccard at the best window. Measured margins (composite hay, 3 s
+# cuts): exact cut 1.0, worst-case sub-hop cut 0.86, 20 dB noisy cut
+# 0.61 vs distinct controls <= 0.10 — and the null is ALREADY the max
+# over every alignment (~500 windows), so unlike the pair tier's
+# shift scan no extra penalty is needed; 0.4 keeps a >= 1.5x true
+# margin and a >= 4x null margin. The margins are pinned by the
+# frozen fixture gate (audio_snippet_docs) + tests/test_audio_snippet.
+FP_SNIPPET_JACCARD = 0.4
+
+
+def snippet_shingle_keys(subs: np.ndarray) -> np.ndarray:
+    """Distinct (v[i] << 16) | v[i+1] keys over adjacent NONZERO
+    sub-fingerprint pairs — the position-free blocking keys of the
+    snippet search (int64, sorted). Empty for streams with no two
+    adjacent active positions."""
+    s = np.asarray(subs, dtype=np.int64)
+    if s.size < 2:
+        return np.empty(0, dtype=np.int64)
+    a, b = s[:-1], s[1:]
+    keys = ((a << 16) | b)[(a != 0) & (b != 0)]
+    return np.unique(keys)
+
+
+def subfp_best_window(hay: bytes, needle: bytes) -> tuple[float, int]:
+    """(bit-set Jaccard at the best containment window, that window's
+    start position in hops): slide the needle stream over the hay
+    stream at every alignment and keep the max. Ties resolve to the
+    earliest position (argmax). Bounded by FP_MAX_SUBFP on both sides:
+    the (alignments x needle) popcount temporaries stay under ~16 MB.
+    A needle longer than the hay scores 0 (containment is directed —
+    callers decide which side is the corpus clip)."""
+    h, n = unpack_subfps(hay), unpack_subfps(needle)
+    if n.size == 0 or h.size < n.size:
+        return 0.0, -1
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w = sliding_window_view(h, n.size)
+    inter = _POPCOUNT16[w & n[None, :]].sum(axis=1, dtype=np.int64)
+    union = _POPCOUNT16[w | n[None, :]].sum(axis=1, dtype=np.int64)
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    pos = int(jac.argmax())
+    return float(jac[pos]), pos
+
+
+_SNIPPET_MATCH_SCHEMA = StructType(
+    [
+        StructField("qid", StringType()),
+        StructField("clip_id", StringType()),
+        StructField("jaccard", DoubleType()),
+        # containment offset in stream positions (32 ms hops)
+        StructField("pos", IntegerType()),
+    ]
+)
+
+
+def _shingle_key_rows(fpf: DataFrame, id_alias: str) -> DataFrame:
+    """(id, key) exploded shingle-key rows for eligible fingerprint
+    rows — one mapInPandas over the packed streams. At corpus scale
+    this is the stage a production root would COMMIT next to probes
+    (it is pure function of the stream); the operator computes it
+    inline so fixture-scale callers need no extra table."""
+    elig = fpf.filter(F.col("err").isNull() & ~F.col("fp_degenerate")).select(
+        "clip_id", "subfps"
+    )
+
+    def keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids: list[str] = []
+            kk: list[int] = []
+            for i in range(len(b)):
+                ks = snippet_shingle_keys(
+                    unpack_subfps(bytes(b.subfps.iloc[i]))
+                )
+                ids.extend([b.clip_id.iloc[i]] * ks.size)
+                kk.extend(int(k) for k in ks)
+            yield pd.DataFrame({id_alias: ids, "key": pd.array(kk, dtype="int64")})
+
+    return elig.mapInPandas(
+        keys, f"{id_alias} string, key long"
+    )
+
+
+def audio_snippet_search(
+    index_fpf: DataFrame,
+    queries_fpf: DataFrame,
+    min_jaccard: float = FP_SNIPPET_JACCARD,
+    min_shared: int = FP_SNIPPET_MIN_SHARED,
+    max_key_matches: int = FP_MAX_KEY_MATCHES,
+    observation=None,
+) -> DataFrame:
+    """(qid, clip_id, jaccard, pos) — corpus clips CONTAINING each
+    query snippet (both sides fingerprint_clips_full rows; the query
+    side is a short cut, the index side the committed corpus).
+    Candidates block on shared distinct value-pair shingles
+    (>= min_shared — one or two shared pairs are coincidence, see the
+    knob comment), hot index keys rank-capped with drop accounting;
+    verify slides each query over each candidate stream once
+    (subfp_best_window) in one mapInPandas at candidate volume. The
+    index stream column moves only for candidate clip ids; queries
+    are one ingest batch (small side of every join)."""
+    from pyspark.sql.window import Window
+
+    q_keys = _shingle_key_rows(queries_fpf, "qid")
+    idx_keys = _shingle_key_rows(index_fpf, "clip_id")
+    ranked = idx_keys.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("key").orderBy("clip_id")),
+    )
+    if observation is not None:
+        ranked = ranked.observe(
+            observation,
+            F.sum(
+                F.when(F.col("rn") > max_key_matches, 1).otherwise(0)
+            ).alias("dropped_index_keys"),
+            F.max("rn").alias("max_key_matches_seen"),
+        )
+    idx_kept = ranked.filter(F.col("rn") <= max_key_matches).drop("rn")
+    cand = (
+        q_keys.join(idx_kept, "key")
+        .groupBy("qid", "clip_id")
+        .agg(F.count_distinct("key").alias("shared"))
+        .filter(F.col("shared") >= F.lit(min_shared))
+        .select("qid", "clip_id")
+    )
+    joined = cand.join(
+        queries_fpf.select(
+            F.col("clip_id").alias("qid"), F.col("subfps").alias("needle")
+        ),
+        "qid",
+    ).join(
+        index_fpf.select("clip_id", F.col("subfps").alias("hay")), "clip_id"
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            stats = [
+                subfp_best_window(bytes(b.hay.iloc[i]), bytes(b.needle.iloc[i]))
+                for i in range(len(b))
+            ]
+            yield pd.DataFrame(
+                {
+                    "qid": b.qid,
+                    "clip_id": b.clip_id,
+                    "jaccard": [s[0] for s in stats],
+                    "pos": pd.array([s[1] for s in stats], dtype="int32"),
+                }
+            )
+
+    return joined.mapInPandas(verify, _SNIPPET_MATCH_SCHEMA).filter(
+        F.col("jaccard") >= F.lit(min_jaccard)
+    )

@@ -193,6 +193,55 @@ def cmd_audio_dedup(args) -> dict:
     }
 
 
+def cmd_audio_snippet(args) -> dict:
+    """Streaming query-by-snippet serving: each micro-batch of query
+    clips is fingerprinted and contain-searched against the committed
+    dedup root's fingerprint state (base + increments — never
+    re-decoded). Results land under output/batch_id=N with per-batch
+    OVERWRITE, so a replayed batch rewrites its own partition instead
+    of double-appending — idempotent restarts with zero streaming
+    state."""
+    from run_audio_dedup import read_all_fingerprints
+
+    from go_pkg_spider_spark.operators.audio_fp import (
+        audio_snippet_search,
+        fingerprint_clips_full,
+    )
+    from go_pkg_spider_spark.streaming.jobs import read_clips_stream
+
+    spark = _spark("stream-audio-snippet")
+    index_fp = read_all_fingerprints(spark, args.dedup_root)
+    stream = read_clips_stream(
+        spark, args.queries, max_files_per_trigger=args.max_files_per_trigger
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        qfp = fingerprint_clips_full(batch_df)
+        audio_snippet_search(
+            index_fp,
+            qfp,
+            min_jaccard=args.min_jaccard,
+            min_shared=args.min_shared,
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.output, f"batch_id={batch_id}")
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", args.checkpoint
+    )
+    if args.available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.start()
+        q.awaitTermination(args.timeout_sec)
+        q.stop()
+    batches, rows = _out_rows(spark, args.output)
+    return {"job": "audio-snippet", "sink_batches": batches, "sink_rows": rows}
+
+
 def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", required=True)
@@ -244,11 +293,31 @@ def main() -> None:
     ad.add_argument("--timeout-sec", type=int, default=60)
     ad.add_argument("--max-files-per-trigger", type=int, default=8)
 
+    sn = sub.add_parser("audio-snippet")
+    sn.add_argument("--queries", required=True, help="query-clip landing dir")
+    sn.add_argument("--dedup-root", required=True,
+                    help="committed run_audio_dedup.py output root")
+    sn.add_argument("--output", required=True)
+    sn.add_argument("--checkpoint", required=True)
+    sn.add_argument("--min-jaccard", type=float, default=None)
+    sn.add_argument("--min-shared", type=int, default=None)
+    sn.add_argument("--available-now", action="store_true")
+    sn.add_argument("--timeout-sec", type=int, default=60)
+    sn.add_argument("--max-files-per-trigger", type=int, default=8)
+
     args = p.parse_args()
+    if args.cmd == "audio-snippet":
+        from go_pkg_spider_spark.operators import audio_fp as _afp
+
+        if args.min_jaccard is None:
+            args.min_jaccard = _afp.FP_SNIPPET_JACCARD
+        if args.min_shared is None:
+            args.min_shared = _afp.FP_SNIPPET_MIN_SHARED
     summary = {
         "quality-filter": cmd_quality_filter,
         "ann-topk": cmd_ann_topk,
         "audio-dedup": cmd_audio_dedup,
+        "audio-snippet": cmd_audio_snippet,
     }[args.cmd](args)
     print(json.dumps(summary))
 

@@ -25,8 +25,21 @@ Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+    # Round 9 (guide §2.5 "input skew: one huge unsplittable file"):
+    # every sf-tier table ships as ONE parquet file, and every tier up
+    # to sf1.0 is under 64 MB — below the 32 MB split size. That means
+    # ONE scan task, so an expensive narrow projection over documents/
+    # embeddings ran single-core regardless of the session's 32 slots
+    # (measured: scrub_docs 16.5s -> 1.1s at sf1.0 once spread).
+    # spread=True applies the guarded _spread_small_scan — opt-IN per
+    # entry, because a blanket spread was measured to HURT queries whose
+    # first move is a shuffle anyway (events windows/aggregations lost
+    # 0.3-1.2s each paying a pointless extra round-robin exchange).
+    # The guard keeps it scale-honest: at production scale (thousands
+    # of splits) the spread is a metadata-only no-op.
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _spread_small_scan(df, spark) if spread else df
 
 
 def _spread_small_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
@@ -309,7 +322,7 @@ def lang_rules_docs(spark, sf_dir):
     'model_latin'/'model_other'."""
     from .functions.expr_utils import let_col
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     # let-bound: the marker remap references the rule result 3x, which
     # would re-embed the whole char-class cascade per reference
     lang_rule = let_col(
@@ -365,7 +378,7 @@ _DUCK_NOPUNCT = "regexp_replace(text, '\\pP', '', 'g')"
 def keep_drop_docs(spark, sf_dir):
     """The full keep/drop rule chain (P3/P5/P7/P8 + link.go:276-364
     classification) over documents, lang from the label column."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     kd = rules.keep_drop(F.col("text"), F.col("lang"), min_chars=64)
     return d.select("doc_id", kd["drop_reason"].alias("drop_reason"))
 
@@ -376,7 +389,7 @@ def keep_drop_docs(spark, sf_dir):
 )
 def scrub_docs(spark, sf_dir):
     """F10/F14 scrub bank parity over the whole corpus."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return d.select("doc_id", scrub.scrub(F.col("text")).alias("scrubbed"))
 
 
@@ -396,7 +409,7 @@ def scrub_docs(spark, sf_dir):
 )
 def token_stats_docs(spark, sf_dir):
     """Token counting (whitespace + BPE-ish regex) + stopword ratio."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return d.select(
         "doc_id",
         tokens.whitespace_token_count(F.col("text")).alias("ws_tokens"),
@@ -448,7 +461,7 @@ def ngram_jaccard_pairs_docs(spark, sf_dir):
     to two source groups (src6/src7 carry planted near-dup pairs at
     both gate tiers): parity coverage without quadratic bench cost
     (unscoped at sf0.1: 55s of genuine 625k-pair array math)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("source").isin("src6", "src7"))
+    d = _t(spark, sf_dir, "documents", spread=True).filter(F.col("source").isin("src6", "src7"))
     return dedup.ngram_jaccard_pairs(d, "text", "doc_id", "source", threshold=0.3)
 
 
@@ -463,7 +476,7 @@ def ngram_cap_parity_guard(spark, sf_dir) -> dict[str, int]:
     from pyspark.sql import Observation
 
     obs = Observation()
-    d = _t(spark, sf_dir, "documents").filter(F.col("source").isin("src6", "src7"))
+    d = _t(spark, sf_dir, "documents", spread=True).filter(F.col("source").isin("src6", "src7"))
     dedup.ngram_jaccard_pairs(
         d, "text", "doc_id", "source", threshold=0.3, observation=obs
     ).count()
@@ -476,7 +489,7 @@ def minhash_lsh_docs(spark, sf_dir):
     oracle: signatures derive from md5_number_upper-compatible hashes +
     HUGEINT affine permutations, band grouping by the raw slice string
     (equality-equivalent to Spark's xxhash64 of it)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return dedup.minhash_lsh_candidates(d, "text", "doc_id").filter(
         F.col("jaccard") >= 0.3
     )
@@ -486,7 +499,7 @@ def minhash_lsh_docs(spark, sf_dir):
 def simhash_docs(spark, sf_dir):
     """64-bit SimHash fingerprints (Charikar) per document, oracle-exact
     (md5-derived token hashes, 64 generated majority-vote terms)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return d.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash"))
 
 
@@ -519,7 +532,7 @@ _EMB_DIM = 64  # embeddings.embedding dim in testdata (verified in tests)
 )
 def ann_topk_embeddings(spark, sf_dir):
     """Brute-force cosine top-k baseline (TakeOrderedAndProject)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     q = _query_vec(_EMB_DIM)
     qc = F.array(*[F.lit(float(x)) for x in q])
     return (
@@ -541,7 +554,7 @@ def ann_topk_embeddings(spark, sf_dir):
 def ann_lsh_topk_embeddings(spark, sf_dir):
     """Hyperplane-LSH pruned ANN top-k (the scale path). Oracle replays
     the seeded plane literals + sign bits + bit_count prune in SQL."""
-    e = _t(spark, sf_dir, "embeddings").withColumn(
+    e = _t(spark, sf_dir, "embeddings", spread=True).withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     return similarity.lsh_bucketed_topk(
@@ -554,7 +567,7 @@ def ann_ivf_topk_embeddings(spark, sf_dir):
     """IVF ANN with the SQL-reproducible distributed trainer (md5-order
     seed spread + one Lloyd step, rounded means), n_probe cell pruning,
     exact cosine on survivors."""
-    e = _t(spark, sf_dir, "embeddings").withColumn(
+    e = _t(spark, sf_dir, "embeddings", spread=True).withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     cents = similarity.train_ivf_centroids_distributed(
@@ -577,7 +590,7 @@ def ann_ivf_batch_topk(spark, sf_dir):
     cells broadcast onto the cell-assigned index, one equi-join, one
     per-query top-k window. This is the serving shape
     jobs/run_ann_index.py materializes at scale."""
-    e = _t(spark, sf_dir, "embeddings").withColumn(
+    e = _t(spark, sf_dir, "embeddings", spread=True).withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     cents = similarity.train_ivf_centroids_distributed(
@@ -616,7 +629,7 @@ def ann_ivf_batch_topk_gemm(spark, sf_dir):
     quantum of the kth best, so accumulation-order differences cannot
     change the rounded global top-k). Same trained index, same query
     batch as ann_ivf_batch_topk."""
-    e = _t(spark, sf_dir, "embeddings").withColumn(
+    e = _t(spark, sf_dir, "embeddings", spread=True).withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     cents = similarity.train_ivf_centroids_distributed(
@@ -710,7 +723,7 @@ def embedding_neardup_pairs_q(spark, sf_dir):
     """Embedding-cosine near-dup pairs via MULTI-BAND hyperplane buckets
     (bucket-collect pair generation, no self-join, no driver action at
     plan build — dim is a parameter)."""
-    e = _t(spark, sf_dir, "embeddings").withColumn(
+    e = _t(spark, sf_dir, "embeddings", spread=True).withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     # random testdata embeddings concentrate near cosine 0 (+-1/sqrt(64));
@@ -860,7 +873,7 @@ def winnow_fingerprints_docs(spark, sf_dir):
     comparers' float-exact range)."""
     from .functions.expr_utils import let_col
 
-    d = _spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    d = _t(spark, sf_dir, "documents", spread=True)
 
     def le_u64(m):  # first 8 md5 bytes little-endian == md5_number_upper
         return F.conv(
@@ -959,7 +972,7 @@ def quantize_embeddings(spark, sf_dir):
     vector-store compression): per-vector max-abs scale, symmetric
     round-to-nearest codes. Long form (vec_id, pos, code, scale) —
     one narrow projection + posexplode, no shuffle."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
     return (
@@ -1025,7 +1038,7 @@ def extract_news_docs(spark, sf_dir):
     engines — cycling five date shapes (full / zh-prefixed / en month /
     US slash / none) and a split-mark-rich title. The REAL operators run
     on the Spark side; the oracle replays them in DuckDB SQL."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     mm = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
     dd = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
     v = F.col("doc_id") % 5
@@ -1256,7 +1269,7 @@ def neardup_components_docs(spark, sf_dir):
     Oracle: DuckDB recursive CTE over the SAME replayed pair SQL."""
     from .operators import components
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     edges = dedup.minhash_lsh_candidates(d, "text", "doc_id").filter(
         F.col("jaccard") >= 0.3
     )
@@ -1356,7 +1369,7 @@ def cepf_quality_docs(spark, sf_dir):
     over a deterministic 3-segment page built from each doc (same
     recipe both engines; doc_id%3 rows carry a URL span so the
     link-text branch is exercised), replayed stat-for-stat in DuckDB."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     page = F.concat(
         F.substring("text", 1, 40),
         F.lit("\n"),
@@ -1525,7 +1538,7 @@ def url_rules_docs(spark, sf_dir):
     the oracle replays them in RE2 SQL."""
     from .operators import links
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     s = (F.col("doc_id") % 5).cast("string")
     v = F.col("doc_id") % 8
     url = (
@@ -1648,7 +1661,7 @@ def textnorm_docs(spark, sf_dir):
     fun.* normalization family replayed character-for-character in RE2
     SQL (the Java-vs-RE2 \\pP/\\pS dialect is additionally pinned by the
     hypothesis property tests)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -1708,7 +1721,7 @@ def gov_meta_docs(spark, sf_dir):
     gov.hk keeps 政务 while its province still needs lang=zh."""
     from .functions import domain
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     v = F.col("doc_id") % 8
     host = (
         F.when(v == 0, "portal.ministry.gov.cn")
@@ -1771,7 +1784,7 @@ def dates_family_docs(spark, sf_dir):
     single / none / zh-units vs dashed with time). The Spark side runs
     the REAL fold (dates.longest_date — first-wins on equal length);
     DuckDB replays it with the identical list_reduce fold."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     m1 = (F.col("doc_id") % 9 + 1).cast("string")
     h = (F.col("doc_id") % 3).cast("string")
     v = F.col("doc_id") % 4
@@ -1968,7 +1981,7 @@ def link_types_docs(spark, sf_dir):
     the site-level aggregates."""
     from .operators import links as links_ops
 
-    d = _spread_small_scan(_t(spark, sf_dir, "documents"), spark)
+    d = _t(spark, sf_dir, "documents", spread=True)
     si = F.col("doc_id") % 3
     w = F.expr("doc_id div 3") % 10
     did = F.col("doc_id").cast("string")

@@ -107,6 +107,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     max_group_size: int = 1024,
     observation=None,
+    join_fanout: int = 64,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard within a candidate group
     (e.g. same source/site). Self-join is equi on the group key so it
@@ -126,7 +127,29 @@ def ngram_jaccard_pairs(
 
     Shingles are computed AFTER the cap filter so the window shuffle
     carries (g, id, text), not the ~n-times-larger shingle arrays, and
-    oversized groups never pay shingling for rows the cap drops."""
+    oversized groups never pay shingling for rows the cap drops.
+
+    Round-9 restructure (guide §2.5/§2.3; results bit-identical, proven
+    against the DuckDB oracle and a pre-change output snapshot):
+    - BLOCK-PAIR FANOUT JOIN: the plain equi-join on group_col has one
+      partition per GROUP, so a 2-group corpus computed its ~1M capped
+      pairs on 2 cores (measured 25.2s at sf1.0). Each member now gets a
+      deterministic block `pmod(rank-1, join_fanout)`; the left side is
+      exploded once per block and the join key becomes (group, block) —
+      same pair set exactly once, parallelism = groups x join_fanout.
+      The explode multiplies only the capped INPUT rows (<= fanout x
+      max_group_size per group), never the O(m^2) pair output.
+    - SIZE-RATIO PRUNE inside the join condition: jaccard <=
+      min(|a|,|b|)/max(|a|,|b|), so pairs failing
+      least*1.0 >= (threshold-1e-6)*greatest can never reach the rounded
+      threshold (margin 1e-6 > the 5e-7 round-half step) and skip the
+      intersect entirely.
+    - SHINGLES HASHED TO int64 (xxhash64) before the join: the per-pair
+      intersect builds its hash set over 8-byte longs instead of UTF8
+      strings (~3x cheaper, ~2.5x fewer shuffle bytes). Set SIZES are
+      unchanged (distinct strings stay distinct under xxhash64 up to a
+      ~2^-64 per-pair collision chance; the oracle gate re-proves
+      equality on every tier)."""
     from pyspark.sql import Window
 
     if max_group_size < 2:
@@ -160,10 +183,43 @@ def ngram_jaccard_pairs(
         capped = capped.observe(observation, *metrics)
     else:
         capped = capped.observe(f"ngram_group_cap_{next(_ngram_obs)}", *metrics)
-    s = capped.select("g", "id", word_shingles(F.col("_t"), n).alias("sh"))
-    a, b = s.alias("a"), s.alias("b")
+    fan = max(1, int(join_fanout))
+    s = capped.select(
+        "g",
+        "id",
+        F.transform(word_shingles(F.col("_t"), n), lambda t: F.xxhash64(t)).alias("sh"),
+        F.pmod(F.col("_rn") - 1, F.lit(fan)).alias("_bkt"),
+    )
+    # Explicit hash repartition on the block-join key: the per-pair work
+    # is CPU-dense but byte-tiny, so left to itself AQE either coalesces
+    # the exchange to ~1 partition or broadcasts the (small) right side
+    # — both of which leave the O(m^2) intersect work on the upstream
+    # window's one-partition-per-group layout (measured: 12.9s vs 1.3s
+    # at sf1.0). A user-specified repartition is exempt from AQE
+    # coalescing and survives a broadcast-join rewrite, and the SMJ
+    # reuses it (same keys) so it adds no extra exchange.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = (
+        s.select(
+            "g", "id", "sh",
+            F.explode(F.sequence(F.lit(0), F.lit(fan - 1))).alias("_yb"),
+        )
+        .repartition(par, "g", "_yb")
+        .alias("a")
+    )
+    b = s.alias("b")
+    sa, sb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
+    prune = F.least(sa, sb).cast("double") >= F.lit(threshold - 1e-6) * F.greatest(
+        sa, sb
+    )
     return (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a._yb") == F.col("b._bkt"))
+            & (F.col("a.id") < F.col("b.id"))
+            & prune,
+        )
         .select(
             F.col("a.g").alias(group_col),
             F.col("a.id").alias("id_a"),

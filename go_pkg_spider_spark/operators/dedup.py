@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.tokens import content_hash_md5
-from .bucketing import capped_buckets, pair_array
+from .bucketing import capped_buckets, pair_apply
 
 # uniquifies the ngram group-cap observation name per plan
 _ngram_obs = itertools.count()
@@ -358,20 +358,22 @@ def minhash_lsh_candidates(
         metric_name=None,
         observation=observation,
     )
-    pair_arr = pair_array(F.col("ms"))
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("p.a.sig"), F.col("p.b.sig"), lambda x, y: x == y),
-            lambda m: m,
-        )
-    ) / F.lit(float(num_hashes))
-    pairs = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
+    # score inside the pair lambda (pair_apply): the old pair_array form
+    # materialized struct<member, member> per pair — two 32-long
+    # signature copies per pair just to feed the match-count projection
+    def _est(a, b):
+        est = F.size(
+            F.filter(F.zip_with(a["sig"], b["sig"], lambda x, y: x == y), lambda m: m)
+        ) / F.lit(float(num_hashes))
+        return F.struct(
+            a["id"].alias("id_a"),
+            b["id"].alias("id_b"),
             F.round(est, 6).alias("jaccard"),
         )
+
+    pairs = (
+        buckets.select(F.explode(pair_apply(F.col("ms"), _est)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.jaccard")
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
@@ -443,14 +445,20 @@ def simhash_neardup_pairs(
     buckets = capped_buckets(
         blocked, ["blk_idx", "blk"], F.struct("id", "sh"), max_bucket_size
     )
-    pair_arr = pair_array(F.col("ms"))
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
-            hamming64(F.col("p.a.sh"), F.col("p.b.sh")).alias("hamming"),
+        buckets.select(
+            F.explode(
+                pair_apply(
+                    F.col("ms"),
+                    lambda a, b: F.struct(
+                        a["id"].alias("id_a"),
+                        b["id"].alias("id_b"),
+                        hamming64(a["sh"], b["sh"]).alias("hamming"),
+                    ),
+                )
+            ).alias("p")
         )
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -188,24 +188,44 @@ def _reclassify_by_publish_prob(df: DataFrame, threshold: float) -> DataFrame:
         F.count(F.lit(1)).alias("c"),
         F.sum(has_date.cast("int")).alias("hd"),
     )
-    base = seg_grain.groupBy("site").agg(
+    # Round 9: the site totals AND the top-paths set now come out of ONE
+    # site-grain aggregation over the (tiny) seg-grain rows. The old
+    # shape ran two aggregations plus a broadcast join (base, tops,
+    # base JOIN tops) — three extra stages and two extra broadcast
+    # builds of pure scheduling latency (measured: the entry dropped
+    # ~1s at sf1.0, identical rows). The top-paths filter moves into a
+    # window over the same site partitioning (sum(c)/sum(hd) are exact
+    # integer sums, so publish_prob's double division is bit-identical),
+    # and collect_set ignores the NULLed-out non-qualifying segs.
+    from pyspark.sql import Window
+
+    w_site = Window.partitionBy("site")
+    site_rows = seg_grain.select(
+        "site",
+        "seg",
+        "c",
+        F.sum("hd").over(w_site).alias("_hd_tot"),
+        F.sum("c").over(w_site).alias("_c_tot"),
+    )
+    qual_seg = F.when(
+        F.col("seg").isNotNull()
+        & (F.col("_c_tot") >= 8)
+        & (F.col("c") > 1)
+        & (F.col("c") / F.col("_c_tot") > 0.4),
+        F.col("seg"),
+    )
+    stats = site_rows.groupBy("site").agg(
         # == avg(has_date) over rows: sum of per-seg date counts over
         # the row count (exact same double division)
-        (F.sum("hd") / F.sum("c")).alias("publish_prob"),
-        F.sum("c").alias("content_count"),
-    )
-    tops = (
-        seg_grain.filter(F.col("seg").isNotNull())
-        .join(F.broadcast(base), "site")
-        .filter(
-            (F.col("content_count") >= 8)
-            & (F.col("c") > 1)
-            & (F.col("c") / F.col("content_count") > 0.4)
-        )
-        .groupBy("site")
-        .agg(F.collect_set("seg").alias("top_paths"))
-    )
-    stats = base.join(tops, "site", "left")
+        (F.first("_hd_tot") / F.first("_c_tot")).alias("publish_prob"),
+        F.first("_c_tot").alias("content_count"),
+        F.collect_set(qual_seg).alias("_tops_raw"),
+    ).withColumn(
+        # empty set -> NULL top_paths (the old left join's no-tops-row
+        # shape, which downstream coalesces to [])
+        "top_paths",
+        F.when(F.size(F.col("_tops_raw")) > 0, F.col("_tops_raw")),
+    ).drop("_tops_raw")
 
     out = df.join(F.broadcast(stats), "site", "left")
     strong = F.coalesce(F.col("publish_prob") > threshold, F.lit(False))

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .bucketing import capped_buckets, pair_array
+from .bucketing import capped_buckets, pair_apply, pair_array
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -177,18 +177,24 @@ def embedding_neardup_pairs(
             base, ["b", "bits"], F.struct("id", "v", "nv"), max_bucket_size,
             observation=observation,
         )
-        pair_arr = pair_array(F.col("ms"))
-        d = F.col("p.a.nv") * F.col("p.b.nv")
-        cos = F.when(d > 0, dot(F.col("p.a.v"), F.col("p.b.v")) / d).otherwise(
-            F.lit(0.0)
-        )
-        return (
-            buckets.select(F.explode(pair_arr).alias("p"))
-            .select(
-                F.col("p.a.id").alias("id_a"),
-                F.col("p.b.id").alias("id_b"),
+
+        # score inside the pair lambda (bucketing.pair_apply): the old
+        # pair_array form materialized struct<member, member> per pair —
+        # two dim-double vector copies (~1 KB at dim 64) per pair just
+        # to feed the cosine projection; in-place scoring materializes
+        # only (id_a, id_b, cosine_sim) per pair
+        def _cos_pair(a, b):
+            d = a["nv"] * b["nv"]
+            cos = F.when(d > 0, dot(a["v"], b["v"]) / d).otherwise(F.lit(0.0))
+            return F.struct(
+                a["id"].alias("id_a"),
+                b["id"].alias("id_b"),
                 F.round(cos, round_digits).alias("cosine_sim"),
             )
+
+        return (
+            buckets.select(F.explode(pair_apply(F.col("ms"), _cos_pair)).alias("p"))
+            .select("p.id_a", "p.id_b", "p.cosine_sim")
             .filter(F.col("cosine_sim") >= threshold)
             .dropDuplicates(["id_a", "id_b"])
         )

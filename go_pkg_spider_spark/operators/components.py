@@ -44,6 +44,7 @@ def connected_components(
     id_col: str = "id",
     max_iter: int = 20,
     on_max_iter: str = "star",
+    driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(id_col, component) — component = smallest node id reachable.
     `nodes` (optional) supplies the full vertex set so isolated nodes
@@ -54,16 +55,32 @@ def connected_components(
     hands the ORIGINAL edges to connected_components_star (O(log n)
     rounds, exact), "raise" raises RuntimeError. Silent partial labels
     are not an option (round-3 verdict: wrong components with no
-    signal)."""
+    signal).
+
+    driver_edge_threshold (round 9): when the DISTINCT edge list is at
+    most this many rows, labels come from one driver-side union-find
+    over the (already checkpointed) edges instead of the iterative
+    join rounds — the same bounded-collect budget as the k x dim
+    centroid tables (<= ~32 MB at the default 1M edges), exact same
+    labels, and it replaces diameter-many join+checkpoint+probe rounds
+    with one collect + one broadcast join (measured: the LSH components
+    entry dropped ~1.5s of round latency at sf1.0, identical rows).
+    Edge lists larger than the threshold run the distributed iteration
+    unchanged; 0 disables the fast path."""
     if on_max_iter not in ("star", "raise"):
         raise ValueError(f"on_max_iter must be 'star' or 'raise', got {on_max_iter!r}")
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # materialize the edge list ONCE: every round joins against it, and
-    # an unmaterialized `edges` lineage (e.g. the whole minhash UDF
-    # pipeline) would otherwise re-execute per round — measured 4x the
-    # entry's cost at sf0.1 (swap in .checkpoint(dir) on a cluster)
-    sym = sym.localCheckpoint()
+    # materialize the DIRECTED edge list before mirroring it: every
+    # round joins against sym, and an unmaterialized `edges` lineage
+    # (e.g. the whole minhash UDF pipeline) would otherwise re-execute
+    # per round — measured 4x the entry's cost at sf0.1. Checkpointing
+    # BEFORE the union (round 9) also stops the union's two branches
+    # from each executing that lineage once during the materialization
+    # itself (~0.6s of the LSH pipeline at sf1.0). Swap in
+    # .checkpoint(dir) on a cluster.
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    sym = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if driver_edge_threshold and e0.count() <= driver_edge_threshold:
+        return _driver_union_find(sym, nodes, id_col)
     if nodes is None:
         base = sym.select(F.col("u").alias("n")).distinct()
     else:
@@ -130,6 +147,64 @@ def connected_components(
             sym, src="u", dst="v", nodes=nodes, id_col=id_col
         )
     return labels.select(F.col("n").alias(id_col), F.col("l").alias("component"))
+
+
+def _driver_union_find(sym: DataFrame, nodes: DataFrame | None, id_col: str) -> DataFrame:
+    """Small-graph fast path: exact min-label components via union-find
+    on the driver over an already-materialized symmetric edge list
+    (bounded by driver_edge_threshold — a deliberate, size-guarded
+    control-path collect, NOT a data-path collect). Labels match the
+    iterative path bit-for-bit: component id = smallest member id.
+
+    The label table re-enters the plan as a broadcast-joined mapping;
+    nodes missing from it (isolated vertices) coalesce to themselves,
+    the same singleton rule as the iterative path."""
+    rows = sym.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        u, v = r.u, r.v
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN so the root IS the smallest member id —
+            # exactly the min-label fixed point
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    labels = [(x, find(x)) for x in parent]
+    spark = sym.sparkSession
+    if nodes is None:
+        base = sym.select(F.col("u").alias("n")).distinct()
+    else:
+        base = nodes.select(F.col(id_col).alias("n")).distinct()
+    if labels:
+        id_type = sym.schema["u"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        mapping = spark.createDataFrame(
+            labels,
+            StructType(
+                [StructField("n", id_type, True), StructField("_l", id_type, True)]
+            ),
+        )
+        out = base.join(F.broadcast(mapping), "n", "left").select(
+            "n", F.coalesce(F.col("_l"), F.col("n")).alias("l")
+        )
+    else:
+        out = base.select("n", F.col("n").alias("l"))
+    return out.select(F.col("n").alias(id_col), F.col("l").alias("component"))
 
 
 def _large_star(e: DataFrame) -> DataFrame:

@@ -59,23 +59,34 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array<string>.
 
-    O(words) construction: zip_with over shifted copies of the word
-    array (the naive transform(sequence, i -> slice(words, i, n)) is
-    O(words^2) — slice copies per gram — and measured ~8s for 5k docs).
-    zip_with pads the shorter side with NULLs, which mark the trailing
-    incomplete grams; they're filtered out."""
+    O(words) construction over a LET-BOUND word array: one index
+    sequence, each gram concat_ws'd from n element_at reads in place.
+    History: the naive transform(sequence, i -> slice(words, i, n)) is
+    O(words^2) (slice copies per gram, measured ~8s for 5k docs); the
+    round-3 fix was n-1 zip_with passes over shifted slices, which
+    still allocated n-1 shifted copies of the word array plus n-1
+    intermediate gram arrays per row — the index form produces the gram
+    array in one pass (measured 1.6x faster at sf1.0, identical
+    output: concat_ws(" ", a, b, c) == a||' '||b||' '||c for the
+    non-null words the sequence guarantees)."""
+    from ..functions.expr_utils import let_col
+
     words = F.filter(F.split(normalized_text(text), " "), lambda w: w != "")
-    grams = words
-    for k in range(1, n):
-        shifted = F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(0)))
-        grams = F.zip_with(
-            grams,
-            shifted,
-            lambda a, b: F.when(a.isNull() | b.isNull(), None).otherwise(
-                F.concat(a, F.lit(" "), b)
+
+    def grams_of(w: Column) -> Column:
+        m = F.size(w)
+        grams = F.when(
+            m >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(m - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + j) for j in range(n)]
+                ),
             ),
-        )
-    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(grams)
+
+    return let_col(words, grams_of)
 
 
 def jaccard_distinct(a: Column, b: Column) -> Column:
@@ -281,6 +292,48 @@ def make_minhash_udf(num_hashes: int = 32):
     return minhash_udf
 
 
+def make_minhash_text_udf(num_hashes: int = 32, shingle_n: int = 3):
+    """Round 9: minhash signature STRAIGHT FROM the normalized text —
+    tokenization + n-gram assembly moved inside the Arrow batch loop.
+
+    Two reasons (guide §4.1/§4.2):
+    - the UDF argument becomes a lambda-free column chain
+      (lower/trim/regexp_replace), which Spark's ExtractPythonUDFs can
+      always extract — the let-bound JVM shingle expression contains
+      NESTED lambdas that the extractor refuses, leaving the raw UDF in
+      a Project (INTERNAL_ERROR "Cannot evaluate expression" at run
+      time), and CollapseProject re-inlines any staging alias;
+    - the JVM shingle pass (split + n-gram concat + array_distinct per
+      row) disappears; Python assembles the same grams next to the md5
+      loop it already runs (~0.5s of the LSH entry at sf1.0).
+
+    Dialect safety: the input is ALREADY normalized JVM-side (single
+    spaces, lower, trim), so Python's str.split(" ") sees exactly the
+    token boundaries F.split(.., " ") would — no \\s/locale dialect in
+    Python. Gram SET equality with word_shingles is pinned by test."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_text_udf(norm_text: pd.Series) -> pd.Series:
+        out = []
+        last = shingle_n - 1
+        for s in norm_text:
+            if s is None:
+                out.append(None)
+                continue
+            toks = [t for t in s.split(" ") if t]
+            if len(toks) < shingle_n:
+                out.append(None)
+                continue
+            grams = {
+                " ".join(toks[i : i + shingle_n]) for i in range(len(toks) - last)
+            }
+            sig = _minhash_sig_np(list(grams), num_hashes)
+            out.append(None if sig is None else sig.tolist())
+        return pd.Series(out, dtype=object)
+
+    return minhash_text_udf
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """k minhash values over the shingle array (Arrow-batched numpy).
     Empty shingle set -> NULL signature (dropped from LSH)."""
@@ -313,14 +366,19 @@ def minhash_lsh_candidates(
     # Filter, once for the Project (two ArrowEvalPython nodes, measured
     # 2x Python cost). With the pre-filter the UDF never sees an empty
     # shingle set and runs exactly once per row.
-    words = F.filter(
-        F.split(normalized_text(F.col(text_col)), " "), lambda w: w != ""
-    )
-    base = df.filter(F.size(words) >= shingle_n).select(
+    # Round 9: the predicate is now regexp_count(\S+) — the word count
+    # of the normalized text equals the count of maximal non-whitespace
+    # runs of the RAW text (collapse+trim+split cannot change it, lower
+    # neither), so the Filter no longer re-runs the normalize+split
+    # chain the shingle projection runs again anyway (measured ~0.4s of
+    # the entry at sf1.0; Java \s both sides).
+    base = df.filter(
+        F.regexp_count(F.col(text_col), F.lit(r"\S+")) >= shingle_n
+    ).select(
         F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias(
-            "sig"
-        ),
+        make_minhash_text_udf(num_hashes, shingle_n)(
+            normalized_text(F.col(text_col))
+        ).alias("sig"),
     )
     banded = base.select(
         "id",

@@ -31,10 +31,26 @@ def test_two_components_and_singletons(spark):
 
 def test_chain_needs_multiple_rounds(spark):
     """A length-6 path: the min label must walk the whole diameter
-    (several propagation rounds + the convergence early-exit)."""
+    (several propagation rounds + the convergence early-exit).
+    driver_edge_threshold=0 pins the ITERATIVE path (round 9 added a
+    size-guarded driver union-find fast path for small edge lists)."""
     edges = [(i, i + 1) for i in range(1, 7)]
-    got = _cc(spark, edges)
+    got = _cc(spark, edges, driver_edge_threshold=0)
     assert got == {i: 1 for i in range(1, 8)}
+
+
+def test_driver_fast_path_matches_iterative(spark):
+    """Round 9: the small-graph driver union-find must label exactly
+    like the iterative min-label path — mixed components, singletons
+    from the nodes frame, direction-agnostic edges, self-loops."""
+    edges = [(1, 2), (2, 3), (9, 4), (4, 4), (7, 6), (11, 11)]
+    nodes = list(range(1, 13))
+    fast = _cc(spark, edges, nodes=nodes)  # default threshold: driver path
+    slow = _cc(spark, edges, nodes=nodes, driver_edge_threshold=0)
+    assert fast == slow == {
+        1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 6, 8: 8, 9: 4,
+        10: 10, 11: 11, 12: 12,
+    }
 
 
 def test_edge_direction_irrelevant(spark):
@@ -43,7 +59,7 @@ def test_edge_direction_irrelevant(spark):
 
 def test_max_iter_bounds_work(spark):
     # a triangle converges in one round even with max_iter=1
-    got = _cc(spark, [(1, 2), (2, 3), (1, 3)], max_iter=2)
+    got = _cc(spark, [(1, 2), (2, 3), (1, 3)], max_iter=2, driver_edge_threshold=0)
     assert got == {1: 1, 2: 1, 3: 1}
 
 
@@ -56,7 +72,7 @@ def test_long_chain_beyond_max_iter_falls_back_to_star(spark):
     edges = [(i, i + 1) for i in range(1, 60)]
     with _w.catch_warnings():
         _w.simplefilter("ignore")
-        got = _cc(spark, edges, max_iter=3)
+        got = _cc(spark, edges, max_iter=3, driver_edge_threshold=0)
     assert got == {i: 1 for i in range(1, 61)}
 
 
@@ -65,7 +81,7 @@ def test_long_chain_raises_when_asked(spark):
 
     edges = [(i, i + 1) for i in range(1, 60)]
     with pytest.raises(RuntimeError, match="did not converge"):
-        _cc(spark, edges, max_iter=3, on_max_iter="raise")
+        _cc(spark, edges, max_iter=3, on_max_iter="raise", driver_edge_threshold=0)
 
 
 def test_star_exact_and_olog_rounds(spark):

@@ -244,3 +244,40 @@ def test_range_join_counts_and_zero_rows(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 0, 3: 0}
+
+
+def test_python_shingling_matches_word_shingles(spark):
+    """Round 9: minhash shingling moved inside the UDF (lambda-free
+    argument). The Python gram SET over the JVM-normalized text must
+    equal word_shingles' output set for every row, including unicode
+    spaces, tabs, repeated separators and <n-word shorties."""
+    rows = [
+        (1, "a b c d e"),
+        (2, "  a\t b   c  "),
+        (3, "one two"),                      # < n words -> empty
+        (4, "x Y z x y Z x y z"),            # case + repeats
+        (5, "word nbsp stays one-token here"),  # \s in Java excludes NBSP
+        (6, None),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm = {
+        r.doc_id: set(r.sh)
+        for r in df.select(
+            "doc_id", dedup.word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    norm = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", dedup.normalized_text(F.col("text")).alias("s")
+        ).collect()
+    }
+    for doc_id, s in norm.items():
+        toks = [t for t in s.split(" ") if t] if s is not None else []
+        grams = (
+            {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= 3
+            else set()
+        )
+        assert grams == jvm[doc_id], doc_id

@@ -178,23 +178,74 @@ def embedding_neardup_pairs(
             observation=observation,
         )
 
-        # score inside the pair lambda (bucketing.pair_apply): the old
-        # pair_array form materialized struct<member, member> per pair —
-        # two dim-double vector copies (~1 KB at dim 64) per pair just
-        # to feed the cosine projection; in-place scoring materializes
-        # only (id_a, id_b, cosine_sim) per pair
-        def _cos_pair(a, b):
-            d = a["nv"] * b["nv"]
-            cos = F.when(d > 0, dot(a["v"], b["v"]) / d).otherwise(F.lit(0.0))
-            return F.struct(
-                a["id"].alias("id_a"),
-                b["id"].alias("id_b"),
-                F.round(cos, round_digits).alias("cosine_sim"),
-            )
+        # Round 9 (guide §4.2 "hand whole batches to vectorized native
+        # libraries"): per-bucket pairwise cosine via ONE numpy pass per
+        # bucket inside mapInPandas, replacing ~15us/pair of interpreted
+        # zip_with+aggregate HOF per candidate pair (3.9M pairs at
+        # sf1.0). Bit-exactness is engineered, not assumed:
+        # - the pairwise dot accumulates as a LEFT FOLD over the dim
+        #   axis (acc += V[:,k] outer V[:,k], k ascending, acc from
+        #   0.0), the exact IEEE sequence of the old
+        #   aggregate(zip_with(..)) fold — np.dot/BLAS would reorder
+        #   the sum and flip rounded knife-edge values;
+        # - norms stay JVM-computed (they ride the member struct);
+        # - rounding stays Spark-side (F.round is HALF_UP; np.round is
+        #   half-even) — Python emits the RAW cosine and only prunes
+        #   pairs below threshold - 10^-round_digits, a margin twice
+        #   the worst rounding step, so every pair the rounded filter
+        #   could keep survives to the exact Spark-side filter.
+        # NULL vectors zero out (d=0 -> cosine 0.0), matching the old
+        # when(d > 0, ...).otherwise(0.0) branch.
+        id_type = df.schema[id_col].dataType.simpleString()
+        out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+        thr_floor = float(threshold) - (10.0 ** -round_digits)
+
+        def score_buckets(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                out_a, out_b, out_c = [], [], []
+                for ms in pdf["ms"]:
+                    m = len(ms)
+                    if m < 2:
+                        continue
+                    ids = [r["id"] for r in ms]
+                    dim_v = next(
+                        (len(r["v"]) for r in ms if r["v"] is not None), 0
+                    )
+                    V = _np.zeros((m, dim_v), dtype=_np.float64)
+                    nv = _np.zeros(m, dtype=_np.float64)
+                    for i, r in enumerate(ms):
+                        if r["v"] is not None and r["nv"] is not None:
+                            V[i] = _np.asarray(r["v"], dtype=_np.float64)
+                            nv[i] = r["nv"]
+                    acc = _np.zeros((m, m), dtype=_np.float64)
+                    for k in range(dim_v):  # left fold, ascending k
+                        col = V[:, k]
+                        acc += col[:, None] * col[None, :]
+                    d = nv[:, None] * nv[None, :]
+                    with _np.errstate(divide="ignore", invalid="ignore"):
+                        cos = _np.where(d > 0, acc / d, 0.0)
+                    iu, ju = _np.triu_indices(m, 1)
+                    c = cos[iu, ju]
+                    keep = c >= thr_floor
+                    if keep.any():
+                        out_a.extend(ids[i] for i in iu[keep])
+                        out_b.extend(ids[j] for j in ju[keep])
+                        out_c.extend(c[keep].tolist())
+                yield _pd.DataFrame(
+                    {"id_a": out_a, "id_b": out_b, "cosine_sim": out_c}
+                )
 
         return (
-            buckets.select(F.explode(pair_apply(F.col("ms"), _cos_pair)).alias("p"))
-            .select("p.id_a", "p.id_b", "p.cosine_sim")
+            buckets.select("ms")
+            .mapInPandas(score_buckets, out_schema)
+            .select(
+                "id_a",
+                "id_b",
+                F.round(F.col("cosine_sim"), round_digits).alias("cosine_sim"),
+            )
             .filter(F.col("cosine_sim") >= threshold)
             .dropDuplicates(["id_a", "id_b"])
         )

@@ -84,12 +84,16 @@ def test_simhash_single_python_hop(spark):
 
 def test_embedding_neardup_no_join_no_python(spark):
     """Bucket-collect pair generation: no self-join (the old sig==sig
-    join re-executed the hyperplane projection on both sides) and no
-    Python nodes — pure column math + one groupBy exchange."""
+    join re-executed the hyperplane projection on both sides), no
+    row-at-a-time Python, one groupBy exchange. Round 9: in-bucket
+    scoring moved to ONE MapInPandas (numpy left-fold cosine, bit-
+    identical to the old HOF fold — see similarity.py) — the plan must
+    hold exactly one Python stage and still no join."""
     plan = _plan(entry.queries()["embedding_neardup_pairs"](spark, SF))
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                 "ArrowEvalPython", "BatchEvalPython"):
         assert bad not in plan, bad
+    assert plan.count("MapInPandas") == 1
 
 
 def test_q3_topk_no_global_sort(spark):

@@ -534,7 +534,7 @@ def ann_topk_embeddings(spark, sf_dir):
     """Brute-force cosine top-k baseline (TakeOrderedAndProject)."""
     e = _t(spark, sf_dir, "embeddings", spread=True)
     q = _query_vec(_EMB_DIM)
-    qc = F.array(*[F.lit(float(x)) for x in q])
+    qc = similarity.lit_double_array(q)
     return (
         e.select(
             "vec_id",
@@ -2484,12 +2484,17 @@ def audio_increment_docs(spark, sf_dir):
     base_rows = [
         r for r in build_subfp_rows() if r[0] in INCREMENT_BASE_IDS
     ]
-    idx_fp = fingerprint_clips_full(
-        spark.createDataFrame(base_rows, schema)
+    # Round 9: ONE fingerprint pass over the union, split by clip_id
+    # afterwards (ids are disjoint by construction; fingerprinting is
+    # row-local) — the two separate mapInPandas passes each paid their
+    # own stage+checkpoint latency for a handful of clips. Semantics
+    # identical: same rows reach the same per-clip computation.
+    base_ids = [r[0] for r in base_rows]
+    fp_all = fingerprint_clips_full(
+        spark.createDataFrame(base_rows + build_increment_rows(), schema)
     ).localCheckpoint(eager=False)
-    batch_fp = fingerprint_clips_full(
-        spark.createDataFrame(build_increment_rows(), schema)
-    ).localCheckpoint(eager=False)
+    idx_fp = fp_all.filter(F.col("clip_id").isin(base_ids))
+    batch_fp = fp_all.filter(~F.col("clip_id").isin(base_ids))
 
     index_groups = audio_subfp_neardup_groups(idx_fp)
     decisions, _deferred = assign_increment(

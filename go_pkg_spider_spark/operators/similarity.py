@@ -25,6 +25,19 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .bucketing import capped_buckets, pair_apply, pair_array
 
 
+def lit_double_array(vec) -> Column:
+    """Literal array<double> in ONE py4j call (round 9): the per-element
+    F.array(*[F.lit(x) ...]) form costs one JVM round-trip per element —
+    measured 0.84 s of pure plan-BUILD time for the 32x64 hyperplane
+    set, paid on every query construction (every bench pass). repr() is
+    the shortest round-trip decimal, which Spark's parser reads back to
+    the exact same double (verified over the full plane set plus
+    denormal/extreme values)."""
+    if not vec:
+        return F.array().cast("array<double>")
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in vec) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -55,7 +68,7 @@ def brute_force_topk(
     round_digits=4 for oracle-twinned entries (cross-engine double sums
     agree to >=4 digits; ordering is on the rounded value + id so the
     top-k SET is deterministic)."""
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = lit_double_array(query)
     return (
         df.select(
             F.col(id_col),
@@ -84,7 +97,7 @@ def hyperplane_bits(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature as an int (one bit per plane)."""
     bit_terms = []
     for i, p in enumerate(planes):
-        pc = F.array(*[F.lit(float(x)) for x in p])
+        pc = lit_double_array(p)
         bit_terms.append(
             F.when(dot(vec, pc) >= 0, F.shiftleft(F.lit(1), i)).otherwise(F.lit(0))
         )
@@ -462,7 +475,7 @@ def _sq_dist(vec: Column, centroid: list[float]) -> Column:
     per-array loop beats a 1024-node interpreted tree. Keep the HOF
     form; the Arrow GEMM path (k > max_literal_k) is the real escape
     hatch when assign cost matters."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    c = lit_double_array(centroid)
     return F.aggregate(
         F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),

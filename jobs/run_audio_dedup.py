@@ -257,6 +257,56 @@ def _run_locked(
     return summary
 
 
+def _require_fp_schema(spark, roots) -> None:
+    """ADVICE r8 #1 (correctness): cross-root reads of COMMITTED
+    fingerprints (--append matching against a base, --compact-to
+    unioning a base plus increments) must fail loudly when a source
+    root's fingerprints stage was committed at a different
+    fp_schema_v — a v3 root (pos<<16|value probes) silently yields
+    ZERO subfp cross-matches against a v4 reader and every new dup
+    would be labeled 'keep'. The in-root _FP_SCHEMA_V stage_params only
+    protects same-root resume, not cross-root reads. Roots without a
+    manifest or without a done fingerprints row are left to the
+    existing existence checks."""
+    import json as _json
+
+    from go_pkg_spider_spark.io.catalog import Catalog
+
+    for root in roots:
+        cat = Catalog(spark, root)
+        if not cat.exists(AUDIO_DEDUP_MANIFEST_TABLE):
+            continue
+        rows = [
+            r
+            for r in cat.read(AUDIO_DEDUP_MANIFEST_TABLE)
+            .filter("stage = 'fingerprints' AND status = 'done'")
+            .collect()
+        ]
+        if not rows:
+            continue
+        latest = max(
+            rows,
+            key=lambda r: (
+                r.committed_at_unix,
+                getattr(r, "seq", None) if getattr(r, "seq", None) is not None else -1,
+            ),
+        )
+        sig = (latest.metrics or {}).get("params_sig")
+        try:
+            v = _json.loads(sig).get("fp_schema_v") if sig else None
+        except (TypeError, ValueError):
+            v = None
+        if v != _FP_SCHEMA_V:
+            raise RuntimeError(
+                f"fingerprints under {root!r} were committed at "
+                f"fp_schema_v={v!r} but this job reads/writes "
+                f"v{_FP_SCHEMA_V} — cross-version matching would "
+                "silently find zero matches. Re-run the batch job for "
+                "that root (or compact it with a matching job version) "
+                "before appending."
+            )
+
+
 def _increment_roots(output_root: str) -> list[str]:
     """Committed increment roots under output_root/increments, sorted
     by name. Only increments whose DECISIONS stage committed count —
@@ -392,6 +442,7 @@ def run_audio_dedup_increment(
         index_incs = [
             r for r in _increment_roots(output_root) if r != inc_root
         ]
+        _require_fp_schema(spark, [output_root, *index_incs])
         index_fp = read_all_fingerprints(
             spark, output_root, inc_roots=index_incs
         )
@@ -563,6 +614,7 @@ def run_audio_dedup_compact(
             # inc_roots is the snapshot taken above: the fingerprint
             # union and the edge union must cover the SAME increment
             # set even if a new increment commits mid-compaction
+            _require_fp_schema(spark, [source_root, *inc_roots])
             commit(
                 "fingerprints",
                 read_all_fingerprints(spark, source_root, inc_roots=inc_roots),

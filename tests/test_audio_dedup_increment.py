@@ -363,3 +363,55 @@ def test_streaming_twin_parity_and_restart(spark, tmp_path):
     # restart: checkpoint says the file is consumed — nothing re-runs
     drain()
     assert read_all_decisions(spark, root).count() == n_rows
+
+
+def test_append_rejects_cross_root_fp_schema_mismatch(spark, tmp_path):
+    """ADVICE r8 #1: --append against a base whose fingerprints stage
+    was committed at an older fp_schema_v must FAIL LOUDLY instead of
+    silently finding zero cross-matches (v3 pos-keyed probes vs v4
+    cell-keyed probes never collide)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    import jobs.run_audio_dedup as rad
+
+    rows = _rows_by_id()
+    root = str(tmp_path / "root")
+    run_audio_dedup(
+        spark, _df(spark, [rows[i] for i in INCREMENT_BASE_IDS]), root,
+        run_id="base", tier="subfp",
+    )
+    # sanity: a matching-version root passes the guard
+    rad._require_fp_schema(spark, [root])
+
+    # tamper the committed manifest's fingerprints row to an older
+    # schema version (simulating a root written by the v3 job)
+    from go_pkg_spider_spark.io.catalog import Catalog
+
+    cat = Catalog(spark, root)
+    mdf = cat.read(rad.AUDIO_DEDUP_MANIFEST_TABLE)
+    old_sig = json.dumps({"fp_schema_v": rad._FP_SCHEMA_V - 1}, sort_keys=True)
+    tampered = mdf.withColumn(
+        "metrics",
+        F.when(
+            F.col("stage") == "fingerprints",
+            F.map_concat(
+                F.map_filter(F.col("metrics"), lambda k, v: k != F.lit("params_sig")),
+                F.create_map(F.lit("params_sig"), F.lit(old_sig)),
+            ),
+        ).otherwise(F.col("metrics")),
+    )
+    rows_t = tampered.collect()
+    cat.write(
+        spark.createDataFrame(rows_t, mdf.schema),
+        rad.AUDIO_DEDUP_MANIFEST_TABLE,
+    )
+
+    with pytest.raises(RuntimeError, match="fp_schema_v"):
+        rad._require_fp_schema(spark, [root])
+    with pytest.raises(RuntimeError, match="fp_schema_v"):
+        run_audio_dedup_increment(
+            spark, _df(spark, build_increment_rows()), root,
+            run_id="inc_bad", tier="subfp",
+        )

@@ -25,7 +25,13 @@ Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+def _t(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    spread: bool = False,
+    pin: bool = False,
+) -> DataFrame:
     # Round 9 (guide §2.5 "input skew: one huge unsplittable file"):
     # every sf-tier table ships as ONE parquet file, and every tier up
     # to sf1.0 is under 64 MB — below the 32 MB split size. That means
@@ -38,8 +44,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> Dat
     # 0.3-1.2s each paying a pointless extra round-robin exchange).
     # The guard keeps it scale-honest: at production scale (thousands
     # of splits) the spread is a metadata-only no-op.
+    # pin=True (round 9, only meaningful with spread): localCheckpoint
+    # the spread scan WHEN THE GUARD FIRED. Two reasons, both measured
+    # on the multi-pass ANN entries (train + serve read the table 3-4
+    # times): (a) each pass re-paid the single-task scan, (b) worse,
+    # PushDownPredicates moves selective filters (IVF cell probes, LSH
+    # bit pruning) BELOW the round-robin spread, so the expensive
+    # pruning predicate ran single-core no matter what (ivf_topk 2.8s
+    # -> 1.5s, ann_lsh 1.2s -> 0.5s at sf1.0). A checkpointed RDD is a
+    # pushdown barrier and is partitioned by the spread. Guarded like
+    # the spread itself: at production scale the guard does not fire
+    # and no checkpoint happens — pinning a 100 TB table would be the
+    # bug, a <64 MB one is the same budget as any broadcast dim.
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return _spread_small_scan(df, spark) if spread else df
+    if spread:
+        out = _spread_small_scan(df, spark)
+        if pin and out is not df:
+            out = out.localCheckpoint()
+        return out
+    return df
 
 
 def _spread_small_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
@@ -554,7 +577,7 @@ def ann_topk_embeddings(spark, sf_dir):
 def ann_lsh_topk_embeddings(spark, sf_dir):
     """Hyperplane-LSH pruned ANN top-k (the scale path). Oracle replays
     the seeded plane literals + sign bits + bit_count prune in SQL."""
-    e = _t(spark, sf_dir, "embeddings", spread=True).withColumn(
+    e = _t(spark, sf_dir, "embeddings", spread=True, pin=True).withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     return similarity.lsh_bucketed_topk(
@@ -567,7 +590,7 @@ def ann_ivf_topk_embeddings(spark, sf_dir):
     """IVF ANN with the SQL-reproducible distributed trainer (md5-order
     seed spread + one Lloyd step, rounded means), n_probe cell pruning,
     exact cosine on survivors."""
-    e = _t(spark, sf_dir, "embeddings", spread=True).withColumn(
+    e = _t(spark, sf_dir, "embeddings", spread=True, pin=True).withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     cents = similarity.train_ivf_centroids_distributed(
@@ -590,7 +613,7 @@ def ann_ivf_batch_topk(spark, sf_dir):
     cells broadcast onto the cell-assigned index, one equi-join, one
     per-query top-k window. This is the serving shape
     jobs/run_ann_index.py materializes at scale."""
-    e = _t(spark, sf_dir, "embeddings", spread=True).withColumn(
+    e = _t(spark, sf_dir, "embeddings", spread=True, pin=True).withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     cents = similarity.train_ivf_centroids_distributed(
@@ -629,7 +652,7 @@ def ann_ivf_batch_topk_gemm(spark, sf_dir):
     quantum of the kth best, so accumulation-order differences cannot
     change the rounded global top-k). Same trained index, same query
     batch as ann_ivf_batch_topk."""
-    e = _t(spark, sf_dir, "embeddings", spread=True).withColumn(
+    e = _t(spark, sf_dir, "embeddings", spread=True, pin=True).withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     cents = similarity.train_ivf_centroids_distributed(

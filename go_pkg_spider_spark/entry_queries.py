@@ -2029,7 +2029,7 @@ def link_types_docs(spark, sf_dir):
     the site-level aggregates."""
     from .operators import links as links_ops
 
-    d = _t(spark, sf_dir, "documents", spread=True)
+    d = _t(spark, sf_dir, "documents", spread=True, pin=True)
     si = F.col("doc_id") % 3
     w = F.expr("doc_id div 3") % 10
     did = F.col("doc_id").cast("string")

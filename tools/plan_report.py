@@ -54,14 +54,17 @@ REPORT = [
         "LSH dedup: ONE shuffle (band-bucket groupBy); candidate pairs via "
         "in-bucket array combinatorics — no self-join, and exactly one "
         "ArrowEvalPython (pure-column pre-filter instead of filtering the "
-        "UDF output, which double-evaluated it).",
+        "UDF output, which double-evaluated it; round 9: the UDF "
+        "tokenizes+shingles the normalized text itself).",
         "minhash_lsh_docs",
     ),
     (
         "embedding_neardup_pairs",
         "Multi-band hyperplane LSH near-dups: bucket-collect pair "
-        "generation — no join operator, no Python nodes, one groupBy "
-        "Exchange on (band, bits).",
+        "generation — no join operator, one groupBy Exchange on "
+        "(band, bits); round 9: in-bucket pairwise cosine runs in ONE "
+        "MapInPandas (numpy left-fold, bit-identical to the old HOF "
+        "fold — similarity.py).",
         "embedding_neardup_pairs",
     ),
     (

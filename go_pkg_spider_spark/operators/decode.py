@@ -481,8 +481,12 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         pcm = np.frombuffer(data[:usable], dtype=dtype)
     pcm = _downmix(pcm, n_ch)
     # float32 halves the bandwidth of the hottest loop in the pipeline;
-    # <=24-bit sources lose nothing (float32 has 24 mantissa bits)
-    return pcm.astype(np.float32) / np.float32(_WAV_FORMATS[(fmt, bps)]), int(sr)
+    # <=24-bit sources lose nothing (float32 has 24 mantissa bits).
+    # float64 samples beyond float32 range overflow to inf BY CONTRACT:
+    # the downstream nonfinite_samples check rejects the clip (pinned by
+    # tests/test_fuzz_decode.py); errstate keeps production logs quiet.
+    with np.errstate(over="ignore"):
+        return pcm.astype(np.float32) / np.float32(_WAV_FORMATS[(fmt, bps)]), int(sr)
 
 
 def decode_au(blob: bytes) -> tuple[np.ndarray, int]:
